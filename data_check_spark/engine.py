@@ -1,0 +1,195 @@
+"""Validation engine orchestration.
+
+One call runs the whole catalog against a clip table and returns:
+
+- ``violations``  — (rule_id, clip_id, partition, observed), the graft analog
+                    of the reference result contract (dekispart.py:82-89,
+                    data_check.py:1071-1094);
+- ``verdicts``    — per-partition pass/fail with rows/violations/wall-time
+                    (north_rule's per-partition verdicts + metrics);
+- ``summary()``   — total, per-rule counts, top-5 rules — the reference's
+                    summary aggregates (data_check.py:1186-1215).
+
+Plan shape (scale rationale):
+- ALL row-local rules + the audio SNR pandas UDF evaluate in ONE scan
+  (array-of-structs → explode; the SNR column is just another projected
+  expression), so per-row work is a single pass regardless of rule count.
+- Set-oriented rules each contribute their own (shuffle-bearing) subplan:
+  salted two-phase uniqueness, broadcast/SMJ referential joins, sketch-only
+  drift shuffle. Their outputs are unioned lazily; one action materializes
+  everything, letting Spark share the cached scan.
+- Run timestamp is pinned once per run for deterministic date rules
+  (reference calls datetime.now() per row — dekispart.py:473).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_check_spark import checkpoint as cp
+from data_check_spark.operators.audio import audio_snr_violations, transcript_match_violations
+from data_check_spark.operators.drift import drift_violations
+from data_check_spark.operators.referential import (
+    anti_join_violations,
+    orphan_violations,
+    semi_join_violations,
+)
+from data_check_spark.operators.uniqueness import (
+    aggregate_unique_violations,
+    unique_violations,
+)
+from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+from data_check_spark.rules.spec import Rule, RuleCatalog
+from data_check_spark.schemas import CLIPS_SCHEMA, validate_schema
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame
+    verdicts: DataFrame
+    run_id: str
+    wall_time_ms: int = 0
+    rows_scanned: int = 0
+    schema_problems: list[str] = field(default_factory=list)
+
+    def summary(self) -> dict:
+        """Reference-style summary: total, per-rule counts, top-5 rule ids."""
+        per_rule = self.violations.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
+        rows = per_rule.collect()
+        counts = {r["rule_id"]: r["n"] for r in rows}
+        top5 = [rid for rid, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+        return {"total": sum(counts.values()), "per_rule": counts, "top5": top5}
+
+
+def _dispatch_set_rule(
+    rule: Rule,
+    clips: DataFrame,
+    dims: dict[str, DataFrame],
+    *,
+    partition_col: str,
+) -> DataFrame:
+    p = rule.params
+    gate = F.expr(rule.gate) if rule.gate else None
+    if rule.kind == "unique":
+        scoped = clips.filter(gate) if gate is not None else clips
+        return unique_violations(scoped, rule.rule_id, rule.column or "clip_id", partition_col=partition_col)
+    if rule.kind == "aggregate_unique":
+        scoped = clips.filter(gate) if gate is not None else clips
+        return aggregate_unique_violations(scoped, rule.rule_id, rule.column or "clip_id")
+    if rule.kind == "referential":
+        dim = dims[p["dim"]]
+        mode = p.get("mode", "anti")
+        kwargs = dict(fact_key=rule.column or "clip_id", dim_key=p.get("dim_key", "clip_id"))
+        if mode == "anti":
+            return anti_join_violations(clips, dim, rule.rule_id, gate=gate,
+                                        partition_col=partition_col, **kwargs)
+        if mode == "semi":
+            return semi_join_violations(clips, dim, rule.rule_id, gate=gate,
+                                        partition_col=partition_col, **kwargs)
+        if mode == "orphan":
+            return orphan_violations(clips, dim, rule.rule_id, **kwargs)
+        raise ValueError(f"unknown referential mode {mode!r} ({rule.rule_id})")
+    if rule.kind == "drift":
+        baseline = dims["baseline_stats"]
+        return drift_violations(
+            clips, baseline, rule.rule_id, rule.column,
+            threshold=p.get("threshold", 0.25), partition_col=partition_col,
+        )
+    if rule.kind == "audio_decode":
+        return audio_snr_violations(
+            clips, rule.rule_id,
+            snr_db_min=p.get("snr_db_min", 30.0), cap_ms=p.get("cap_ms", 100),
+            gate=gate, partition_col=partition_col,
+        )
+    if rule.kind == "transcript_match":
+        return transcript_match_violations(
+            clips, dims[p["dim"]], rule.rule_id,
+            fact_key=p.get("dim_key", "clip_id"), ref_text=p.get("ref_column", "transcript_ref"),
+            partition_col=partition_col,
+        )
+    raise ValueError(f"unhandled set rule kind {rule.kind!r}")
+
+
+def run_validation(
+    spark: SparkSession,
+    clips: DataFrame,
+    dims: dict[str, DataFrame] | None = None,
+    catalog: RuleCatalog | None = None,
+    *,
+    run_ts: str | None = None,
+    partition_col: str = "partition",
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    cache_input: bool = True,
+) -> ValidationResult:
+    """Run the full catalog; returns lazily-built violations + materialized
+    verdicts (the verdict aggregation is the single action that executes the
+    whole plan)."""
+    dims = dims or {}
+    if catalog is None:
+        from data_check_spark.rules.catalog_audio import audio_catalog
+
+        catalog = audio_catalog()
+    run_id = uuid.uuid4().hex[:12]
+    run_ts = run_ts or time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    t0 = time.monotonic()
+
+    schema_problems = validate_schema(clips, CLIPS_SCHEMA)
+
+    if resume and checkpoint_dir:
+        done = cp.completed_partitions(spark, checkpoint_dir)
+        clips = cp.prune_completed(clips, done, partition_col)
+
+    if cache_input:
+        clips = clips.persist()
+
+    parts: list[DataFrame] = []
+    compiled = compile_row_rules(catalog.row_local, run_ts)
+    if compiled:
+        parts.append(apply_row_rules(clips, compiled, partition_col=partition_col))
+    for rule in catalog.set_oriented:
+        parts.append(_dispatch_set_rule(rule, clips, dims, partition_col=partition_col))
+
+    violations = reduce(DataFrame.unionByName, parts)
+
+    # Per-partition verdicts: rows scanned vs violations (partition-grain
+    # violations with NULL clip_id count against their partition too).
+    rows_per_part = clips.groupBy(F.col(partition_col).alias("partition")).agg(
+        F.count(F.lit(1)).alias("rows_scanned")
+    )
+    viol_per_part = violations.filter(F.col("partition").isNotNull()).groupBy("partition").agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    verdicts = (
+        rows_per_part.join(viol_per_part, "partition", "left")
+        .select(
+            "partition",
+            (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("passed"),
+            "rows_scanned",
+            F.coalesce(F.col("violations"), F.lit(0)).alias("violations"),
+        )
+    )
+    verdicts = verdicts.persist()
+    rows_scanned = verdicts.agg(F.sum("rows_scanned")).collect()[0][0] or 0
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    # Spark can't attribute wall-time to a logical partition inside one job;
+    # the checkpoint stores the run-level wall time on each row (documented).
+    verdicts = verdicts.withColumn("wall_time_ms", F.lit(wall_ms))
+
+    if checkpoint_dir:
+        cp.write_checkpoint(verdicts, checkpoint_dir, run_id)
+
+    return ValidationResult(
+        violations=violations,
+        verdicts=verdicts,
+        run_id=run_id,
+        wall_time_ms=wall_ms,
+        rows_scanned=int(rows_scanned),
+        schema_problems=schema_problems,
+    )

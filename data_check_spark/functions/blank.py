@@ -1,0 +1,38 @@
+"""Tri-state blank semantics and text normalization.
+
+The reference treats ``None`` / ``NaN`` / ``""`` / whitespace-only all as
+"blank" (reference: dekispart.py:170,318,864; shared helper
+innosite.py:481-490), and normalizes Japanese text by lowercasing and
+stripping both half- and full-width spaces before keyword matching
+(reference: cloud.py:601-612). These helpers pin one engine-wide convention;
+rules that need a narrower gate say so explicitly in their spec.
+
+All of this is pure ``Column`` algebra — JVM-side, inside whole-stage
+codegen; no Python runs per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def is_blank(c: Column | str) -> Column:
+    """NULL, empty, or whitespace-only (incl. full-width U+3000)."""
+    col = _col(c)
+    stripped = F.regexp_replace(col.cast("string"), r"[\s　]+", "")
+    return col.isNull() | (stripped == F.lit(""))
+
+
+def is_present(c: Column | str) -> Column:
+    return ~is_blank(c)
+
+
+def norm_text(c: Column | str) -> Column:
+    """Lowercase + strip half/full-width spaces (keyword-match normalizer)."""
+    col = _col(c)
+    return F.lower(F.regexp_replace(col.cast("string"), r"[ 　]", ""))

@@ -1,0 +1,61 @@
+"""Shared PCM16 synthesis — the engine's "reference decoder".
+
+Both the synthetic data generator and the ``audio_decode`` rule derive the
+expected waveform from row-visible fields only (clip_id, sr_hz, dur_ms), so
+the validator never needs generator-private state. Clean payloads therefore
+reconstruct exactly (SNR = inf) and planted corruption/truncation lands below
+the 30dB gate (graft analog of the reference's arithmetic-consistency check
+with tolerance, innosite.py:263-312).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+AMPLITUDE = 0.5
+BASE_FREQ = 220.0
+FREQ_SPAN = 2000
+
+
+def ref_freq(clip_id: str | None) -> float:
+    """Deterministic sine frequency from the clip id string."""
+    if not clip_id:
+        return 440.0
+    hex_part = clip_id[5:] if clip_id.startswith("clip_") else clip_id
+    try:
+        seed = int(hex_part, 16)
+    except ValueError:
+        seed = zlib.crc32(clip_id.encode("utf-8", "replace"))
+    return BASE_FREQ + (seed * 2654435761) % FREQ_SPAN
+
+
+def synth_wave(clip_id: str | None, sr_hz: int, dur_ms: int, cap_ms: int) -> np.ndarray:
+    """int16 reference waveform for (clip_id, sr_hz, dur_ms), duration-capped."""
+    if sr_hz is None or dur_ms is None or sr_hz <= 0 or dur_ms <= 0:
+        return np.zeros(0, dtype=np.int16)
+    n = int(int(sr_hz) * min(int(dur_ms), cap_ms) / 1000)
+    t = np.arange(n, dtype=np.float64) / float(sr_hz)
+    wave = np.sin(2 * np.pi * ref_freq(clip_id) * t) * AMPLITUDE
+    return (wave * 32767.0).astype(np.int16)
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio of ``decoded`` against ``reference`` (dB).
+
+    Length mismatch → -inf (undecodable). Identical → +inf.
+    """
+    if reference.shape != decoded.shape:
+        return float("-inf")
+    if reference.size == 0:
+        return float("inf")
+    ref = reference.astype(np.float64)
+    err = ref - decoded.astype(np.float64)
+    noise = float(np.dot(err, err))
+    if noise == 0.0:
+        return float("inf")
+    signal = float(np.dot(ref, ref))
+    if signal == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(signal / noise)

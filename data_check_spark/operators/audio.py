@@ -1,0 +1,112 @@
+"""Vectorized audio validation (pandas/Arrow UDFs; zero per-row driver Python).
+
+Graft analog of the reference's arithmetic-consistency rule (INNOSITE
+CHK_0002, innosite.py:263-312: recompute the expected value, compare with
+tolerance). Here the "expected value" is the reference PCM decode
+(functions/pcm.py) and the tolerance is the SNR>=30dB allclose gate from
+BASELINE.json ``input_hint``.
+
+Everything runs inside one scalar pandas UDF per Arrow batch: decode
+(``np.frombuffer`` on int16), reference synthesis, SNR — the rule stays in
+the same single scan as the row-local rules (it's just another projected
+column), so the audio check adds NO extra pass over the table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_check_spark.functions.pcm import snr_db, synth_wave
+
+
+def snr_udf(cap_ms: int = 100):
+    """pandas UDF: (bytes, clip_id, sr_hz, dur_ms) → SNR in dB (double).
+
+    NaN = undecodable (empty/odd-length payload or length mismatch).
+    """
+
+    @F.pandas_udf("double")
+    def _snr(payload: pd.Series, clip_id: pd.Series, sr_hz: pd.Series, dur_ms: pd.Series) -> pd.Series:
+        out = np.full(len(payload), np.nan, dtype=np.float64)
+        for i, (b, cid, sr, dur) in enumerate(zip(payload, clip_id, sr_hz, dur_ms)):
+            if b is None or pd.isna(sr) or pd.isna(dur):
+                continue
+            if len(b) % 2 != 0:
+                continue
+            decoded = np.frombuffer(b, dtype=np.int16)
+            ref = synth_wave(cid, int(sr), int(dur), cap_ms)
+            val = snr_db(ref, decoded)
+            out[i] = val if np.isfinite(val) else (1e9 if val > 0 else -1e9)
+        return pd.Series(out)
+
+    return _snr
+
+
+def audio_snr_violations(
+    df: DataFrame,
+    rule_id: str,
+    *,
+    snr_db_min: float = 30.0,
+    cap_ms: int = 100,
+    gate: Column | None = None,
+    id_col: str = "clip_id",
+    partition_col: str | None = "partition",
+) -> DataFrame:
+    """Violations for clips whose decoded PCM misses the SNR gate."""
+    scoped = df.filter(gate) if gate is not None else df
+    snr = snr_udf(cap_ms)(F.col("bytes"), F.col("clip_id"), F.col("sr_hz"), F.col("dur_ms"))
+    part = F.col(partition_col) if partition_col else F.lit(None).cast("string")
+    return (
+        scoped.select(
+            F.col(id_col).cast("string").alias("clip_id"),
+            part.alias("partition"),
+            snr.alias("_snr"),
+        )
+        .filter(F.col("_snr").isNull() | (F.col("_snr") < F.lit(snr_db_min)))
+        .select(
+            F.lit(rule_id).alias("rule_id"),
+            "clip_id",
+            "partition",
+            F.concat(F.lit("snr_db="), F.round(F.col("_snr"), 2).cast("string")).alias("observed"),
+        )
+    )
+
+
+def transcript_match_violations(
+    df: DataFrame,
+    transcripts: DataFrame,
+    rule_id: str,
+    *,
+    fact_key: str = "clip_id",
+    dim_key: str = "clip_id",
+    fact_text: str = "transcript",
+    ref_text: str = "transcript_ref",
+    partition_col: str | None = "partition",
+    dim_rows: int | None = None,
+) -> DataFrame:
+    """Byte-equality of the clip transcript vs the reference transcript dim.
+
+    Missing dim rows are NOT flagged here (that's the referential rule);
+    this rule fires only where both sides exist and bytes differ. The
+    comparison is on UTF-8 encodings, making byte-equality explicit.
+    """
+    dim = transcripts.select(F.col(dim_key).alias("_dk"), F.col(ref_text).alias("_ref"))
+    if dim_rows is not None and dim_rows <= 5_000_000:
+        dim = F.broadcast(dim)
+    part = F.col(partition_col) if partition_col else F.lit(None).cast("string")
+    return (
+        df.join(dim, df[fact_key] == F.col("_dk"), "inner")
+        .filter(
+            F.encode(F.coalesce(F.col(fact_text), F.lit("")), "UTF-8")
+            != F.encode(F.coalesce(F.col("_ref"), F.lit("")), "UTF-8")
+        )
+        .select(
+            F.lit(rule_id).alias("rule_id"),
+            F.col(fact_key).cast("string").alias("clip_id"),
+            part.alias("partition"),
+            F.substring(F.coalesce(F.col(fact_text), F.lit("<null>")), 1, 64).alias("observed"),
+        )
+    )

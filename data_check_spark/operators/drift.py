@@ -1,0 +1,178 @@
+"""Distribution-drift detection via per-partition t-digest sketches.
+
+north_star: "distribution-drift on sr_hz/dur_ms via per-partition t-digest
+sketches merged with treeAggregate against a baseline snapshot".
+
+Scale design — two-level sketching so NO group ever needs to fit in memory:
+
+1. chunk pass (``mapInPandas``): every Arrow batch emits one small digest per
+   table-partition value it contains. At 10^12 rows this yields
+   O(tasks × partitions-per-task) digest rows, each ≤ 2KB.
+2. merge pass (``groupBy(partition).applyInPandas``): merging digests is
+   associative, and the input is already tiny, so the shuffle moves only
+   sketches — never raw values. A skewed hot partition costs the same as any
+   other partition here (its extra volume was absorbed in the chunk pass).
+3. global digest: ``treeAggregate`` over the chunk digests (depth 2) for the
+   ``__global__`` baseline row.
+
+Drift metric: max over the decile grid of |q_cur − q_base| normalized by the
+baseline inter-quantile scale (q90−q10, floored to 1). This is a quantile-
+distance test — robust to outliers, sensitive to location/scale shifts like
+the planted +8s dur_ms shift in the drift partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_check_spark.operators import tdigest as td
+
+QUANTILE_GRID = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+GLOBAL_KEY = "__global__"
+
+_CHUNK_SCHEMA = "partition string, column_name string, tdigest binary, n long"
+
+
+def chunk_digests(
+    df: DataFrame,
+    column: str,
+    *,
+    partition_col: str = "partition",
+    max_centroids: int = td.DEFAULT_MAX_CENTROIDS,
+) -> DataFrame:
+    """Level-1 sketches: one digest per (Arrow batch × table partition)."""
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for part, grp in pdf.groupby(partition_col, dropna=False):
+                vals = pd.to_numeric(grp[column], errors="coerce").to_numpy(dtype=np.float64)
+                vals = vals[~np.isnan(vals)]
+                d = td.from_values(vals, max_centroids)
+                rows.append((part, column, td.serialize(d), int(vals.size)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["partition", "column_name", "tdigest", "n"])
+
+    return df.select(F.col(partition_col).alias(partition_col), F.col(column)).mapInPandas(
+        sketch, schema=_CHUNK_SCHEMA
+    )
+
+
+def partition_digests(
+    df: DataFrame,
+    column: str,
+    *,
+    partition_col: str = "partition",
+    max_centroids: int = td.DEFAULT_MAX_CENTROIDS,
+) -> DataFrame:
+    """Level-2: merge chunk digests into one digest per table partition."""
+    chunks = chunk_digests(df, column, partition_col=partition_col, max_centroids=max_centroids)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        digs = [td.deserialize(b) for b in pdf["tdigest"]]
+        merged = td.merge(digs, max_centroids)
+        return pd.DataFrame(
+            [(pdf["partition"].iloc[0], column, td.serialize(merged), int(pdf["n"].sum()))],
+            columns=["partition", "column_name", "tdigest", "n"],
+        )
+
+    return chunks.groupBy("partition").applyInPandas(merge_group, schema=_CHUNK_SCHEMA)
+
+
+def global_digest(
+    df: DataFrame,
+    column: str,
+    *,
+    partition_col: str = "partition",
+    max_centroids: int = td.DEFAULT_MAX_CENTROIDS,
+) -> tuple[td.TDigest, int]:
+    """Merge chunk digests to one global sketch via RDD treeAggregate."""
+    chunks = chunk_digests(df, column, partition_col=partition_col, max_centroids=max_centroids)
+    rows = chunks.select("tdigest", "n").rdd
+
+    def seq(acc, row):
+        d, n = acc
+        return td.merge([d, td.deserialize(bytes(row["tdigest"]))], max_centroids), n + int(row["n"])
+
+    def comb(a, b):
+        return td.merge([a[0], b[0]], max_centroids), a[1] + b[1]
+
+    zero = (td.TDigest(np.empty(0), np.empty(0)), 0)
+    return rows.treeAggregate(zero, seq, comb, depth=2)
+
+
+def make_baseline(
+    spark: SparkSession,
+    df: DataFrame,
+    columns: list[str],
+    *,
+    partition_col: str = "partition",
+) -> DataFrame:
+    """Baseline snapshot table (BASELINE_STATS_SCHEMA): per-partition digests
+    for each column + one __global__ row, computed from a clean reference run."""
+    parts = [partition_digests(df, c, partition_col=partition_col) for c in columns]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    globals_rows = []
+    for c in columns:
+        g, n = global_digest(df, c, partition_col=partition_col)
+        globals_rows.append((GLOBAL_KEY, c, td.serialize(g), n))
+    gdf = spark.createDataFrame(globals_rows, _CHUNK_SCHEMA)
+    return out.unionByName(gdf)
+
+
+def drift_violations(
+    df: DataFrame,
+    baseline: DataFrame,
+    rule_id: str,
+    column: str,
+    *,
+    threshold: float = 0.25,
+    partition_col: str = "partition",
+) -> DataFrame:
+    """Partition-grain violations where the quantile distance vs baseline
+    exceeds ``threshold``. Falls back to the __global__ baseline row for
+    partitions with no dedicated baseline sketch."""
+    current = partition_digests(df, column, partition_col=partition_col)
+    base = baseline.filter(F.col("column_name") == column).select(
+        F.col("partition").alias("_bpart"), F.col("tdigest").alias("_btd")
+    )
+    # baseline is sketches only (≤ partitions+1 rows) — always broadcastable
+    joined = (
+        current.join(F.broadcast(base), current["partition"] == F.col("_bpart"), "left")
+        .join(
+            F.broadcast(base.filter(F.col("_bpart") == GLOBAL_KEY).select(F.col("_btd").alias("_gtd"))),
+            F.lit(True),
+            "left",
+        )
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():  # ≤ one row per table partition — tiny
+                cur = td.deserialize(r["tdigest"])
+                ref_bytes = r["_btd"] if r["_btd"] is not None else r["_gtd"]
+                if ref_bytes is None:
+                    rows.append((r["partition"], float("nan")))
+                    continue
+                ref = td.deserialize(ref_bytes)
+                qc = np.array(td.quantiles(cur, QUANTILE_GRID))
+                qb = np.array(td.quantiles(ref, QUANTILE_GRID))
+                scale = max(td.quantile(ref, 0.9) - td.quantile(ref, 0.1), 1.0)
+                rows.append((r["partition"], float(np.max(np.abs(qc - qb)) / scale)))
+            yield pd.DataFrame(rows, columns=["partition", "qdist"])
+
+    scored = joined.mapInPandas(score, schema="partition string, qdist double")
+    return scored.filter(F.col("qdist").isNull() | (F.col("qdist") > threshold)).select(
+        F.lit(rule_id).alias("rule_id"),
+        F.lit(None).cast("string").alias("clip_id"),
+        F.col("partition"),
+        F.concat(F.lit(f"{column} qdist="), F.round(F.col("qdist"), 4).cast("string")).alias("observed"),
+    )

@@ -1,0 +1,168 @@
+"""Rule compiler: declarative spec → pyspark Column predicates → ONE scan.
+
+The reference evaluates N rules with an interpreted Python loop over
+``df.iterrows()`` — O(rows × rules) driver-side Python (reference:
+dekispart.py:1141-1164). Here every row-local rule compiles to a Column
+predicate and ALL of them are evaluated in a single projection:
+
+    array( when(pred_1, struct(rule_id_1, observed_1)), ... )
+    → filter(x -> x is not null) → explode
+
+One parquet scan, whole-stage codegen end-to-end, zero per-row Python. At
+10^12 rows this is the difference between 1 pass and N passes; Catalyst
+additionally prunes the scan to exactly the columns the rules touch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_check_spark.functions.blank import is_blank, is_present, norm_text
+from data_check_spark.rules.spec import Rule
+
+
+@dataclass(frozen=True)
+class CompiledRule:
+    rule_id: str
+    predicate: Column  # TRUE = violation
+    observed: Column  # string detail for the violation row
+    severity: str = "error"
+
+
+def _observed_default(column: str | None) -> Column:
+    if column is None:
+        return F.lit(None).cast("string")
+    return F.col(column).cast("string")
+
+
+def compile_rule(rule: Rule, run_ts: str | None = None) -> CompiledRule:
+    """Compile one row-local rule into (predicate, observed)."""
+    p = rule.params
+    col = F.col(rule.column) if rule.column else None
+    observed = _observed_default(rule.column)
+
+    if rule.kind == "not_null":
+        pred = is_blank(rule.column)
+        observed = F.lit("<blank>")
+
+    elif rule.kind == "format":
+        # Blank-exempt by default: blankness is its own rule family
+        # (reference: CHK_0005 gates on non-blank, dekispart.py:165-201).
+        pattern = p["pattern"]
+        pred = is_present(rule.column) & ~col.cast("string").rlike(pattern)
+
+    elif rule.kind == "forbidden_substring":
+        target = norm_text(rule.column) if p.get("normalize") else col.cast("string")
+        alternation = "|".join(p["any_of"])
+        pred = is_present(rule.column) & target.rlike(alternation)
+
+    elif rule.kind == "value_in_set":
+        allowed = p["allowed"]
+        target = col.cast("string")
+        if not p.get("case_sensitive", True):
+            target = F.lower(target)
+            allowed = [str(v).lower() for v in allowed]
+        pred = is_present(rule.column) & ~target.isin(allowed)
+
+    elif rule.kind == "range":
+        conds = []
+        if "min" in p:
+            conds.append(col < F.lit(p["min"]))
+        if "max" in p:
+            conds.append(col > F.lit(p["max"]))
+        if not conds:
+            raise ValueError(f"range rule {rule.rule_id} needs min and/or max")
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = pred | c
+        if not p.get("null_violates", False):
+            pred = col.isNotNull() & pred
+        else:
+            pred = col.isNull() | pred
+
+    elif rule.kind == "length":
+        ln = F.length(col.cast("string"))
+        conds = []
+        if "exact" in p:
+            conds.append(ln != F.lit(p["exact"]))
+        if "min" in p:
+            conds.append(ln < F.lit(p["min"]))
+        if "max" in p:
+            conds.append(ln > F.lit(p["max"]))
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = pred | c
+        pred = is_present(rule.column) & pred
+
+    elif rule.kind == "cross_column":
+        expr = p["expr"]
+        if "{run_ts}" in expr:
+            if run_ts is None:
+                raise ValueError(f"rule {rule.rule_id} needs run_ts but none was pinned")
+            expr = expr.replace("{run_ts}", f"timestamp'{run_ts}'")
+        pred = F.expr(expr)
+        if "observed_expr" in p:
+            observed = F.expr(p["observed_expr"]).cast("string")
+
+    else:
+        raise ValueError(f"rule kind {rule.kind!r} is not row-local; dispatch to operators")
+
+    if rule.gate:
+        gate = rule.gate
+        if run_ts is not None and "{run_ts}" in gate:
+            gate = gate.replace("{run_ts}", f"timestamp'{run_ts}'")
+        # Violation requires gate TRUE (null gate = not applicable = pass).
+        pred = F.coalesce(F.expr(gate), F.lit(False)) & pred
+
+    return CompiledRule(rule.rule_id, pred, observed, rule.severity)
+
+
+def compile_row_rules(rules: list[Rule], run_ts: str | None = None) -> list[CompiledRule]:
+    return [compile_rule(r, run_ts) for r in rules if r.is_row_local]
+
+
+def apply_row_rules(
+    df: DataFrame,
+    compiled: list[CompiledRule],
+    *,
+    id_col: str = "clip_id",
+    partition_col: str | None = "partition",
+) -> DataFrame:
+    """Evaluate ALL compiled rules in one projection pass.
+
+    Returns the violations DataFrame (rule_id, clip_id, partition, observed).
+    ``id_col``/``partition_col`` are parameterized so the same engine runs on
+    any fact table (the DuckDB oracle harness uses TPC-H tables).
+    """
+    if not compiled:
+        raise ValueError("no compiled rules")
+
+    hit_structs = [
+        F.when(
+            c.predicate,
+            F.struct(
+                F.lit(c.rule_id).alias("rule_id"),
+                c.observed.alias("observed"),
+            ),
+        )
+        for c in compiled
+    ]
+    hits = F.filter(F.array(*hit_structs), lambda x: x.isNotNull())
+
+    part = F.col(partition_col) if partition_col else F.lit(None).cast("string")
+    return (
+        df.select(
+            F.col(id_col).cast("string").alias("clip_id"),
+            part.alias("partition"),
+            F.explode(hits).alias("v"),
+        )
+        .select(
+            F.col("v.rule_id").alias("rule_id"),
+            "clip_id",
+            "partition",
+            F.col("v.observed").alias("observed"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Declarative rule specifications.
+
+The reference keeps rule *metadata* in a JSON catalog keyed by check ID
+(reference: check_definitions.json:2-975, schema documented design.md:102-114)
+but hard-codes rule *logic* as Python closures (reference:
+dekispart.py:1112-1139). This engine unifies both: one JSON-able spec per rule
+carries the metadata AND enough structure for the compiler to produce a
+``pyspark.sql.Column`` predicate. Rules therefore ship as data
+(``--files rules.json``), not code.
+
+Row-local kinds (compiled into the single-pass projection):
+
+- ``not_null``            — blank check (tri-state blank semantics)
+- ``format``              — value must fully match ``pattern`` (blank-exempt)
+- ``forbidden_substring`` — value must not contain/match any of ``any_of``
+- ``value_in_set``        — value must be one of ``allowed`` (blank-exempt)
+- ``range``               — numeric bounds ``min``/``max`` (inclusive)
+- ``length``              — exact/min/max string length
+- ``cross_column``        — arbitrary SQL boolean expr over the row; TRUE =
+                            violation. ``{run_ts}`` expands to the pinned run
+                            timestamp literal (determinism: the reference
+                            calls ``datetime.now()`` per row,
+                            dekispart.py:473; we pin one literal per job).
+
+Set-oriented kinds (dispatched to operators, not the projection):
+
+- ``unique``              — salted two-phase duplicate detection
+- ``referential``         — semi/anti join against a dimension table
+- ``aggregate_unique``    — one violation per duplicate *value* (reference:
+                            dekispart_school.py:204-208)
+- ``drift``               — t-digest distribution drift vs baseline snapshot
+- ``audio_decode``        — decoded-PCM SNR>=30dB allclose (pandas UDF)
+- ``transcript_match``    — byte-equality vs transcript dimension
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+ROW_LOCAL_KINDS = {
+    "not_null",
+    "format",
+    "forbidden_substring",
+    "value_in_set",
+    "range",
+    "length",
+    "cross_column",
+}
+
+SET_KINDS = {
+    "unique",
+    "aggregate_unique",
+    "referential",
+    "drift",
+    "audio_decode",
+    "transcript_match",
+}
+
+
+@dataclass(frozen=True)
+class Rule:
+    rule_id: str
+    kind: str
+    column: str | None = None
+    params: dict[str, Any] = field(default_factory=dict)
+    # SQL boolean expr; rule only applies where gate is TRUE (reference's
+    # "active member" gates, e.g. stdKaiyaku==False, dekispart.py:154).
+    gate: str | None = None
+    severity: str = "error"  # error | warning
+    name: str = ""
+    message: str = ""
+
+    def __post_init__(self) -> None:
+        if self.kind not in ROW_LOCAL_KINDS | SET_KINDS:
+            raise ValueError(f"unknown rule kind: {self.kind!r} ({self.rule_id})")
+
+    @property
+    def is_row_local(self) -> bool:
+        return self.kind in ROW_LOCAL_KINDS
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "rule_id": self.rule_id,
+            "kind": self.kind,
+            "column": self.column,
+            "params": self.params,
+            "gate": self.gate,
+            "severity": self.severity,
+            "name": self.name,
+            "message": self.message,
+        }
+
+
+@dataclass
+class RuleCatalog:
+    rules: list[Rule]
+
+    def __post_init__(self) -> None:
+        seen: set[str] = set()
+        for r in self.rules:
+            if r.rule_id in seen:
+                raise ValueError(f"duplicate rule_id in catalog: {r.rule_id}")
+            seen.add(r.rule_id)
+
+    @property
+    def row_local(self) -> list[Rule]:
+        return [r for r in self.rules if r.is_row_local]
+
+    @property
+    def set_oriented(self) -> list[Rule]:
+        return [r for r in self.rules if not r.is_row_local]
+
+    def __iter__(self):
+        return iter(self.rules)
+
+    def __len__(self) -> int:
+        return len(self.rules)
+
+    def get(self, rule_id: str) -> Rule:
+        for r in self.rules:
+            if r.rule_id == rule_id:
+                return r
+        raise KeyError(rule_id)
+
+    # Message resolution mirrors the reference's user-message override chain
+    # (reference: data_check.py:539-550: user_message > default_message).
+    def message_for(self, rule_id: str) -> str:
+        r = self.get(rule_id)
+        return r.message or r.name or rule_id
+
+    def to_json(self) -> str:
+        return json.dumps([r.to_dict() for r in self.rules], ensure_ascii=False, indent=2)
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(self.to_json())
+
+
+def load_catalog(path_or_list: str | list[dict[str, Any]]) -> RuleCatalog:
+    if isinstance(path_or_list, str):
+        with open(path_or_list, encoding="utf-8") as f:
+            raw = json.load(f)
+    else:
+        raw = path_or_list
+    return RuleCatalog([Rule(**item) for item in raw])

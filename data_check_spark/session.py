@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults follow the public Spark tuning guidance: shuffle
+partitions ~ cores (not 200), AQE on (runtime coalescing + skew-join
+splitting), Arrow on for pandas UDFs, UTC session timezone so results are
+comparable with the DuckDB oracle (DuckDB timestamps are UTC-naive).
+
+At cluster scale the same builder is used by ``spark-submit --py-files``;
+only ``master`` and the memory/shuffle knobs change via ``--conf``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Scale-oriented defaults. On a real 1000-executor cluster the shuffle
+# partition count is sized to ~2-3x total cores via --conf; AQE coalesces
+# down at runtime so over-provisioning is safe, under-provisioning is not.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow batches for pandas UDFs: large enough to amortize transfer,
+    # small enough that a batch of 48kHz/30s PCM clips fits in memory.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "data_check_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the local core count so small-scale
+    runs don't over-parallelize; cluster runs override via --conf.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
+        shuffle_partitions = 32 if inner == "*" else max(int(inner), 4)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if master.startswith("local"):
+        conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
