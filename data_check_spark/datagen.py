@@ -61,6 +61,7 @@ BUCKETS = {
     "bytes_empty": (145, 150),
     "dim_mismatch": (150, 160),  # transcript differs from transcripts dim
     "dim_missing": (160, 170),   # no row in transcripts dim (FK violation)
+    "dur_null": (170, 175),
 }
 
 
@@ -141,6 +142,7 @@ def clips_df(spark: SparkSession, n_rows: int, *, with_bytes: bool = True, bytes
         F.when(_in(v, "dur_zero"), F.lit(0))
         .when(_in(v, "dur_negative"), F.lit(-5))
         .when(_in(v, "dur_huge"), F.lit(4_000_000))
+        .when(_in(v, "dur_null"), F.lit(None).cast("int"))
         .otherwise(drifted)
     ).cast("int")
 

@@ -1,0 +1,85 @@
+"""PCM decode + SNR allclose (graft analog of the reference's arithmetic
+consistency check, innosite.py:263-312) and transcript byte-equality."""
+
+import numpy as np
+
+from data_check_spark.functions.pcm import ref_freq, snr_db, synth_wave
+from data_check_spark.operators.audio import audio_snr_violations, transcript_match_violations
+
+CAP_MS = 100
+
+
+def test_snr_identical_is_inf():
+    w = synth_wave("clip_0123456789abcdef", 16000, 500, CAP_MS)
+    assert snr_db(w, w.copy()) == float("inf")
+
+
+def test_snr_corrupted_below_30db():
+    w = synth_wave("clip_0123456789abcdef", 16000, 500, CAP_MS)
+    rng = np.random.default_rng(7)
+    noisy = np.clip(w.astype(np.int32) + rng.integers(-20000, 20000, len(w)), -32768, 32767).astype(np.int16)
+    assert snr_db(w, noisy) < 30.0
+
+
+def test_snr_small_dither_passes():
+    w = synth_wave("clip_0123456789abcdef", 16000, 500, CAP_MS)
+    dithered = (w + np.resize(np.array([1, -1], dtype=np.int16), len(w))).astype(np.int16)
+    assert snr_db(w, dithered) >= 30.0
+
+
+def test_snr_length_mismatch_is_neg_inf():
+    w = synth_wave("clip_0123456789abcdef", 16000, 500, CAP_MS)
+    assert snr_db(w, w[: len(w) // 2]) == float("-inf")
+
+
+def test_ref_freq_deterministic():
+    assert ref_freq("clip_0123456789abcdef") == ref_freq("clip_0123456789abcdef")
+    assert ref_freq("clip_0123456789abcdef") != ref_freq("clip_fedcba9876543210")
+    assert ref_freq(None) == 440.0
+    assert ref_freq("not hex at all") > 0  # crc32 fallback
+
+
+def _clips(spark):
+    def mk(cid, sr, dur, payload):
+        return (cid, payload, sr, dur, "flac", "t", "p0")
+
+    good = synth_wave("clip_00000000000000aa", 16000, 500, CAP_MS)
+    rng = np.random.default_rng(3)
+    bad = np.clip(good.astype(np.int32) + rng.integers(-25000, 25000, len(good)), -32768, 32767).astype(np.int16)
+    rows = [
+        mk("clip_00000000000000aa", 16000, 500, bytearray(good.tobytes())),
+        mk("clip_00000000000000bb", 16000, 500, bytearray(bad.tobytes())),      # corrupted
+        mk("clip_00000000000000cc", 16000, 500, bytearray(good.tobytes()[:100])),  # truncated
+        mk("clip_00000000000000dd", 16000, 500, bytearray(b"")),                # empty
+        mk("clip_00000000000000ee", 16000, 500, None),                          # null payload
+    ]
+    return spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string, partition string",
+    )
+
+
+def test_audio_snr_violations(spark):
+    # clip bb's payload was synthesized for clip aa → SNR fails for bb.
+    out = audio_snr_violations(_clips(spark), "SNR", cap_ms=CAP_MS).collect()
+    got = {r["clip_id"] for r in out}
+    assert got == {
+        "clip_00000000000000bb",
+        "clip_00000000000000cc",
+        "clip_00000000000000dd",
+        "clip_00000000000000ee",
+    }
+
+
+def test_transcript_match(spark):
+    clips = spark.createDataFrame(
+        [("a", "こんにちは", "p0"), ("b", "hello", "p0"), ("c", "x", "p0")],
+        "clip_id string, transcript string, partition string",
+    )
+    dim = spark.createDataFrame(
+        [("a", "こんにちは"), ("b", "HELLO"), ("zz", "orphan text")],
+        "clip_id string, transcript_ref string",
+    )
+    out = transcript_match_violations(clips, dim, "TM").collect()
+    # only b mismatches; c has no dim row (referential rule's job, not this one)
+    assert {r["clip_id"] for r in out} == {"b"}

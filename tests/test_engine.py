@@ -1,0 +1,121 @@
+"""Integration: full catalog over a small planted table → expected violation
+ID sets (reference analog: tests/test_dekispart.py:86-162 asserts a check-ID
+subset on a seeded fixture), plus checkpoint/resume and summary shape."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_check_spark.datagen import (
+    DRIFT_PARTITIONS,
+    HOT_DUP_CLIP_ID,
+    HOT_PARTITION,
+    clips_df,
+    codec_whitelist_df,
+    transcripts_df,
+)
+from data_check_spark.engine import run_validation
+from data_check_spark.operators.drift import make_baseline
+from data_check_spark.rules.catalog_audio import audio_catalog
+from data_check_spark.rules.spec import Rule, RuleCatalog
+
+N = 12_000
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    clips = clips_df(spark, N, with_bytes=True)
+    tr = transcripts_df(spark, N)
+    clean = clips.filter(~F.col("partition").isin(*sorted(DRIFT_PARTITIONS)))
+    baseline = make_baseline(spark, clean, ["dur_ms", "sr_hz"])
+    res = run_validation(spark, clips, {"transcripts": tr, "baseline_stats": baseline})
+    res.violations = res.violations.cache()
+    return res
+
+
+def test_all_rule_families_fire(result):
+    fired = {r["rule_id"] for r in result.violations.select("rule_id").distinct().collect()}
+    expected = {r.rule_id for r in audio_catalog()} - {"SR_NOT_NULL", "DRIFT_SR_HZ"}
+    # SR_NOT_NULL does fire (planted); DRIFT_SR_HZ may or may not (no planted sr shift)
+    assert expected <= fired | {"DRIFT_SR_HZ"}
+    assert "SR_NOT_NULL" in fired
+
+
+def test_drift_flags_exactly_planted_partitions(result):
+    flagged = {
+        r["partition"]
+        for r in result.violations.filter(F.col("rule_id") == "DRIFT_DUR_MS").collect()
+    }
+    assert flagged == DRIFT_PARTITIONS
+
+
+def test_sr_drift_only_on_global_fallback_partitions(result):
+    flagged = {
+        r["partition"]
+        for r in result.violations.filter(F.col("rule_id") == "DRIFT_SR_HZ").collect()
+    }
+    # sr_hz has no planted shift: any flag is quantile jitter on a partition
+    # lacking its own baseline (only drift partitions lack one)
+    assert flagged <= DRIFT_PARTITIONS
+
+
+def test_hot_dup_key_detected(result):
+    dups = result.violations.filter(
+        (F.col("rule_id") == "CLIP_ID_UNIQUE") & (F.col("clip_id") == HOT_DUP_CLIP_ID)
+    )
+    assert dups.count() > 1
+
+
+def test_verdicts_consistent(result):
+    v = result.verdicts
+    total_rows = v.agg(F.sum("rows_scanned")).collect()[0][0]
+    assert total_rows == N
+    failed = v.filter(~F.col("passed"))
+    assert failed.count() > 0
+    # hot partition exists and is ~20x+ the median
+    hot = v.filter(F.col("partition") == HOT_PARTITION).collect()[0]
+    med = sorted(r["rows_scanned"] for r in v.collect())[len(v.collect()) // 2]
+    assert hot["rows_scanned"] > 10 * med
+    # row-grain violation counts reconcile
+    per_part = {
+        r["partition"]: r["n"]
+        for r in result.violations.filter(F.col("partition").isNotNull())
+        .groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in v.collect():
+        assert r["violations"] == per_part.get(r["partition"], 0)
+
+
+def test_summary_shape(result):
+    s = result.summary()
+    assert s["total"] == sum(s["per_rule"].values())
+    assert len(s["top5"]) == 5
+    assert s["top5"][0] == max(s["per_rule"], key=lambda k: (s["per_rule"][k], k))
+
+
+def test_schema_validated(result):
+    assert result.schema_problems == []
+
+
+def test_checkpoint_resume(spark):
+    clips = clips_df(spark, 2000, with_bytes=False)
+    cat = RuleCatalog([Rule("R1", "not_null", "transcript")])
+    ckdir = tempfile.mkdtemp()
+    try:
+        r1 = run_validation(spark, clips, {}, cat, checkpoint_dir=ckdir)
+        assert r1.rows_scanned == 2000
+        r2 = run_validation(spark, clips, {}, cat, checkpoint_dir=ckdir, resume=True)
+        assert r2.rows_scanned == 0  # everything pruned by partition
+        assert r2.verdicts.count() == 0
+    finally:
+        shutil.rmtree(ckdir)
+
+
+def test_codec_whitelist_dim_consistent(spark):
+    wl = codec_whitelist_df(spark)
+    allowed = {r["codec"] for r in wl.filter("allowed").collect()}
+    from data_check_spark.datagen import CODECS
+
+    assert allowed == set(CODECS)

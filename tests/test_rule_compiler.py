@@ -1,0 +1,166 @@
+"""Per-rule unit tests with inline row fixtures.
+
+Mirrors the reference's test strategy: a parameter table of
+(input, expect_violation, note) per rule, with mandatory NULL/NaN/""/
+whitespace/full-width rows (reference: tests/test_chk_0005.py:8-23,
+tests/test_chk_0008.py:11-20)."""
+
+import pytest
+
+from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+from data_check_spark.rules.spec import Rule
+
+
+def _violations(spark, rows, rules, run_ts=None):
+    df = spark.createDataFrame(rows, "clip_id string, val string, num int, partition string")
+    compiled = compile_row_rules(rules, run_ts)
+    out = apply_row_rules(df, compiled)
+    return {(r["rule_id"], r["clip_id"]) for r in out.collect()}
+
+
+NOT_NULL_CASES = [
+    ("a", None, True, "NULL violates"),
+    ("b", "", True, "empty violates"),
+    ("c", "   ", True, "whitespace violates"),
+    ("d", "　　", True, "full-width space violates"),
+    ("e", " \t\r\n ", True, "mixed whitespace violates"),
+    ("f", "x", False, "value passes"),
+    ("g", " x ", False, "padded value passes"),
+    ("h", "０", False, "full-width zero is a value"),
+]
+
+
+def test_not_null(spark):
+    rows = [(cid, v, 0, "p0") for cid, v, _, _ in NOT_NULL_CASES]
+    got = _violations(spark, rows, [Rule("R", "not_null", "val")])
+    want = {("R", cid) for cid, _, exp, _ in NOT_NULL_CASES if exp}
+    assert got == want
+
+
+FORMAT_CASES = [
+    ("a", "clip_0123456789abcdef", False, "canonical"),
+    ("b", "clip_0123456789ABCDEF", True, "uppercase hex"),
+    ("c", "clip_0123", True, "too short"),
+    ("d", "0123456789abcdef", True, "missing prefix"),
+    ("e", None, False, "blank-exempt"),
+    ("f", "", False, "blank-exempt"),
+    ("g", "clip_0123456789abcdef ", True, "trailing space"),
+]
+
+
+def test_format(spark):
+    rows = [(cid, v, 0, "p0") for cid, v, _, _ in FORMAT_CASES]
+    got = _violations(spark, rows, [Rule("R", "format", "val", {"pattern": r"^clip_[0-9a-f]{16}$"})])
+    want = {("R", cid) for cid, _, exp, _ in FORMAT_CASES if exp}
+    assert got == want
+
+
+def test_forbidden_substring(spark):
+    # analog of the reference's marker-symbol checks (constants.py:138-151)
+    cases = [
+        ("a", "★重要", True), ("b", "normal", False), ("c", "×印", True),
+        ("d", None, False), ("e", "", False), ("f", "中に×あり", True),
+    ]
+    rows = [(cid, v, 0, "p0") for cid, v, _ in cases]
+    got = _violations(spark, rows, [Rule("R", "forbidden_substring", "val", {"any_of": ["★", "×"]})])
+    assert got == {("R", cid) for cid, _, exp in cases if exp}
+
+
+def test_forbidden_substring_normalized(spark):
+    # width/case normalization (reference: cloud.py:601-612 lower+strip spaces)
+    cases = [("a", "NP 不可", True), ("b", "np不可", True), ("c", "OK", False)]
+    rows = [(cid, v, 0, "p0") for cid, v, _ in cases]
+    got = _violations(
+        spark, rows,
+        [Rule("R", "forbidden_substring", "val", {"any_of": ["np不可"], "normalize": True})],
+    )
+    assert got == {("R", cid) for cid, _, exp in cases if exp}
+
+
+def test_value_in_set(spark):
+    cases = [("a", "flac", False), ("b", "FLAC", True), ("c", "wav?", True), ("d", None, False), ("e", "", False)]
+    rows = [(cid, v, 0, "p0") for cid, v, _ in cases]
+    got = _violations(spark, rows, [Rule("R", "value_in_set", "val", {"allowed": ["flac", "opus"]})])
+    assert got == {("R", cid) for cid, _, exp in cases if exp}
+
+
+def test_value_in_set_case_insensitive(spark):
+    rows = [("a", "FLAC", 0, "p0"), ("b", "xyz", 0, "p0")]
+    got = _violations(
+        spark, rows,
+        [Rule("R", "value_in_set", "val", {"allowed": ["flac"], "case_sensitive": False})],
+    )
+    assert got == {("R", "b")}
+
+
+def test_range(spark):
+    cases = [("a", 0, True), ("b", 1, False), ("c", 3_600_000, False), ("d", 3_600_001, True), ("e", None, False), ("f", -5, True)]
+    rows = [(cid, "x", n, "p0") for cid, n, _ in cases]
+    got = _violations(spark, rows, [Rule("R", "range", "num", {"min": 1, "max": 3_600_000})])
+    assert got == {("R", cid) for cid, n, exp in cases if exp}
+
+
+def test_range_null_violates(spark):
+    rows = [("a", "x", None, "p0"), ("b", "x", 5, "p0")]
+    got = _violations(spark, rows, [Rule("R", "range", "num", {"min": 1, "null_violates": True})])
+    assert got == {("R", "a")}
+
+
+def test_length(spark):
+    cases = [("a", "12345678", False), ("b", "1234", True), ("c", "123456789", True), ("d", None, False)]
+    rows = [(cid, v, 0, "p0") for cid, v, _ in cases]
+    got = _violations(spark, rows, [Rule("R", "length", "val", {"exact": 8})])
+    assert got == {("R", cid) for cid, _, exp in cases if exp}
+
+
+def test_cross_column_xor(spark):
+    # XOR family: flag set iff prefix matches (reference: CHK_0001 dekispart.py:123-130)
+    cases = [
+        ("012abc", "LAN", False), ("999abc", "LAN", True),
+        ("012abc", "OTHER", True), ("999abc", "OTHER", False),
+    ]
+    rows = [(cid, v, 0, "p0") for cid, v, _ in cases]
+    rule = Rule("R", "cross_column", None,
+                {"expr": "(val = 'LAN') != startswith(clip_id, '012')"})
+    got = _violations(spark, rows, [rule])
+    assert got == {("R", cid) for cid, _, exp in cases if exp}
+
+
+def test_cross_column_run_ts(spark):
+    rows = [("a", "2030-01-01", 0, "p0"), ("b", "2000-01-01", 0, "p0"), ("c", None, 0, "p0")]
+    rule = Rule("R", "cross_column", None,
+                {"expr": "val IS NOT NULL AND to_timestamp(val) > {run_ts}"})
+    got = _violations(spark, rows, [rule], run_ts="2026-08-16 00:00:00")
+    assert got == {("R", "a")}
+
+
+def test_run_ts_required(spark):
+    rule = Rule("R", "cross_column", None, {"expr": "val > {run_ts}"})
+    with pytest.raises(ValueError, match="run_ts"):
+        compile_row_rules([rule], None)
+
+
+def test_gate(spark):
+    # gate=False/NULL rows never violate even if the predicate holds
+    cases = [("a", None, 1, True), ("b", None, 0, False), ("c", None, None, False), ("d", "x", 1, False)]
+    rows = [(cid, v, g, "p0") for cid, v, g, _ in cases]
+    got = _violations(spark, rows, [Rule("R", "not_null", "val", gate="num = 1")])
+    assert got == {("R", cid) for cid, _, _, exp in cases if exp}
+
+
+def test_single_pass_multi_rule(spark):
+    # one row can emit several rule hits from the same scan
+    rows = [("a", None, -1, "p0")]
+    got = _violations(spark, rows, [
+        Rule("R1", "not_null", "val"),
+        Rule("R2", "range", "num", {"min": 0}),
+    ])
+    assert got == {("R1", "a"), ("R2", "a")}
+
+
+def test_observed_column(spark):
+    df = spark.createDataFrame([("a", "badval", 0, "p0")], "clip_id string, val string, num int, partition string")
+    out = apply_row_rules(df, compile_row_rules([Rule("R", "value_in_set", "val", {"allowed": ["good"]})]))
+    row = out.collect()[0]
+    assert row["observed"] == "badval"
+    assert row["partition"] == "p0"
