@@ -1,0 +1,428 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Every entry exercises one operator family from SURVEY.md §2 (rule compiler,
+salted uniqueness, referential joins, summary aggregation, window dedup,
+broadcast-join enrichment, …) against the driver-generated TPC-H-ish parquet
+tables, paired with ANSI SQL the DuckDB oracle runs on the same files.
+
+Portability rules for oracle-checked outputs (the driver hash-compares
+values column-by-column after sorting by column name):
+- doubles that go through aggregation are summed as ``decimal(18,2)`` (exact,
+  order-insensitive) and cast back to double at the end;
+- doubles rendered as strings use ``format_string('%.2f', …)`` ↔ DuckDB
+  ``printf('%.2f', …)`` (identical C formatting, avoiding Java's
+  non-shortest ``Double.toString``);
+- timestamps are rendered with explicit patterns on both sides.
+
+Audio-clip queries (synthetic table per BASELINE.json input_hint) have no
+DuckDB view, so they are registered without an oracle → the driver records
+the weaker rows-only check for exactly those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_check_spark.operators.referential import (
+    orphan_violations,
+    semi_anti_violations,
+    semi_join_violations,
+)
+from data_check_spark.operators.uniqueness import (
+    aggregate_unique_violations,
+    unique_violations,
+)
+from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+from data_check_spark.rules.spec import Rule
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str) -> F.Column:
+    """Exact, order-insensitive sum input: double → decimal(18,2)."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# 1. Row-local rule pack over `orders` — the single-pass rule compiler
+#    (SURVEY.md §2.4 families: not-null / value-in-set / format regex /
+#    range / date-sanity cross-column), all evaluated in ONE scan.
+# ---------------------------------------------------------------------------
+
+_RUN_TS = "2001-06-01 00:00:00"  # pinned run timestamp (SURVEY §7 determinism)
+
+ORDERS_RULES = [
+    Rule("O_CUSTKEY_NOT_NULL", "not_null", "o_custkey",
+         name="orders must reference a customer"),
+    Rule("O_STATUS_SET", "value_in_set", "o_orderstatus",
+         {"allowed": ["O", "F", "P"]},
+         name="order status must be a known code"),
+    Rule("O_PRIORITY_FORMAT", "format", "o_orderpriority",
+         {"pattern": r"^[1-5]-[A-Z ]+$"},
+         name="priority must look like <digit>-<LABEL>"),
+    Rule("O_TOTALPRICE_RANGE", "range", "o_totalprice",
+         {"min": 0.0, "max": 400000.0,
+          "observed_expr": "format_string('%.2f', o_totalprice)"},
+         name="total price must be within the sane range"),
+    Rule("O_DATE_SANITY", "cross_column", None,
+         {"expr": "o_orderdate > {run_ts}",
+          "observed_expr": "date_format(o_orderdate, 'yyyy-MM-dd')"},
+         name="order date must not be after the pinned run timestamp"),
+]
+
+_ORDERS_RULES_SQL = f"""
+SELECT 'O_CUSTKEY_NOT_NULL' AS rule_id, cast(o_orderkey AS varchar) AS clip_id,
+       o_orderstatus AS "partition", '<blank>' AS observed
+FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'O_STATUS_SET', cast(o_orderkey AS varchar), o_orderstatus, o_orderstatus
+FROM orders
+WHERE o_orderstatus IS NOT NULL AND trim(o_orderstatus) <> ''
+  AND o_orderstatus NOT IN ('O', 'F', 'P')
+UNION ALL
+SELECT 'O_PRIORITY_FORMAT', cast(o_orderkey AS varchar), o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> ''
+  AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+UNION ALL
+SELECT 'O_TOTALPRICE_RANGE', cast(o_orderkey AS varchar), o_orderstatus,
+       printf('%.2f', o_totalprice)
+FROM orders
+WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+UNION ALL
+SELECT 'O_DATE_SANITY', cast(o_orderkey AS varchar), o_orderstatus,
+       strftime(o_orderdate, '%Y-%m-%d')
+FROM orders WHERE o_orderdate > timestamp '{_RUN_TS}'
+"""
+
+
+@register("row_rules_orders", _ORDERS_RULES_SQL)
+def row_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    compiled = compile_row_rules(ORDERS_RULES, run_ts=_RUN_TS)
+    return apply_row_rules(orders, compiled, id_col="o_orderkey", partition_col="o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# 2. Uniqueness — salted two-phase dedup, both variants
+#    (reference: CHK_0008 dekispart.py:234-245; dekispart_school.py:204-208)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_values_lineitem",
+    """
+    SELECT 'L_ORDERKEY_DUP' AS rule_id, cast(l_orderkey AS varchar) AS clip_id,
+           cast(NULL AS varchar) AS "partition",
+           'dup_count=' || cast(count(*) AS varchar) AS observed
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+)
+def dup_values_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-level uniqueness: one violation per duplicated VALUE."""
+    return aggregate_unique_violations(_t(spark, sf_dir, "lineitem"), "L_ORDERKEY_DUP", "l_orderkey")
+
+
+@register(
+    "dup_rows_orders",
+    """
+    WITH d AS (
+        SELECT o_custkey, count(*) AS c FROM orders
+        WHERE o_custkey IS NOT NULL GROUP BY o_custkey HAVING count(*) > 1
+    )
+    SELECT 'O_CUSTKEY_SHARED' AS rule_id, cast(o.o_orderkey AS varchar) AS clip_id,
+           o.o_orderstatus AS "partition",
+           'dup_count=' || cast(d.c AS varchar) AS observed
+    FROM orders o JOIN d ON o.o_custkey = d.o_custkey
+    """,
+)
+def dup_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level uniqueness: one violation per ROW carrying a duplicated key."""
+    return unique_violations(
+        _t(spark, sf_dir, "orders"), "O_CUSTKEY_SHARED", "o_custkey",
+        id_col="o_orderkey", partition_col="o_orderstatus",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Referential — orphan / semi / semi∘anti compositions
+#    (reference: CHK_0032/0033/0060 dekispart.py:494-510, 968-988)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orphan_parts",
+    """
+    SELECT 'PART_NEVER_ORDERED' AS rule_id, cast(p_partkey AS varchar) AS clip_id,
+           cast(NULL AS varchar) AS "partition", 'orphan' AS observed
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def orphan_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension rows referenced by no fact row (reverse-FK direction)."""
+    return orphan_violations(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        "PART_NEVER_ORDERED", fact_key="l_partkey", dim_key="p_partkey",
+    )
+
+
+@register(
+    "semi_negative_balance_orders",
+    """
+    SELECT 'O_CUST_NEG_BALANCE' AS rule_id, cast(o_orderkey AS varchar) AS clip_id,
+           o_orderstatus AS "partition", cast(o_custkey AS varchar) AS observed
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL
+      AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def semi_negative_balance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-in-forbidden-set via broadcast semi-join, with a gate."""
+    return semi_join_violations(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0),
+        "O_CUST_NEG_BALANCE",
+        fact_key="o_custkey", dim_key="c_custkey",
+        id_col="o_orderkey", partition_col="o_orderstatus",
+        gate=F.col("o_orderstatus") == "O",
+    )
+
+
+@register(
+    "semi_anti_customers",
+    """
+    SELECT 'CUST_NO_FINISHED_ORDER' AS rule_id, cast(c_custkey AS varchar) AS clip_id,
+           c_mktsegment AS "partition", cast(c_custkey AS varchar) AS observed
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
+    """,
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key ∈ A and key ∉ B (the reference's CHK_0060 cross-source shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    return semi_anti_violations(
+        _t(spark, sf_dir, "customer"),
+        orders,
+        orders.filter(F.col("o_orderstatus") == "F"),
+        "CUST_NO_FINISHED_ORDER",
+        fact_key="c_custkey", dim_in_key="o_custkey", dim_not_in_key="o_custkey",
+        id_col="c_custkey", partition_col="c_mktsegment",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Summary aggregation + verdicts (reference: data_check.py:1186-1215;
+#    north_rule per-partition pass/fail)
+# ---------------------------------------------------------------------------
+
+@register(
+    "summary_rules_orders",
+    f"WITH v AS ({_ORDERS_RULES_SQL}) "
+    "SELECT rule_id, count(*) AS n FROM v GROUP BY rule_id",
+)
+def summary_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = row_rules_orders(spark, sf_dir)
+    return v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "top5_rules_orders",
+    f"WITH v AS ({_ORDERS_RULES_SQL}) "
+    "SELECT rule_id, count(*) AS n FROM v GROUP BY rule_id "
+    "ORDER BY n DESC, rule_id LIMIT 5",
+)
+def top5_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = row_rules_orders(spark, sf_dir)
+    return (
+        v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("rule_id")).limit(5)
+    )
+
+
+@register(
+    "verdicts_orders",
+    f"""
+    WITH v AS ({_ORDERS_RULES_SQL}),
+    r AS (SELECT o_orderstatus AS p, count(*) AS rows_scanned FROM orders GROUP BY 1),
+    vc AS (SELECT "partition" AS p, count(*) AS n FROM v GROUP BY 1)
+    SELECT r.p AS "partition", coalesce(vc.n, 0) = 0 AS passed,
+           r.rows_scanned AS rows_scanned, coalesce(vc.n, 0) AS violations
+    FROM r LEFT JOIN vc ON r.p = vc.p
+    """,
+)
+def verdicts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition pass/fail verdict join (engine.run_validation shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    v = row_rules_orders(spark, sf_dir)
+    rows = orders.groupBy(F.col("o_orderstatus").alias("partition")).agg(
+        F.count(F.lit(1)).alias("rows_scanned")
+    )
+    vc = v.groupBy("partition").agg(F.count(F.lit(1)).alias("violations"))
+    return rows.join(vc, "partition", "left").select(
+        "partition",
+        (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("passed"),
+        "rows_scanned",
+        F.coalesce(F.col("violations"), F.lit(0)).alias("violations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Analytics coverage: aggregation, broadcast-join enrichment, window
+#    dedup-first-wins, filter+sort+top-k (reference: data_check.py:1112-1215)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))
+                    * cast(1 - l_discount AS decimal(18,2))) AS double)
+               AS sum_disc_price,
+           cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * F.expr("cast(1 - l_discount as decimal(18,2))"))
+            .cast("double").alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r.r_name,
+           cast(sum(cast(l.l_extendedprice AS decimal(18,2))
+                    * cast(1 - l.l_discount AS decimal(18,2))) AS double) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup: big fact ⋈ broadcast dims (explicitly marked)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * F.expr("cast(1 - l_discount as decimal(18,2))"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-first-wins via window row_number (reference: drop_duplicates
+    first-wins, dekispart.py:806-809)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        )
+    )
+
+
+@register(
+    "events_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n,
+           cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "topk_open_orders",
+    """
+    SELECT o_orderkey, o_custkey, printf('%.2f', o_totalprice) AS price
+    FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def topk_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + deterministic two-key sort + top-k (reference:
+    data_check.py:1139-1165 numeric-coercion sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.format_string("%.2f", F.col("o_totalprice")).alias("price"),
+        )
+    )

@@ -104,11 +104,14 @@ def compile_rule(rule: Rule, run_ts: str | None = None) -> CompiledRule:
                 raise ValueError(f"rule {rule.rule_id} needs run_ts but none was pinned")
             expr = expr.replace("{run_ts}", f"timestamp'{run_ts}'")
         pred = F.expr(expr)
-        if "observed_expr" in p:
-            observed = F.expr(p["observed_expr"]).cast("string")
 
     else:
         raise ValueError(f"rule kind {rule.kind!r} is not row-local; dispatch to operators")
+
+    # Any rule kind may override the observed detail (e.g. fixed-point
+    # formatting of doubles so observed strings are engine-portable).
+    if "observed_expr" in p:
+        observed = F.expr(p["observed_expr"]).cast("string")
 
     if rule.gate:
         gate = rule.gate

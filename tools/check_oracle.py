@@ -1,0 +1,87 @@
+"""Local stand-in for the driver's DuckDB oracle harness.
+
+Runs every ``queries()`` entry at sf0.01 (or --sf-dir) and compares
+row-count + sorted-by-column-name values against ``oracle_sql()`` via
+DuckDB. Usage:  python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+def main():
+    import __spark_entry__ as entry_mod
+    from data_check_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    sf_dir = "/root/testdata/sf0.01"
+    spark = get_spark("oracle_check", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"{name:34s} rows-only  spark={len(srows)}")
+            continue
+        ocols = [d[0] for d in con.execute(oracles[name]).description]
+        orows = con.execute(oracles[name]).fetchall()
+        sc, sr = norm_rows(scols, [tuple(r) for r in srows])
+        oc, orr = norm_rows(ocols, orows)
+        status = "OK"
+        if sc != oc:
+            status = f"SCHEMA MISMATCH spark={sc} oracle={oc}"
+        elif len(sr) != len(orr):
+            status = f"ROWCOUNT spark={len(sr)} oracle={len(orr)}"
+        elif sr != orr:
+            diff = next((i, a, b) for i, (a, b) in enumerate(zip(sr, orr)) if a != b)
+            status = f"VALUES differ at sorted row {diff[0]}:\n  spark : {diff[1]}\n  oracle: {diff[2]}"
+        print(f"{name:34s} {'OK' if status == 'OK' else 'FAIL'}  rows={len(sr)}")
+        if status != "OK":
+            failures.append((name, status))
+            print("   " + status)
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES")
+        sys.exit(1)
+    print("\nall queries match")
+
+
+if __name__ == "__main__":
+    main()
