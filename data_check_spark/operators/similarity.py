@@ -1,0 +1,157 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``      — exact brute-force top-k: broadcast the (small) query
+  set against the full corpus; dot/norms via JVM higher-order functions
+  (``zip_with`` + ``aggregate``), rank via window. The correctness baseline.
+- ``lsh_ann_topk``     — the scale path: random-hyperplane LSH. Plane
+  weights are pseudo-random but fully deterministic JVM expressions
+  (``xxhash64(plane, dim)``), signatures are n-bit ints, candidates come
+  from signature-bucket joins (optionally multi-probe over 1-bit flips),
+  exact cosine re-ranks only the candidates. At 10^12 rows the bucket join
+  shuffles ids+signatures, never the vectors; vectors are re-read only for
+  the candidate set.
+- ``embedding_norms``  — sanity projection (also an oracle-checkable query).
+
+All math accumulates in float64 (embeddings cast up first) so results are
+portable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_PLANES = 16
+MULTIPROBE_FLIPS = 4  # probe the exact bucket + the N 1-bit-flip buckets
+
+
+def _vec_d(col) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def embedding_norms(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    v = _vec_d(vec_col)
+    return df.select(
+        F.col(id_col),
+        F.size(vec_col).alias("dim"),
+        F.format_string("%.4f", _norm(v)).alias("l2_norm"),
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query (query set broadcast; self-matches
+    by id are excluded). Returns (q_id, rank, vec_id, cosine)."""
+    q = F.broadcast(queries.select(F.col(q_id_col).alias("_qid"), _vec_d(q_vec_col).alias("_qv")))
+    v = vectors.select(F.col(id_col).alias("_vid"), _vec_d(vec_col).alias("_vv"))
+    sim = _dot(F.col("_qv"), F.col("_vv")) / (_norm(F.col("_qv")) * _norm(F.col("_vv")))
+    scored = (
+        v.join(q, F.col("_vid") != F.col("_qid"))
+        .select("_qid", "_vid", sim.alias("_sim"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("q_id"),
+            "rank",
+            F.col("_vid").alias("vec_id"),
+            F.format_string("%.4f", F.col("_sim")).alias("cosine"),
+        )
+    )
+
+
+def _plane_weight(plane: Column, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1)."""
+    return (F.pmod(F.xxhash64(plane, dim_idx, F.lit("plane")), F.lit(2000)) - 1000) / 1000.0
+
+
+def lsh_signature(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """n-bit random-hyperplane signature as an int column."""
+    def _weigh(plane: int):
+        return lambda x, i: x * _plane_weight(F.lit(plane), i)
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _weigh(p)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    n_planes: int = N_PLANES,
+    multiprobe: int = MULTIPROBE_FLIPS,
+) -> DataFrame:
+    """Approximate top-k: LSH bucket candidates → exact cosine re-rank.
+
+    Recall/latency dial: ``n_planes`` (bucket granularity) and ``multiprobe``
+    (how many 1-bit-flip buckets each query also probes)."""
+    v = vectors.select(F.col(id_col).alias("_vid"), _vec_d(vec_col).alias("_vv"))
+    v_sig = v.withColumn("_sig", lsh_signature(F.col("_vv"), n_planes))
+    q = queries.select(F.col(q_id_col).alias("_qid"), _vec_d(q_vec_col).alias("_qv"))
+    q_sig = q.withColumn("_sig", lsh_signature(F.col("_qv"), n_planes))
+    probes = q_sig.select(
+        "_qid", "_qv",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.col("_sig"),
+                    *[
+                        F.col("_sig").bitwiseXOR(F.lit(1 << p).cast("long"))
+                        for p in range(multiprobe)
+                    ],
+                )
+            )
+        ).alias("_sig"),
+    ) if multiprobe > 0 else q_sig.select("_qid", "_qv", "_sig")
+
+    cand = (
+        v_sig.join(F.broadcast(probes), "_sig")
+        .filter(F.col("_vid") != F.col("_qid"))
+        .dropDuplicates(["_qid", "_vid"])
+    )
+    sim = _dot(F.col("_qv"), F.col("_vv")) / (_norm(F.col("_qv")) * _norm(F.col("_vv")))
+    w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_vid"))
+    return (
+        cand.select("_qid", "_vid", sim.alias("_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("q_id"),
+            "rank",
+            F.col("_vid").alias("vec_id"),
+            F.format_string("%.4f", F.col("_sim")).alias("cosine"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs anywhere in this module. Each operator
+returns a DataFrame keyed by ``doc_id`` so results join back to the corpus.
+
+Operators:
+- ``token_stats``      — token/char counts, avg token length, punct counts
+- ``quality_score``    — composite heuristic quality signal
+- ``lang_id``          — marker-word language heuristic (deterministic argmax)
+- ``fingerprints``     — md5 content fingerprint (portable across engines)
+
+Scale notes: everything here is a narrow projection (no shuffle); the only
+wide operator is the dedup-by-fingerprint aggregation in dedup.py. Column
+pruning reaches the parquet scan because inputs are plain column refs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Priority order for argmax tie-breaks (first wins on equal scores).
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "to", "in"]),
+    ("de", ["der", "die", "und", "das", "nicht"]),
+    ("es", ["el", "la", "de", "que", "los"]),
+    ("fr", ["le", "les", "des", "est", "une"]),
+    ("zh", ["的", "是", "不", "我", "在"]),
+]
+
+
+def _tokens(text_col: str) -> Column:
+    """Whitespace tokenization of trimmed text (empty text → empty array)."""
+    t = F.trim(F.col(text_col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_calc"),
+        F.when(n_tokens > 0, (n_chars.cast("double") / n_tokens)).otherwise(F.lit(0.0)).alias(
+            "chars_per_token"
+        ),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.length(F.col(text_col)) - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))).alias(
+            "n_punct"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality in [0,1]: length band, type/token ratio, punct density.
+
+    Integer-count inputs → double arithmetic identical across engines.
+    """
+    stats = token_stats(df, id_col=id_col, text_col=text_col)
+    nt = F.col("n_tokens").cast("double")
+    length_component = F.least(nt / F.lit(64.0), F.lit(1.0))
+    ttr = F.when(
+        F.col("n_tokens") > 0, F.col("n_distinct_tokens").cast("double") / nt
+    ).otherwise(F.lit(0.0))
+    punct_density = F.when(
+        F.col("n_chars_calc") > 0,
+        F.col("n_punct").cast("double") / F.col("n_chars_calc").cast("double"),
+    ).otherwise(F.lit(0.0))
+    punct_component = F.lit(1.0) - F.least(punct_density * F.lit(10.0), F.lit(1.0))
+    score = length_component * F.lit(0.4) + ttr * F.lit(0.4) + punct_component * F.lit(0.2)
+    # Integer quantization (1e-4 grain) instead of decimal formatting:
+    # identical input doubles → identical ints on every engine, no
+    # representation-boundary rounding ambiguity.
+    return stats.select(
+        id_col, "n_tokens", "n_distinct_tokens",
+        F.floor(score * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("quality_q4"),
+    )
+
+
+def _marker_score(text_col: str, words: list[str]) -> Column:
+    """Count of marker-word occurrences (ASCII \\b word bounds; CJK plain)."""
+    total = F.lit(0)
+    for w in words:
+        if any(ord(c) > 0x2E7F for c in w):  # CJK marker — no word boundaries
+            pat = w
+        else:
+            pat = rf"\b{w}\b"
+        total = total + F.regexp_count(F.col(text_col), F.lit(pat))
+    return total
+
+
+def lang_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID; equal scores resolve in LANG_MARKERS order."""
+    scored = df.select(
+        F.col(id_col),
+        *[_marker_score(text_col, words).alias(f"s_{lang}") for lang, words in LANG_MARKERS],
+    )
+    # when-chain in priority order, first-wins on ties: lang i beats
+    # earlier langs strictly and later langs non-strictly.
+    chain = None
+    for i, (lang, _) in enumerate(LANG_MARKERS[:-1]):
+        cond = None
+        for j, (other, _) in enumerate(LANG_MARKERS):
+            if i == j:
+                continue
+            c = (
+                F.col(f"s_{lang}") >= F.col(f"s_{other}")
+                if j > i
+                else F.col(f"s_{lang}") > F.col(f"s_{other}")
+            )
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    chain = chain.otherwise(F.lit(LANG_MARKERS[-1][0]))
+    return scored.select(
+        id_col, *[f"s_{lang}" for lang, _ in LANG_MARKERS], chain.alias("predicted_lang")
+    )
+
+
+def fingerprints(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Engine-portable content fingerprint (md5 of UTF-8 text)."""
+    return df.select(
+        F.col(id_col), F.md5(F.encode(F.col(text_col), "UTF-8")).alias("fingerprint")
+    )

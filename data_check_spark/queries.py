@@ -426,3 +426,220 @@ def topk_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string("%.2f", F.col("o_totalprice")).alias("price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Training-data pipeline ops over `documents` / `embeddings`
+#    (dedup, text analysis, similarity search — first-class engine surface)
+# ---------------------------------------------------------------------------
+
+from data_check_spark.operators import dedup as _dedup  # noqa: E402
+from data_check_spark.operators import similarity as _sim  # noqa: E402
+from data_check_spark.operators import text as _text  # noqa: E402
+
+
+@register(
+    "doc_fingerprints",
+    "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_stats_documents",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           length(text) AS n_chars_calc,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END
+               AS n_distinct_tokens,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+    FROM documents
+    """,
+)
+def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.token_stats(_t(spark, sf_dir, "documents")).drop("chars_per_token")
+
+
+def _quality_sql() -> str:
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END AS n_tokens,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(list_distinct({toks})) END AS n_distinct_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           cast(floor((
+             least(cast(n_tokens AS double) / 64.0, 1.0) * 0.4
+             + (CASE WHEN n_tokens > 0
+                     THEN cast(n_distinct_tokens AS double) / cast(n_tokens AS double)
+                     ELSE 0.0 END) * 0.4
+             + (1.0 - least((CASE WHEN n_chars > 0
+                                  THEN cast(n_punct AS double) / cast(n_chars AS double)
+                                  ELSE 0.0 END) * 10.0, 1.0)) * 0.2
+           ) * 10000.0 + 0.5) AS bigint) AS quality_q4
+    FROM s
+    """
+
+
+@register("quality_score_documents", _quality_sql())
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    def count_expr(w: str) -> str:
+        if any(ord(c) > 0x2E7F for c in w):
+            pat = w
+        else:
+            pat = rf"\b{w}\b"
+        return f"len(regexp_extract_all(text, '{pat}'))"
+
+    scores = ",\n           ".join(
+        " + ".join(count_expr(w) for w in words) + f" AS s_{lang}"
+        for lang, words in _text.LANG_MARKERS
+    )
+    langs = [lang for lang, _ in _text.LANG_MARKERS]
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH s AS (SELECT doc_id, {scores} FROM documents)
+    SELECT doc_id, {', '.join('s_' + lang for lang in langs)},
+           {case} AS predicted_lang
+    FROM s
+    """
+
+
+@register("lang_id_documents", _lang_sql())
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+_NGRAM_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+        FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       printf('%.4f', cast(n_inter AS double)
+                      / cast(sa.n + sb.n - n_inter AS double)) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE cast(n_inter AS double) / cast(sa.n + sb.n - n_inter AS double) >= 0.3
+"""
+
+
+@register("ngram_jaccard_documents", _NGRAM_SQL)
+def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, len(embedding) AS dim,
+           printf('%.4f', sqrt(list_aggregate(
+               list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3)
+    SELECT q.qid AS q_id,
+           row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) DESC,
+                        e.vec_id) AS rank,
+           e.vec_id,
+           printf('%.4f', list_cosine_similarity(q.qv, e.embedding::DOUBLE[])) AS cosine
+    FROM q, embeddings e
+    WHERE e.vec_id <> q.qid
+    QUALIFY rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return _sim.cosine_topk(emb, queries_df, k=10)
+
+
+# --- rows-only (xxhash64-based signatures have no DuckDB equivalent) --------
+
+
+@register("minhash_near_dup_documents")
+def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@register("simhash_near_dup_documents")
+def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
+@register("lsh_ann_embeddings")
+def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return _sim.lsh_ann_topk(emb, queries_df, k=10, n_planes=8, multiprobe=4).orderBy(
+        "q_id", "rank"
+    )
+
+
+@register("media_feature_extract")
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_check_spark.operators.multimodal import extract_features, synthetic_media_df
+
+    media = synthetic_media_df(spark, 2000)
+    return extract_features(media).select(
+        "media_id", "media_type", "ok", "error", "n_bytes"
+    ).orderBy("media_id")

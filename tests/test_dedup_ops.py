@@ -1,0 +1,87 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+import pytest
+
+from data_check_spark.operators.dedup import (
+    exact_duplicate_groups,
+    exact_duplicate_rows,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_64,
+    simhash_near_pairs,
+)
+
+BASE = (
+    "spark engine validates audio clips with declarative rules and emits "
+    "violation rows for every failed constraint across partitions"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("audio", "video")),  # near dup
+        (4, "completely different text about cooking pasta with tomatoes and basil leaves"),
+        (5, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (6, BASE + " extra trailing words appended here"),  # near dup superset
+        (7, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_groups(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["keep_id"] == 1
+    rows = exact_duplicate_rows(docs).collect()
+    assert [(r["doc_id"], r["keep_id"]) for r in rows] == [(2, 1)]
+
+
+def test_minhash_signature_shape(docs):
+    sigs = minhash_signatures(docs).collect()
+    assert all(len(s["signature"]) == 64 for s in sigs)
+    by_id = {s["doc_id"]: s["signature"] for s in sigs}
+    assert by_id[1] == by_id[2]  # identical text → identical signature
+    agree_near = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    agree_far = sum(a == b for a, b in zip(by_id[1], by_id[4]))
+    assert agree_near > agree_far
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = {(p["id_a"], p["id_b"]): float(p["est_jaccard"])
+             for p in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup found
+    assert not any({a, b} == {4, 5} for a, b in pairs)  # unrelated not paired
+
+
+def test_simhash(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_64(docs).collect()}
+    assert sh[1] == sh[2]
+    ham13 = bin((sh[1] ^ sh[3]) & (2**64 - 1)).count("1")
+    ham14 = bin((sh[1] ^ sh[4]) & (2**64 - 1)).count("1")
+    assert ham13 < ham14
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(p["id_a"], p["id_b"]): p["hamming"]
+             for p in simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(p["id_a"], p["id_b"]): float(p["jaccard"])
+             for p in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # one-word swap keeps most 8-shingles
+    assert not any({a, b} == {4, 5} for a, b in pairs)
+
+
+def test_lsh_scales_not_quadratic(docs):
+    """Bucket cap bounds pair fan-out: plan contains no cartesian join."""
+    plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

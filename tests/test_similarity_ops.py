@@ -1,0 +1,79 @@
+"""Similarity search: brute-force cosine top-k and LSH ANN."""
+
+import math
+
+import numpy as np
+import pytest
+
+from data_check_spark.operators.similarity import (
+    cosine_topk,
+    embedding_norms,
+    lsh_ann_topk,
+)
+
+DIM = 16
+N = 120
+
+
+def _vec(rng):
+    v = rng.standard_normal(DIM)
+    return [float(x) for x in v]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, _vec(rng)) for i in range(N)]
+    # plant: vec 100 ≈ vec 0 (tiny perturbation)
+    base = np.array(rows[0][1])
+    rows[100] = (100, [float(x) for x in base + 0.001])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def _cos(a, b):
+    a, b = np.array(a), np.array(b)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_embedding_norms(vectors):
+    df, rows = vectors
+    out = {r["vec_id"]: r for r in embedding_norms(df).collect()}
+    assert out[0]["dim"] == DIM
+    assert abs(float(out[0]["l2_norm"]) - np.linalg.norm(rows[0][1])) < 1e-3
+
+
+def test_cosine_topk_exact(vectors):
+    df, rows = vectors
+    queries = df.filter("vec_id < 2").selectExpr("vec_id as q_id", "embedding as q_vec")
+    got = cosine_topk(df, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"], float(r["cosine"])))
+    # brute-force in numpy for query 0
+    sims = sorted(
+        ((_cos(rows[0][1], v), i) for i, v in rows if i != 0), key=lambda t: (-t[0], t[1])
+    )[:5]
+    expect_ids = [i for _, i in sims]
+    got_ids = [v for _, v, _ in sorted(by_q[0])]
+    assert got_ids == expect_ids
+    assert got_ids[0] == 100  # planted near-identical vector is rank 1
+    for (rank, vid, cos_got), (cos_exp, vid_exp) in zip(sorted(by_q[0]), sims):
+        assert abs(cos_got - cos_exp) < 1e-3
+
+
+def test_lsh_ann_finds_planted_neighbor(vectors):
+    df, rows = vectors
+    queries = df.filter("vec_id = 0").selectExpr("vec_id as q_id", "embedding as q_vec")
+    got = lsh_ann_topk(df, queries, k=5, n_planes=8, multiprobe=4).collect()
+    assert got, "ANN returned no candidates"
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids[0] == 100  # near-identical vector shares the bucket
+    assert all(r["q_id"] == 0 for r in got)
+
+
+def test_lsh_candidates_subset_is_ranked_by_true_cosine(vectors):
+    df, rows = vectors
+    queries = df.filter("vec_id = 0").selectExpr("vec_id as q_id", "embedding as q_vec")
+    got = lsh_ann_topk(df, queries, k=50, n_planes=8, multiprobe=2).collect()
+    cosines = [float(r["cosine"]) for r in sorted(got, key=lambda r: r["rank"])]
+    assert cosines == sorted(cosines, reverse=True)

@@ -1,0 +1,76 @@
+"""Text-analysis operators: token stats, quality, lang-id, fingerprints."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_check_spark.operators.text import (
+    fingerprints,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "der hund und die katze und der vogel nicht"),
+        (3, "el perro que corre la calle de los gatos"),
+        (4, "one two three"),
+        (5, "   "),
+        (6, "a, b, c! d? e; f:"),
+        (7, "的 是 不 我 在 的 是"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(docs):
+    r = {x["doc_id"]: x for x in token_stats(docs).collect()}
+    assert r[1]["n_tokens"] == 9
+    assert r[1]["n_distinct_tokens"] == 8  # 'the' twice
+    assert r[4]["n_tokens"] == 3
+    assert r[5]["n_tokens"] == 0
+    assert r[6]["n_punct"] == 6
+    assert r[1]["n_punct"] == 0
+
+
+def test_quality_score_bounds(docs):
+    rows = quality_score(docs).collect()
+    for x in rows:
+        q = x["quality_q4"] / 10000.0
+        assert 0.0 <= q <= 1.0
+    r = {x["doc_id"]: x["quality_q4"] for x in rows}
+    assert r[1] > r[5]  # real text beats blank
+    assert r[1] > r[6]  # low-punct beats punct soup
+
+
+def test_lang_id(docs):
+    r = {x["doc_id"]: x for x in lang_id(docs).collect()}
+    assert r[1]["predicted_lang"] == "en"
+    assert r[2]["predicted_lang"] == "de"
+    assert r[3]["predicted_lang"] == "es"
+    assert r[7]["predicted_lang"] == "zh"
+    assert r[5]["predicted_lang"] == "en"  # all-zero scores → priority order
+
+
+def test_lang_id_scores(docs):
+    r = {x["doc_id"]: x for x in lang_id(docs).collect()}
+    # doc1: 'the' x2 → s_en == 2 (and/of/to/in absent)
+    assert r[1]["s_en"] == 2
+    # doc2: der x2 + und x2 + die + nicht == 6
+    assert r[2]["s_de"] == 6
+
+
+def test_fingerprints_match_hashlib(docs):
+    import hashlib
+
+    r = {x["doc_id"]: x["fingerprint"] for x in fingerprints(docs).collect()}
+    assert r[1] == hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+
+
+def test_no_python_udfs_in_text_ops(docs):
+    """Text ops must stay JVM-side: no BatchEvalPython/ArrowEvalPython."""
+    for fn in (token_stats, quality_score, lang_id, fingerprints):
+        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, fn.__name__
