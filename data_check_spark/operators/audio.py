@@ -21,6 +21,35 @@ from pyspark.sql import functions as F
 
 from data_check_spark.functions.pcm import snr_db, synth_wave
 
+# Column name the engine uses for the precomputed per-row SNR (written by the
+# single wide-table pass in engine.run_validation, consumed by
+# snr_column_violations so no rule ever re-reads the binary column).
+SNR_COL = "_snr_db"
+
+
+def snr_column_violations(
+    df: DataFrame,
+    rule_id: str,
+    *,
+    snr_col: str = SNR_COL,
+    snr_db_min: float = 30.0,
+    gate: Column | None = None,
+    id_col: str = "clip_id",
+    partition_col: str | None = "partition",
+) -> DataFrame:
+    """Violations from an already-computed SNR column (no bytes access)."""
+    scoped = df.filter(gate) if gate is not None else df
+    part = F.col(partition_col) if partition_col else F.lit(None).cast("string")
+    return (
+        scoped.filter(F.col(snr_col).isNull() | (F.col(snr_col) < F.lit(snr_db_min)))
+        .select(
+            F.lit(rule_id).alias("rule_id"),
+            F.col(id_col).cast("string").alias("clip_id"),
+            part.alias("partition"),
+            F.concat(F.lit("snr_db="), F.round(F.col(snr_col), 2).cast("string")).alias("observed"),
+        )
+    )
+
 
 def snr_udf(cap_ms: int = 100):
     """pandas UDF: (bytes, clip_id, sr_hz, dur_ms) → SNR in dB (double).

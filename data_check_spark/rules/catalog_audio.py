@@ -56,16 +56,19 @@ def audio_catalog(
              {"any_of": ["^[★×▲■・：]"]},
              name="transcript must not start with a marker symbol"),
         # --- cross-column consistency ---------------------------------------
+        # ``byte_len`` is precomputed by the engine's single wide-table pass
+        # (engine.run_validation) so no rule expression touches the binary
+        # column — re-touching `bytes` costs ~3x the raw scan per subplan.
         Rule("BYTES_PRESENT_IF_DURATION", "cross_column", None,
-             {"expr": "dur_ms > 0 AND sr_hz > 0 AND (bytes IS NULL OR length(bytes) = 0)",
-              "observed_expr": "concat('len=', coalesce(length(bytes), 0))"},
+             {"expr": "dur_ms > 0 AND sr_hz > 0 AND (byte_len IS NULL OR byte_len = 0)",
+              "observed_expr": "concat('len=', coalesce(byte_len, 0))"},
              name="non-empty clips must carry a payload"),
         Rule("BYTES_LENGTH_CONSISTENT", "cross_column", None,
              {"expr": (
-                 "bytes IS NOT NULL AND length(bytes) > 0 AND sr_hz > 0 AND dur_ms > 0 "
-                 f"AND length(bytes) != cast(sr_hz as bigint) * least(dur_ms, {bytes_cap_ms}) DIV 1000 * 2"
+                 "byte_len IS NOT NULL AND byte_len > 0 AND sr_hz > 0 AND dur_ms > 0 "
+                 f"AND byte_len != cast(sr_hz as bigint) * least(dur_ms, {bytes_cap_ms}) DIV 1000 * 2"
               ),
-              "observed_expr": "concat('len=', length(bytes))"},
+              "observed_expr": "concat('len=', byte_len)"},
              name="payload byte count must match sr_hz x capped duration x 2 (pcm16)"),
         # --- set-oriented ----------------------------------------------------
         Rule("CLIP_ID_UNIQUE", "unique", "clip_id",

@@ -22,11 +22,15 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Without this, materializing a cached plan compiles WITHOUT AQE and
+    # loses runtime broadcast/skew conversions — measured 5x slower on the
+    # validation union (persist+count 170s vs 33s plain).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Arrow batches for pandas UDFs: large enough to amortize transfer,
-    # small enough that a batch of 48kHz/30s PCM clips fits in memory.
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    # Arrow batches for pandas UDFs: large enough to amortize the per-batch
+    # python round-trip; 8192 rows of ~5KB capped PCM ≈ 40MB per batch.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
     "spark.ui.enabled": "false",
 }
 
