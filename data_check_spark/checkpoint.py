@@ -30,20 +30,26 @@ except Exception:
 
 
 def write_checkpoint(verdicts: DataFrame, checkpoint_dir: str, run_id: str) -> None:
-    """Append per-partition completion rows for this run."""
+    """Append per-partition completion rows for this run.
+
+    "done" means the partition was fully validated (whether it passed or
+    not) — resume must not re-validate failing-but-processed partitions."""
     rows = verdicts.select(
         "partition",
-        F.when(F.col("passed"), F.lit("done")).otherwise(F.lit("done")).alias("status"),
+        F.lit("done").alias("status"),
         "rows_scanned",
         "violations",
         "wall_time_ms",
         F.lit(run_id).alias("lineage"),
+        F.current_timestamp().alias("completed_at"),
     )
     rows.write.mode("append").parquet(checkpoint_dir)
 
 
 def mark_failed(spark: SparkSession, checkpoint_dir: str, partition: str, run_id: str) -> None:
-    row = [(partition, "failed", None, None, None, run_id)]
+    import datetime as _dt
+
+    row = [(partition, "failed", None, None, None, run_id, _dt.datetime.utcnow())]
     spark.createDataFrame(row, CHECKPOINT_SCHEMA).write.mode("append").parquet(checkpoint_dir)
 
 
@@ -63,7 +69,7 @@ def completed_partitions(spark: SparkSession, checkpoint_dir: str) -> list[str]:
         return []
     latest = (
         cp.groupBy("partition")
-        .agg(F.max_by("status", F.col("lineage")).alias("status"))
+        .agg(F.max_by("status", F.col("completed_at")).alias("status"))
         .filter(F.col("status") == "done")
     )
     return [r["partition"] for r in latest.select("partition").collect()]

@@ -44,10 +44,10 @@ from data_check_spark import checkpoint as cp
 from data_check_spark.operators.audio import (
     SNR_COL,
     audio_snr_violations,
+    prepare_clips,
     snr_column_violations,
-    snr_udf,
+    transcript_match_violations,
 )
-from data_check_spark.operators.audio import transcript_match_violations
 from data_check_spark.operators.drift import drift_violations
 from data_check_spark.operators.referential import (
     anti_join_violations,
@@ -160,45 +160,69 @@ def run_validation(
     run_ts = run_ts or time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
     t0 = time.monotonic()
 
+    import os as _os
+    import sys as _sys
+
+    _debug = _os.environ.get("DATA_CHECK_DEBUG_TIMING") == "1"
+
+    def _mark(label: str, since: float) -> None:
+        if _debug:
+            print(f"[timing] {label}: {time.monotonic() - since:.1f}s", file=_sys.stderr, flush=True)
+
     schema_problems = validate_schema(clips, CLIPS_SCHEMA)
 
+    # Resume: the wide (bytes + SNR) pass runs only on partitions not yet
+    # checkpointed. Global-grain rules (uniqueness, orphan) still see the
+    # FULL key set via a narrow column-pruned scan of the original table —
+    # a key-only scan is ~1% of the wide bytes at 10^12 rows, and without it
+    # a duplicate spanning a completed and a new partition would be missed.
+    done: list[str] = []
+    clips_full = clips
     if resume and checkpoint_dir:
         done = cp.completed_partitions(spark, checkpoint_dir)
         clips = cp.prune_completed(clips, done, partition_col)
 
-    # --- single wide pass: byte_len + SNR in one projection, then drop the
-    # binary column. Everything downstream is narrow.
+    # --- single wide pass: byte_len + SNR in one mapInPandas stage, then the
+    # binary column is gone. Everything downstream is narrow.
     audio_rules = [r for r in catalog.set_oriented if r.kind == "audio_decode"]
     if "bytes" in clips.columns:
-        prepared = clips.withColumn("byte_len", F.length("bytes"))
-        if audio_rules:
-            cap = audio_rules[0].params.get("cap_ms", 100)
-            prepared = prepared.withColumn(
-                SNR_COL,
-                snr_udf(cap)(F.col("bytes"), F.col("clip_id"), F.col("sr_hz"), F.col("dur_ms")),
-            )
-        else:
-            prepared = prepared.withColumn(SNR_COL, F.lit(None).cast("double"))
-        prepared = prepared.drop("bytes")
+        cap = audio_rules[0].params.get("cap_ms", 100) if audio_rules else 100
+        prepared = prepare_clips(clips, cap_ms=cap, with_snr=bool(audio_rules))
     else:
-        prepared = clips.withColumn("byte_len", F.lit(None).cast("int")).withColumn(
+        prepared = clips.withColumn("byte_len", F.lit(None).cast("long")).withColumn(
             SNR_COL, F.lit(None).cast("double")
         )
 
     if cache_input:
-        # Materialize the cache NOW: the rule subplans below all consume
-        # `prepared`, and branches racing inside one job would each recompute
-        # the wide scan + UDF before cache blocks land. One count() action
-        # pays the wide pass exactly once.
-        prepared = prepared.persist()
-        prepared.count()
+        # Materialize NOW via eager localCheckpoint: (1) rule subplan
+        # branches racing inside one job would each recompute the wide scan
+        # before cache blocks landed; (2) Spark's in-memory cache build on
+        # top of a python stage measured ~12x slower at local[32] than
+        # checkpointing the computed batches directly.
+        _t = time.monotonic()
+        prepared = prepared.localCheckpoint(eager=True)
+        _mark("wide_pass_checkpoint", _t)
 
     parts: list[DataFrame] = []
     compiled = compile_row_rules(catalog.row_local, run_ts)
     if compiled:
         parts.append(apply_row_rules(prepared, compiled, partition_col=partition_col))
     for rule in catalog.set_oriented:
-        parts.append(_dispatch_set_rule(rule, prepared, dims, partition_col=partition_col))
+        global_grain = rule.kind in ("unique", "aggregate_unique") or (
+            rule.kind == "referential" and rule.params.get("mode") == "orphan"
+        )
+        _t = time.monotonic()
+        if done and global_grain:
+            # Full-table key scan (column-pruned; never touches bytes).
+            v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col)
+            if rule.kind == "unique":
+                # Row-grain output: rows in completed partitions were
+                # already reported by the run that checkpointed them.
+                v = v.filter(~F.col("partition").isin(done))
+            parts.append(v)
+        else:
+            parts.append(_dispatch_set_rule(rule, prepared, dims, partition_col=partition_col))
+        _mark(f"dispatch {rule.rule_id}", _t)
 
     # localCheckpoint (lazy) rather than persist: a persisted plan compiles
     # non-adaptively (no runtime broadcast conversion) and measured 5x
@@ -223,8 +247,10 @@ def run_validation(
             F.coalesce(F.col("violations"), F.lit(0)).alias("violations"),
         )
     )
+    _t = time.monotonic()
     verdicts = verdicts.persist()
     rows_scanned = verdicts.agg(F.sum("rows_scanned")).collect()[0][0] or 0
+    _mark("rule_plans_and_verdicts", _t)
     wall_ms = int((time.monotonic() - t0) * 1000)
     # Spark can't attribute wall-time to a logical partition inside one job;
     # the checkpoint stores the run-level wall time on each row (documented).

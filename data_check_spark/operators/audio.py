@@ -27,6 +27,52 @@ from data_check_spark.functions.pcm import snr_db, synth_wave
 SNR_COL = "_snr_db"
 
 
+def prepare_clips(df: DataFrame, *, cap_ms: int = 100, with_snr: bool = True) -> DataFrame:
+    """The engine's single wide pass as ONE mapInPandas stage.
+
+    Reads every row (incl. the binary payload) exactly once, emits the same
+    row minus ``bytes`` plus ``byte_len`` and the decoded-PCM SNR. Implemented
+    with mapInPandas rather than a scalar pandas_udf deliberately: the
+    ArrowEvalPython batch-join-back path degrades ~12x at local[32] when its
+    output is materialized (measured 106s vs 8.6s for the identical work),
+    while MapInPandas streams whole Arrow batches through cleanly.
+    """
+    out_fields = [f for f in df.schema.fields if f.name != "bytes"]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema += f", byte_len long, {SNR_COL} double"
+    keep = [f.name for f in out_fields]
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            byte_len = np.full(n, np.nan, dtype=np.float64)
+            snr = np.full(n, np.nan, dtype=np.float64)
+            payloads = pdf["bytes"].to_numpy(dtype=object)
+            cids = pdf["clip_id"].to_numpy(dtype=object)
+            srs = pdf["sr_hz"].to_numpy(dtype=object)
+            durs = pdf["dur_ms"].to_numpy(dtype=object)
+            for i in range(n):
+                b = payloads[i]
+                if b is None:
+                    continue
+                byte_len[i] = len(b)
+                if not with_snr:
+                    continue
+                sr, dur = srs[i], durs[i]
+                if pd.isna(sr) or pd.isna(dur) or len(b) % 2 != 0:
+                    continue
+                decoded = np.frombuffer(b, dtype=np.int16)
+                ref = synth_wave(cids[i], int(sr), int(dur), cap_ms)
+                val = snr_db(ref, decoded)
+                snr[i] = val if np.isfinite(val) else (1e9 if val > 0 else -1e9)
+            out = pdf[keep].copy()
+            out["byte_len"] = byte_len
+            out[SNR_COL] = snr
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def snr_column_violations(
     df: DataFrame,
     rule_id: str,

@@ -88,6 +88,7 @@ CHECKPOINT_SCHEMA = T.StructType(
         T.StructField("violations", T.LongType(), True),
         T.StructField("wall_time_ms", T.LongType(), True),
         T.StructField("lineage", T.StringType(), True),  # run id / snapshot id
+        T.StructField("completed_at", T.TimestampType(), True),
     ]
 )
 

@@ -31,6 +31,15 @@ _BASE_CONF: dict[str, str] = {
     # Arrow batches for pandas UDFs: large enough to amortize the per-batch
     # python round-trip; 8192 rows of ~5KB capped PCM ≈ 40MB per batch.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+    # Python workers: keep allocator memory resident (no trim, no mmap for
+    # big buffers, Arrow through system malloc). Repeated mmap/munmap of
+    # Arrow batch buffers re-faults pages continuously; in a VM that first-
+    # touch cost dominated the UDF stage at high parallelism (measured 27s
+    # vs 5.8s for the identical 1M-row pass once workers stop churning).
+    "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "2147483647",
+    "spark.executorEnv.MALLOC_ARENA_MAX": "2",
+    "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL": "system",
     "spark.ui.enabled": "false",
 }
 
@@ -58,7 +67,18 @@ def get_spark(
     conf = dict(_BASE_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if master.startswith("local"):
-        conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        conf.setdefault("spark.driver.memory", mem)
+        # Pin + pre-touch the heap and use a non-uncommitting GC: a growing
+        # or shrinking heap re-faults pages continuously, and with 32 task
+        # threads in ONE process the fault storm serializes on mmap_lock
+        # (measured ~1.1M faults/sec, 80% sys time, 4x slower at local[32]
+        # than local[8]). -Xms=-Xmx + AlwaysPreTouch + ParallelGC made the
+        # 1M-row UDF pass 2.8s instead of 30-80s.
+        conf.setdefault(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

