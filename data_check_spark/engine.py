@@ -87,15 +87,18 @@ def _dispatch_set_rule(
     dims: dict[str, DataFrame],
     *,
     partition_col: str,
+    shared_dups: DataFrame | None = None,
 ) -> DataFrame:
     p = rule.params
     gate = F.expr(rule.gate) if rule.gate else None
     if rule.kind == "unique":
         scoped = clips.filter(gate) if gate is not None else clips
-        return unique_violations(scoped, rule.rule_id, rule.column or "clip_id", partition_col=partition_col)
+        return unique_violations(scoped, rule.rule_id, rule.column or "clip_id",
+                                 partition_col=partition_col, dups=shared_dups)
     if rule.kind == "aggregate_unique":
         scoped = clips.filter(gate) if gate is not None else clips
-        return aggregate_unique_violations(scoped, rule.rule_id, rule.column or "clip_id")
+        return aggregate_unique_violations(scoped, rule.rule_id, rule.column or "clip_id",
+                                           dups=shared_dups)
     if rule.kind == "referential":
         dim = dims[p["dim"]]
         mode = p.get("mode", "anti")
@@ -201,27 +204,117 @@ def run_validation(
         # checkpointing the computed batches directly.
         _t = time.monotonic()
         prepared = prepared.localCheckpoint(eager=True)
+        # The narrow table is consumed by ~8 rule subplans; zero-shuffle
+        # coalesce to the shuffle-partition count so each downstream wave
+        # schedules that many tasks instead of one per input split.
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        if prepared.rdd.getNumPartitions() > 2 * n_parts:
+            prepared = prepared.coalesce(2 * n_parts)
         _mark("wide_pass_checkpoint", _t)
 
     parts: list[DataFrame] = []
     compiled = compile_row_rules(catalog.row_local, run_ts)
     if compiled:
         parts.append(apply_row_rules(prepared, compiled, partition_col=partition_col))
+
+    # All drift rules share ONE sketch pass (one mapInPandas + one merge
+    # shuffle regardless of how many columns are monitored).
+    drift_rules = [r for r in catalog.set_oriented if r.kind == "drift"]
+    if drift_rules:
+        from data_check_spark.operators.drift import drift_violations_multi
+
+        _t = time.monotonic()
+        parts.append(
+            drift_violations_multi(
+                prepared,
+                dims["baseline_stats"],
+                [(r.rule_id, r.column, r.params.get("threshold", 0.25)) for r in drift_rules],
+                partition_col=partition_col,
+            )
+        )
+        _mark("dispatch drift (fused)", _t)
+
+    # Fuse FK-anti + orphan + byte-match rules that target the same dim into
+    # ONE full-outer join (3 joins -> 1). Resume runs keep the per-rule path
+    # because the orphan rule is global-grain there (full key scan).
+    fused_ids: set[str] = set()
+    if not done:
+        by_dim: dict[tuple[str, str, str], dict[str, Rule]] = {}
+        for r in catalog.set_oriented:
+            if r.kind == "referential" and r.params.get("mode") in ("anti", "orphan"):
+                key = (r.params["dim"], r.column or "clip_id", r.params.get("dim_key", "clip_id"))
+                by_dim.setdefault(key, {})[r.params["mode"]] = r
+            elif r.kind == "transcript_match":
+                key = (r.params["dim"], r.params.get("dim_key", "clip_id"), r.params.get("dim_key", "clip_id"))
+                by_dim.setdefault(key, {})["match"] = r
+        for (dim_name, fact_key, dim_key), group in by_dim.items():
+            if len(group) < 2:
+                continue
+            from data_check_spark.operators.referential import fused_dim_checks
+
+            _t = time.monotonic()
+            anti = group.get("anti")
+            orphan = group.get("orphan")
+            match = group.get("match")
+            parts.append(
+                fused_dim_checks(
+                    prepared,
+                    dims[dim_name],
+                    fact_key=fact_key,
+                    dim_key=dim_key,
+                    partition_col=partition_col,
+                    anti_rule=anti.rule_id if anti else None,
+                    anti_gate=F.expr(anti.gate) if anti and anti.gate else None,
+                    orphan_rule=orphan.rule_id if orphan else None,
+                    match_rule=match.rule_id if match else None,
+                    fact_text=match.column if match else None,
+                    ref_text=match.params.get("ref_column") if match else None,
+                )
+            )
+            fused_ids.update(r.rule_id for r in group.values())
+            _mark(f"dispatch fused dim checks ({dim_name})", _t)
+
+    # Row-grain and value-grain uniqueness on the same column share ONE
+    # duplicate-key computation (lazily checkpointed: computed by the first
+    # consumer, reused by the second).
+    from data_check_spark.operators.uniqueness import duplicate_keys
+
+    uniq_src = clips_full if done else prepared
+
+    def _ungated_uniq(col: str) -> int:
+        return sum(
+            1 for r in catalog.set_oriented
+            if r.kind in ("unique", "aggregate_unique") and (r.column or "clip_id") == col
+            and not r.gate
+        )
+
+    shared_dups = {
+        col: duplicate_keys(uniq_src, col).localCheckpoint(eager=False)
+        for col in {r.column or "clip_id" for r in catalog.set_oriented
+                    if r.kind in ("unique", "aggregate_unique") and not r.gate}
+        if _ungated_uniq(col) > 1
+    }
+
     for rule in catalog.set_oriented:
+        if rule.kind == "drift" or rule.rule_id in fused_ids:
+            continue
         global_grain = rule.kind in ("unique", "aggregate_unique") or (
             rule.kind == "referential" and rule.params.get("mode") == "orphan"
         )
+        dups = None if rule.gate else shared_dups.get(rule.column or "clip_id")
         _t = time.monotonic()
         if done and global_grain:
             # Full-table key scan (column-pruned; never touches bytes).
-            v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col)
+            v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
+                                   shared_dups=dups)
             if rule.kind == "unique":
                 # Row-grain output: rows in completed partitions were
                 # already reported by the run that checkpointed them.
                 v = v.filter(~F.col("partition").isin(done))
             parts.append(v)
         else:
-            parts.append(_dispatch_set_rule(rule, prepared, dims, partition_col=partition_col))
+            parts.append(_dispatch_set_rule(rule, prepared, dims, partition_col=partition_col,
+                                            shared_dups=dups))
         _mark(f"dispatch {rule.rule_id}", _t)
 
     # localCheckpoint (lazy) rather than persist: a persisted plan compiles

@@ -40,25 +40,28 @@ _CHUNK_SCHEMA = "partition string, column_name string, tdigest binary, n long"
 
 def chunk_digests(
     df: DataFrame,
-    column: str,
+    column: str | list[str],
     *,
     partition_col: str = "partition",
     max_centroids: int = td.DEFAULT_MAX_CENTROIDS,
 ) -> DataFrame:
-    """Level-1 sketches: one digest per (Arrow batch × table partition)."""
+    """Level-1 sketches: one digest per (Arrow batch × table partition ×
+    column). Accepts several columns so one pass sketches all drift rules."""
+    columns = [column] if isinstance(column, str) else list(column)
 
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for part, grp in pdf.groupby(partition_col, dropna=False):
-                vals = pd.to_numeric(grp[column], errors="coerce").to_numpy(dtype=np.float64)
-                vals = vals[~np.isnan(vals)]
-                d = td.from_values(vals, max_centroids)
-                rows.append((part, column, td.serialize(d), int(vals.size)))
+                for col in columns:
+                    vals = pd.to_numeric(grp[col], errors="coerce").to_numpy(dtype=np.float64)
+                    vals = vals[~np.isnan(vals)]
+                    d = td.from_values(vals, max_centroids)
+                    rows.append((part, col, td.serialize(d), int(vals.size)))
             if rows:
                 yield pd.DataFrame(rows, columns=["partition", "column_name", "tdigest", "n"])
 
-    return df.select(F.col(partition_col).alias(partition_col), F.col(column)).mapInPandas(
+    return df.select(F.col(partition_col).alias(partition_col), *columns).mapInPandas(
         sketch, schema=_CHUNK_SCHEMA
     )
 
@@ -127,6 +130,90 @@ def make_baseline(
     return out.unionByName(gdf)
 
 
+def drift_violations_multi(
+    df: DataFrame,
+    baseline: DataFrame,
+    rules: list[tuple[str, str, float]],
+    *,
+    partition_col: str = "partition",
+) -> DataFrame:
+    """Partition-grain drift violations for SEVERAL columns in one sketch
+    pass: ``rules`` is [(rule_id, column, threshold)]. One mapInPandas over
+    the table sketches every column; one (partition, column) merge; one
+    scoring pass against the broadcast baseline (falling back to the
+    __global__ row for partitions without a dedicated baseline sketch)."""
+    columns = [c for _, c, _ in rules]
+    by_col = {c: (rid, thr) for rid, c, thr in rules}
+    chunks = chunk_digests(df, columns, partition_col=partition_col)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        digs = [td.deserialize(b) for b in pdf["tdigest"]]
+        merged = td.merge(digs, td.DEFAULT_MAX_CENTROIDS)
+        return pd.DataFrame(
+            [(pdf["partition"].iloc[0], pdf["column_name"].iloc[0],
+              td.serialize(merged), int(pdf["n"].sum()))],
+            columns=["partition", "column_name", "tdigest", "n"],
+        )
+
+    current = chunks.groupBy("partition", "column_name").applyInPandas(
+        merge_group, schema=_CHUNK_SCHEMA
+    )
+    base = baseline.filter(F.col("column_name").isin(columns)).select(
+        F.col("partition").alias("_bpart"),
+        F.col("column_name").alias("_bcol"),
+        F.col("tdigest").alias("_btd"),
+    )
+    glob = base.filter(F.col("_bpart") == GLOBAL_KEY).select(
+        F.col("_bcol").alias("_gcol"), F.col("_btd").alias("_gtd")
+    )
+    # baseline is sketches only (≤ (partitions+1) x columns rows) — broadcast
+    joined = (
+        current.join(
+            F.broadcast(base),
+            (current["partition"] == F.col("_bpart"))
+            & (current["column_name"] == F.col("_bcol")),
+            "left",
+        )
+        .join(F.broadcast(glob), current["column_name"] == F.col("_gcol"), "left")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():  # ≤ one row per (partition, column)
+                cur = td.deserialize(r["tdigest"])
+                ref_bytes = r["_btd"] if r["_btd"] is not None else r["_gtd"]
+                if ref_bytes is None:
+                    rows.append((r["partition"], r["column_name"], float("nan")))
+                    continue
+                ref = td.deserialize(ref_bytes)
+                qc = np.array(td.quantiles(cur, QUANTILE_GRID))
+                qb = np.array(td.quantiles(ref, QUANTILE_GRID))
+                scale = max(td.quantile(ref, 0.9) - td.quantile(ref, 0.1), 1.0)
+                rows.append((r["partition"], r["column_name"], float(np.max(np.abs(qc - qb)) / scale)))
+            yield pd.DataFrame(rows, columns=["partition", "column_name", "qdist"])
+
+    scored = joined.mapInPandas(score, schema="partition string, column_name string, qdist double")
+    rid = F.lit(None).cast("string")
+    thr = F.lit(None).cast("double")
+    for c, (r_id, r_thr) in by_col.items():
+        rid = F.when(F.col("column_name") == c, F.lit(r_id)).otherwise(rid)
+        thr = F.when(F.col("column_name") == c, F.lit(float(r_thr))).otherwise(thr)
+    return (
+        scored.withColumn("_rid", rid)
+        .withColumn("_thr", thr)
+        .filter(F.col("qdist").isNull() | (F.col("qdist") > F.col("_thr")))
+        .select(
+            F.col("_rid").alias("rule_id"),
+            F.lit(None).cast("string").alias("clip_id"),
+            F.col("partition"),
+            F.concat(
+                F.col("column_name"), F.lit(" qdist="), F.round(F.col("qdist"), 4).cast("string")
+            ).alias("observed"),
+        )
+    )
+
+
 def drift_violations(
     df: DataFrame,
     baseline: DataFrame,
@@ -136,43 +223,7 @@ def drift_violations(
     threshold: float = 0.25,
     partition_col: str = "partition",
 ) -> DataFrame:
-    """Partition-grain violations where the quantile distance vs baseline
-    exceeds ``threshold``. Falls back to the __global__ baseline row for
-    partitions with no dedicated baseline sketch."""
-    current = partition_digests(df, column, partition_col=partition_col)
-    base = baseline.filter(F.col("column_name") == column).select(
-        F.col("partition").alias("_bpart"), F.col("tdigest").alias("_btd")
-    )
-    # baseline is sketches only (≤ partitions+1 rows) — always broadcastable
-    joined = (
-        current.join(F.broadcast(base), current["partition"] == F.col("_bpart"), "left")
-        .join(
-            F.broadcast(base.filter(F.col("_bpart") == GLOBAL_KEY).select(F.col("_btd").alias("_gtd"))),
-            F.lit(True),
-            "left",
-        )
-    )
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():  # ≤ one row per table partition — tiny
-                cur = td.deserialize(r["tdigest"])
-                ref_bytes = r["_btd"] if r["_btd"] is not None else r["_gtd"]
-                if ref_bytes is None:
-                    rows.append((r["partition"], float("nan")))
-                    continue
-                ref = td.deserialize(ref_bytes)
-                qc = np.array(td.quantiles(cur, QUANTILE_GRID))
-                qb = np.array(td.quantiles(ref, QUANTILE_GRID))
-                scale = max(td.quantile(ref, 0.9) - td.quantile(ref, 0.1), 1.0)
-                rows.append((r["partition"], float(np.max(np.abs(qc - qb)) / scale)))
-            yield pd.DataFrame(rows, columns=["partition", "qdist"])
-
-    scored = joined.mapInPandas(score, schema="partition string, qdist double")
-    return scored.filter(F.col("qdist").isNull() | (F.col("qdist") > threshold)).select(
-        F.lit(rule_id).alias("rule_id"),
-        F.lit(None).cast("string").alias("clip_id"),
-        F.col("partition"),
-        F.concat(F.lit(f"{column} qdist="), F.round(F.col("qdist"), 4).cast("string")).alias("observed"),
+    """Single-column wrapper over :func:`drift_violations_multi`."""
+    return drift_violations_multi(
+        df, baseline, [(rule_id, column, threshold)], partition_col=partition_col
     )

@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from data_check_spark.functions.blank import is_present
 
-BROADCAST_MAX_ROWS = 5_000_000  # ~key-only dim of 5M strings ≈ low hundreds of MB
+# Dim-size boundary for the broadcast-vs-sort-merge decision (north_rule).
+# 1M string keys ≈ 30MB serialized: comfortably broadcastable; above that the
+# serial driver collect + re-send dominates and SMJ's parallel exchanges win
+# (measured: broadcasting a 4M-key dim cost ~8s serial driver time per rule).
+BROADCAST_MAX_ROWS = 1_000_000
 
 
 def _maybe_broadcast(dim_keys: DataFrame, dim_rows: int | None) -> DataFrame:
@@ -109,6 +113,100 @@ def orphan_violations(
             F.lit(None).cast("string").alias("partition"),
             F.lit("orphan").alias("observed"),
         )
+    )
+
+
+def fused_dim_checks(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_key: str,
+    dim_key: str,
+    partition_col: str | None = "partition",
+    anti_rule: str | None = None,
+    anti_gate=None,
+    orphan_rule: str | None = None,
+    match_rule: str | None = None,
+    fact_text: str | None = None,
+    ref_text: str | None = None,
+) -> DataFrame:
+    """FK-missing + orphan + byte-equality against ONE dimension in ONE join.
+
+    The naive plan joins the fact table against the dim three times (anti,
+    reverse-anti, inner). One full-outer join + a classify/explode projection
+    produces all three violation families — at 10^12 rows that's one shuffle
+    of each side instead of three. Semantics match the standalone operators:
+    blank fact keys are exempt, the anti rule honors its gate, orphans are
+    dim rows with no (present-key) fact match, and the byte-equality rule
+    fires only where both sides exist.
+    """
+    f_cols = [
+        F.col(fact_key).alias("_fk"),
+        (F.col(partition_col) if partition_col else F.lit(None).cast("string")).alias("_part"),
+    ]
+    if match_rule:
+        f_cols.append(F.col(fact_text).alias("_ftxt"))
+    if anti_gate is not None:
+        f_cols.append(F.coalesce(anti_gate, F.lit(False)).alias("_gate"))
+    else:
+        f_cols.append(F.lit(True).alias("_gate"))
+    f = fact.filter(is_present(fact_key)).select(*f_cols)
+    d_cols = [F.col(dim_key).alias("_dk")]
+    if match_rule:
+        d_cols.append(F.col(ref_text).alias("_rtxt"))
+    d = dim.select(*d_cols)
+
+    j = f.join(d, F.col("_fk") == F.col("_dk"), "full_outer")
+    branches = []
+    if anti_rule:
+        branches.append(
+            F.when(
+                F.col("_dk").isNull() & F.col("_fk").isNotNull() & F.col("_gate"),
+                F.struct(
+                    F.lit(anti_rule).alias("rule_id"),
+                    F.col("_fk").cast("string").alias("clip_id"),
+                    F.col("_part").alias("partition"),
+                    F.col("_fk").cast("string").alias("observed"),
+                ),
+            )
+        )
+    if orphan_rule:
+        branches.append(
+            F.when(
+                F.col("_fk").isNull(),
+                F.struct(
+                    F.lit(orphan_rule).alias("rule_id"),
+                    F.col("_dk").cast("string").alias("clip_id"),
+                    F.lit(None).cast("string").alias("partition"),
+                    F.lit("orphan").alias("observed"),
+                ),
+            )
+        )
+    if match_rule:
+        branches.append(
+            F.when(
+                F.col("_fk").isNotNull()
+                & F.col("_dk").isNotNull()
+                & (
+                    F.encode(F.coalesce(F.col("_ftxt"), F.lit("")), "UTF-8")
+                    != F.encode(F.coalesce(F.col("_rtxt"), F.lit("")), "UTF-8")
+                ),
+                F.struct(
+                    F.lit(match_rule).alias("rule_id"),
+                    F.col("_fk").cast("string").alias("clip_id"),
+                    F.col("_part").alias("partition"),
+                    F.substring(F.coalesce(F.col("_ftxt"), F.lit("<null>")), 1, 64).alias(
+                        "observed"
+                    ),
+                ),
+            )
+        )
+    hits = F.filter(F.array(*branches), lambda x: x.isNotNull())
+    return j.select(F.explode(hits).alias("v")).select(
+        F.col("v.rule_id").alias("rule_id"),
+        F.col("v.clip_id").alias("clip_id"),
+        F.col("v.partition").alias("partition"),
+        F.col("v.observed").alias("observed"),
     )
 
 

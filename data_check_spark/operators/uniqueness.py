@@ -47,9 +47,15 @@ def unique_violations(
     *,
     id_col: str = "clip_id",
     partition_col: str | None = "partition",
+    dups: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-row violations for duplicated keys (reference: CHK_0008)."""
-    dups = duplicate_keys(df, key_col).withColumnRenamed(key_col, "_dup_key")
+    """Per-row violations for duplicated keys (reference: CHK_0008).
+
+    ``dups`` lets callers share one duplicate-key computation between the
+    row-grain and value-grain rules (engine fuses them)."""
+    if dups is None:
+        dups = duplicate_keys(df, key_col)
+    dups = dups.withColumnRenamed(key_col, "_dup_key")
     part: Column = F.col(partition_col) if partition_col else F.lit(None).cast("string")
     return (
         df.join(dups, df[key_col] == F.col("_dup_key"), "inner")
@@ -66,10 +72,14 @@ def aggregate_unique_violations(
     df: DataFrame,
     rule_id: str,
     key_col: str = "clip_id",
+    *,
+    dups: DataFrame | None = None,
 ) -> DataFrame:
     """One violation per duplicated VALUE (reference: dekispart_school.py:204-208,
     which emits a single row per distinct duplicate with a blank locator)."""
-    return duplicate_keys(df, key_col).select(
+    if dups is None:
+        dups = duplicate_keys(df, key_col)
+    return dups.select(
         F.lit(rule_id).alias("rule_id"),
         F.col(key_col).cast("string").alias("clip_id"),
         F.lit(None).cast("string").alias("partition"),

@@ -1,0 +1,96 @@
+"""Physical-plan quality assertions — the 100 TB design contract.
+
+These tests pin the properties that make the engine viable at scale:
+filters reach the parquet scan, small dims broadcast, aggregations have a
+map-side partial phase, scans are column-pruned, and the wide table goes
+through exactly ONE python stage.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_filter_pushed_to_scan(spark):
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["topk_open_orders"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    from data_check_spark.queries import QUERIES
+
+    df = QUERIES["region_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "CartesianProduct" not in plan
+    # lineitem scan pruned to the join/agg columns only
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li = [s for s in scans if "l_extendedprice" in s]
+    assert li and "l_shipdate" not in li[0] and "l_tax" not in li[0]
+
+
+def test_dup_values_has_partial_aggregation(spark):
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["dup_values_lineitem"](spark, SF_DIR))
+    # two-phase: map-side partial count before the exchange, final after
+    assert "partial_count" in plan or "HashAggregate(keys=" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_row_rules_single_scan(spark):
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["row_rules_orders"](spark, SF_DIR))
+    # single-pass property: all 5 rules evaluate over exactly ONE scan
+    assert plan.count("Scan parquet") == 1
+    assert "Generate explode" in plan
+
+
+def test_semi_join_is_broadcast(spark):
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["semi_negative_balance_orders"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "PushedFilters" in plan
+
+
+def test_wide_pass_single_python_stage(spark, tmp_path):
+    from data_check_spark.datagen import clips_df
+    from data_check_spark.operators.audio import prepare_clips
+
+    path = str(tmp_path / "clips")
+    clips_df(spark, 2000, bytes_cap_ms=20).drop("_gen_id", "_viol").write.parquet(path)
+    plan = _plan(prepare_clips(spark.read.parquet(path), cap_ms=20))
+    # exactly one python boundary over the scan; no ArrowEvalPython join-back
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_text_and_dedup_stay_jvm_side(spark):
+    from data_check_spark.operators.dedup import minhash_signatures
+    from data_check_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert "EvalPython" not in _plan(quality_score(docs))
+    assert "EvalPython" not in _plan(minhash_signatures(docs))
+
+
+def test_ann_broadcasts_queries(spark):
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).selectExpr("vec_id as q_id", "embedding as q_vec")
+    plan = _plan(cosine_topk(emb, q, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
