@@ -174,6 +174,31 @@ def run_validation(
 
     schema_problems = validate_schema(clips, CLIPS_SCHEMA)
 
+    # --- pre-flight: rules whose dimension is missing or empty are skipped
+    # and replaced by synthetic violations (reference: aux-file-missing
+    # early return with placeholder rows, dekispart.py:1316-1328).
+    synthetic: list[tuple[str, str, str | None, str]] = []
+    for prob in schema_problems:
+        synthetic.append(("SCHEMA_MISMATCH", "N/A", None, prob))
+    unavailable_dims: set[str] = set()
+    needed_dims = {
+        r.params["dim"] for r in catalog.set_oriented if "dim" in r.params
+    } | ({"baseline_stats"} if any(r.kind == "drift" for r in catalog.set_oriented) else set())
+    for name in sorted(needed_dims):
+        if name not in dims:
+            unavailable_dims.add(name)
+            synthetic.append((f"AUX_MISSING_{name.upper()}", "N/A", None, f"dimension {name} not provided"))
+        elif dims[name].isEmpty():
+            unavailable_dims.add(name)
+            synthetic.append((f"AUX_EMPTY_{name.upper()}", "N/A", None, f"dimension {name} is empty"))
+    if unavailable_dims:
+        skipped = [
+            r for r in catalog.set_oriented
+            if r.params.get("dim") in unavailable_dims
+            or (r.kind == "drift" and "baseline_stats" in unavailable_dims)
+        ]
+        catalog = RuleCatalog([r for r in catalog if r not in skipped])
+
     # Resume: the wide (bytes + SNR) pass runs only on partitions not yet
     # checkpointed. Global-grain rules (uniqueness, orphan) still see the
     # FULL key set via a narrow column-pruned scan of the original table —
@@ -317,6 +342,11 @@ def run_validation(
                                             shared_dups=dups))
         _mark(f"dispatch {rule.rule_id}", _t)
 
+    if synthetic:
+        parts.append(
+            spark.createDataFrame(synthetic, "rule_id string, clip_id string, partition string, observed string")
+        )
+
     # localCheckpoint (lazy) rather than persist: a persisted plan compiles
     # non-adaptively (no runtime broadcast conversion) and measured 5x
     # slower; the checkpoint materializes through the normal AQE path on the
@@ -349,6 +379,15 @@ def run_validation(
     # the checkpoint stores the run-level wall time on each row (documented).
     verdicts = verdicts.withColumn("wall_time_ms", F.lit(wall_ms))
 
+    if rows_scanned == 0 and not (resume and checkpoint_dir):
+        # Empty fact table is itself a violation (reference: empty-df
+        # placeholder rows, dekispart.py:1330-1337).
+        empty_row = spark.createDataFrame(
+            [("EMPTY_INPUT", "N/A", None, "fact table has no rows")],
+            "rule_id string, clip_id string, partition string, observed string",
+        )
+        violations = violations.unionByName(empty_row)
+
     if checkpoint_dir:
         cp.write_checkpoint(verdicts, checkpoint_dir, run_id)
 
@@ -360,3 +399,37 @@ def run_validation(
         rows_scanned=int(rows_scanned),
         schema_problems=schema_problems,
     )
+
+
+def run_series_validations(
+    spark: SparkSession,
+    jobs: dict[str, tuple[DataFrame, dict[str, DataFrame], "RuleCatalog"]],
+    *,
+    run_ts: str | None = None,
+    partition_col: str = "partition",
+) -> tuple[DataFrame, DataFrame, dict[str, ValidationResult]]:
+    """Validate several fact tables ("series") and union the results.
+
+    The reference dispatches one checker module per series and concatenates
+    their result frames under a series column (data_check.py:1050-1094);
+    here each series gets its own run_validation and the outputs gain a
+    ``series`` column. run_ts is pinned ONCE across all series so
+    date-sensitive rules agree."""
+    import time as _time
+
+    run_ts = run_ts or _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime())
+    results: dict[str, ValidationResult] = {}
+    v_parts: list[DataFrame] = []
+    d_parts: list[DataFrame] = []
+    for series, (clips, dims, catalog) in jobs.items():
+        res = run_validation(
+            spark, clips, dims, catalog, run_ts=run_ts, partition_col=partition_col
+        )
+        results[series] = res
+        v_parts.append(res.violations.select(F.lit(series).alias("series"), "*"))
+        d_parts.append(
+            res.verdicts.select(F.lit(series).alias("series"), "*")
+        )
+    violations = reduce(DataFrame.unionByName, v_parts)
+    verdicts = reduce(DataFrame.unionByName, d_parts)
+    return violations, verdicts, results

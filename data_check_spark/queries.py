@@ -643,3 +643,43 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select(
         "media_id", "media_type", "ok", "error", "n_bytes"
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# 7. Result-reporting ops (reference UI surface: filter/search/sort/export,
+#    data_check.py:1112-1165) — applied to the orders violation stream.
+# ---------------------------------------------------------------------------
+
+from data_check_spark import reporting as _rep  # noqa: E402
+
+
+@register(
+    "search_violations_orders",
+    f"""
+    WITH v AS ({_ORDERS_RULES_SQL})
+    SELECT * FROM v
+    WHERE lower(coalesce(rule_id, '')) LIKE '%1999-%'
+       OR lower(coalesce(clip_id, '')) LIKE '%1999-%'
+       OR lower(coalesce("partition", '')) LIKE '%1999-%'
+       OR lower(coalesce(observed, '')) LIKE '%1999-%'
+    """,
+)
+def search_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring search across all result columns."""
+    return _rep.filter_violations(row_rules_orders(spark, sf_dir), search="1999-")
+
+
+@register(
+    "sorted_date_violations",
+    f"""
+    WITH v AS ({_ORDERS_RULES_SQL})
+    SELECT * FROM v WHERE rule_id = 'O_DATE_SANITY'
+    ORDER BY TRY_CAST(clip_id AS DOUBLE) NULLS LAST, clip_id
+    LIMIT 100
+    """,
+)
+def sorted_date_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-coercion sort with nulls-last + top-N (reference:
+    pd.to_numeric(errors='coerce') sort, data_check.py:1147-1159)."""
+    v = row_rules_orders(spark, sf_dir).filter(F.col("rule_id") == "O_DATE_SANITY")
+    return _rep.sort_numeric_coerced(v, "clip_id").limit(100)

