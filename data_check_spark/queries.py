@@ -683,3 +683,73 @@ def sorted_date_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd.to_numeric(errors='coerce') sort, data_check.py:1147-1159)."""
     v = row_rules_orders(spark, sf_dir).filter(F.col("rule_id") == "O_DATE_SANITY")
     return _rep.sort_numeric_coerced(v, "clip_id").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# 8. Beyond-reference analytics: rollup aggregation and brute-force
+#    embedding near-duplicate pairs (the LSH path is the scale route; this
+#    exact variant is the oracle-checkable baseline).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "region_nation_rollup",
+    """
+    SELECT coalesce(n.n_name, '<all>') AS nation,
+           coalesce(r.r_name, '<all>') AS region,
+           count(*) AS n_customers,
+           cast(sum(cast(c.c_acctbal AS decimal(18,2))) AS double) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region → nation → grand total) — a capability
+    the reference lacks entirely (SURVEY.md §2.5)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation"),
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           printf('%.4f', list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[])) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-duplicate pairs (embedding-space dedup baseline)."""
+    from data_check_spark.operators.similarity import _dot, _norm, _vec_d
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), _vec_d("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), _vec_d("embedding").alias("_vb"))
+    sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= 0.3)
+        .select("id_a", "id_b", F.format_string("%.4f", F.col("_sim")).alias("cosine"))
+    )
