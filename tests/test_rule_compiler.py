@@ -164,3 +164,14 @@ def test_observed_column(spark):
     row = out.collect()[0]
     assert row["observed"] == "badval"
     assert row["partition"] == "p0"
+
+
+def test_shipped_rules_json_matches_catalog():
+    """rules/audio_rules.json is the serialized default catalog (rules ship
+    as data for spark-submit --files, reference: check_definitions.json)."""
+    from data_check_spark.rules.catalog_audio import audio_catalog
+    from data_check_spark.rules.spec import load_catalog
+
+    shipped = load_catalog("/root/repo/rules/audio_rules.json")
+    default = audio_catalog()
+    assert [r.to_dict() for r in shipped] == [r.to_dict() for r in default]
