@@ -41,6 +41,26 @@ def synth_wave(clip_id: str | None, sr_hz: int, dur_ms: int, cap_ms: int) -> np.
     return (wave * 32767.0).astype(np.int16)
 
 
+def audio_features(decoded: np.ndarray, sr_hz: int) -> tuple[float, float, float]:
+    """(clip_ratio, rms_db, est_freq_hz) from a decoded int16 waveform.
+
+    - clip_ratio: fraction of samples at full scale (digital clipping)
+    - rms_db: level in dBFS (0 dB = full-scale square wave)
+    - est_freq_hz: zero-crossing-rate frequency estimate (for a sine,
+      crossings/sec ≈ 2f) — a cheap spectral sanity check without FFT
+    """
+    if decoded.size == 0 or sr_hz <= 0:
+        return float("nan"), float("nan"), float("nan")
+    x = decoded.astype(np.float64)
+    clip_ratio = float(np.mean(np.abs(decoded) >= 32767))
+    rms = float(np.sqrt(np.mean(x * x)))
+    rms_db = 20.0 * np.log10(rms / 32767.0) if rms > 0 else float("-inf")
+    signs = np.signbit(x)
+    crossings = int(np.count_nonzero(signs[1:] != signs[:-1]))
+    est_freq = crossings / 2.0 * (sr_hz / max(decoded.size, 1))
+    return clip_ratio, rms_db, est_freq
+
+
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
     """Signal-to-noise ratio of ``decoded`` against ``reference`` (dB).
 

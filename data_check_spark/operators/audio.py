@@ -39,14 +39,22 @@ def prepare_clips(df: DataFrame, *, cap_ms: int = 100, with_snr: bool = True) ->
     """
     out_fields = [f for f in df.schema.fields if f.name != "bytes"]
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
-    schema += f", byte_len long, {SNR_COL} double"
+    schema += (
+        f", byte_len long, {SNR_COL} double, clip_ratio double, rms_db double,"
+        " freq_err_ratio double"
+    )
     keep = [f.name for f in out_fields]
 
     def run(batches):
+        from data_check_spark.functions.pcm import audio_features, ref_freq
+
         for pdf in batches:
             n = len(pdf)
             byte_len = np.full(n, np.nan, dtype=np.float64)
             snr = np.full(n, np.nan, dtype=np.float64)
+            clip_ratio = np.full(n, np.nan, dtype=np.float64)
+            rms_arr = np.full(n, np.nan, dtype=np.float64)
+            freq_err = np.full(n, np.nan, dtype=np.float64)
             payloads = pdf["bytes"].to_numpy(dtype=object)
             cids = pdf["clip_id"].to_numpy(dtype=object)
             srs = pdf["sr_hz"].to_numpy(dtype=object)
@@ -65,9 +73,19 @@ def prepare_clips(df: DataFrame, *, cap_ms: int = 100, with_snr: bool = True) ->
                 ref = synth_wave(cids[i], int(sr), int(dur), cap_ms)
                 val = snr_db(ref, decoded)
                 snr[i] = val if np.isfinite(val) else (1e9 if val > 0 else -1e9)
+                cr, rms, est = audio_features(decoded, int(sr))
+                clip_ratio[i] = cr
+                rms_arr[i] = rms if np.isfinite(rms) else -200.0
+                expected = ref_freq(cids[i])
+                nyquist = int(sr) / 2.0
+                if decoded.size and expected > 0 and expected < nyquist:
+                    freq_err[i] = abs(est - expected) / expected
             out = pdf[keep].copy()
             out["byte_len"] = byte_len
             out[SNR_COL] = snr
+            out["clip_ratio"] = clip_ratio
+            out["rms_db"] = rms_arr
+            out["freq_err_ratio"] = freq_err
             yield out
 
     return df.mapInPandas(run, schema=schema)

@@ -83,3 +83,29 @@ def test_transcript_match(spark):
     out = transcript_match_violations(clips, dim, "TM").collect()
     # only b mismatches; c has no dim row (referential rule's job, not this one)
     assert {r["clip_id"] for r in out} == {"b"}
+
+
+def test_prepare_clips_audio_features(spark):
+    """Audio quality features from the single wide pass: clean clips are
+    unclipped with matching tone frequency; corrupt clips clip and drift."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_check_spark.datagen import BUCKETS, clips_df
+    from data_check_spark.operators.audio import prepare_clips
+
+    clips = clips_df(spark, 4000, bytes_cap_ms=50)
+    prep = prepare_clips(clips.drop("_gen_id"), cap_ms=50)
+    lo, hi = BUCKETS["bytes_corrupt"]
+    rows = prep.select("_viol", "clip_ratio", "rms_db", "freq_err_ratio").filter(
+        F.col("clip_ratio").isNotNull()
+    ).collect()
+    clean = [r for r in rows if not (lo <= r["_viol"] < hi) and r["_viol"] >= 200]
+    corrupt = [r for r in rows if lo <= r["_viol"] < hi]
+    assert clean and corrupt
+    assert all(r["clip_ratio"] == 0.0 for r in clean)
+    assert all(r["freq_err_ratio"] < 0.12 for r in clean if r["freq_err_ratio"] is not None)
+    assert np.mean([r["clip_ratio"] > 0.001 for r in corrupt]) > 0.5
+    # clean sine at amplitude 0.5 sits near -9 dBFS
+    lv = [r["rms_db"] for r in clean]
+    assert -12.0 < float(np.median(lv)) < -6.0

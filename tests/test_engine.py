@@ -37,9 +37,10 @@ def result(spark):
 
 def test_all_rule_families_fire(result):
     fired = {r["rule_id"] for r in result.violations.select("rule_id").distinct().collect()}
-    expected = {r.rule_id for r in audio_catalog()} - {"SR_NOT_NULL", "DRIFT_SR_HZ"}
-    # SR_NOT_NULL does fire (planted); DRIFT_SR_HZ may or may not (no planted sr shift)
-    assert expected <= fired | {"DRIFT_SR_HZ"}
+    expected = {r.rule_id for r in audio_catalog()} - {"SR_NOT_NULL", "DRIFT_SR_HZ", "AUDIO_SILENCE"}
+    # SR_NOT_NULL does fire (planted); DRIFT_SR_HZ may or may not (no planted
+    # sr shift); AUDIO_SILENCE has no planted silent clips (monitoring rule)
+    assert expected <= fired | {"DRIFT_SR_HZ", "AUDIO_SILENCE"}
     assert "SR_NOT_NULL" in fired
 
 
