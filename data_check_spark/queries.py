@@ -753,3 +753,31 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sim") >= 0.3)
         .select("id_a", "id_b", F.format_string("%.4f", F.col("_sim")).alias("cosine"))
     )
+
+
+@register(
+    "multi_field_lineitem",
+    """
+    SELECT 'L_FIELD_TOO_HIGH' AS rule_id, cast(l_orderkey AS varchar) AS clip_id,
+           l_linestatus AS "partition",
+           'l_discount=' || printf('%.2f', l_discount) AS observed
+    FROM lineitem WHERE l_discount IS NOT NULL AND l_discount > 0.08
+    UNION ALL
+    SELECT 'L_FIELD_TOO_HIGH', cast(l_orderkey AS varchar), l_linestatus,
+           'l_tax=' || printf('%.2f', l_tax)
+    FROM lineitem WHERE l_tax IS NOT NULL AND l_tax > 0.08
+    """,
+)
+def multi_field_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column family fold: ONE rule over several fields, one violation
+    per matching FIELD (reference: CLOUD CHK_0006/0022 per-field emission)."""
+    rule = Rule(
+        "L_FIELD_TOO_HIGH", "multi_column", None,
+        {"columns": ["l_discount", "l_tax"],
+         "expr": "`{col}` IS NOT NULL AND `{col}` > 0.08",
+         "observed_expr": "concat('{col}=', format_string('%.2f', `{col}`))"},
+        name="per-field rate sanity",
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return apply_row_rules(li, compile_row_rules([rule]), id_col="l_orderkey",
+                           partition_col="l_linestatus")

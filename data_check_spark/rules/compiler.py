@@ -105,6 +105,9 @@ def compile_rule(rule: Rule, run_ts: str | None = None) -> CompiledRule:
             expr = expr.replace("{run_ts}", f"timestamp'{run_ts}'")
         pred = F.expr(expr)
 
+    elif rule.kind == "multi_column":
+        raise ValueError("multi_column rules expand to several compiled rules; use compile_rule_many")
+
     else:
         raise ValueError(f"rule kind {rule.kind!r} is not row-local; dispatch to operators")
 
@@ -123,8 +126,33 @@ def compile_rule(rule: Rule, run_ts: str | None = None) -> CompiledRule:
     return CompiledRule(rule.rule_id, pred, observed, rule.severity)
 
 
+def compile_rule_many(rule: Rule, run_ts: str | None = None) -> list[CompiledRule]:
+    """Compile a rule to one-or-more (predicate, observed) entries.
+
+    ``multi_column`` expands to one compiled entry PER FIELD (same rule_id),
+    so a row violating k fields emits k violation rows — the reference's
+    per-field emission (CLOUD CHK_0006/0022, cloud.py:237-246, 765-787)."""
+    if rule.kind != "multi_column":
+        return [compile_rule(rule, run_ts)]
+    p = rule.params
+    template = p["expr"]
+    observed_t = p.get("observed_expr", "concat('{col}=', cast(`{col}` as string))")
+    out = []
+    for col in p["columns"]:
+        pred = F.expr(template.replace("{col}", col))
+        if rule.gate:
+            pred = F.coalesce(F.expr(rule.gate), F.lit(False)) & pred
+        observed = F.expr(observed_t.replace("{col}", col)).cast("string")
+        out.append(CompiledRule(rule.rule_id, pred, observed, rule.severity))
+    return out
+
+
 def compile_row_rules(rules: list[Rule], run_ts: str | None = None) -> list[CompiledRule]:
-    return [compile_rule(r, run_ts) for r in rules if r.is_row_local]
+    out: list[CompiledRule] = []
+    for r in rules:
+        if r.is_row_local:
+            out.extend(compile_rule_many(r, run_ts))
+    return out
 
 
 def apply_row_rules(

@@ -21,6 +21,11 @@ Row-local kinds (compiled into the single-pass projection):
                             timestamp literal (determinism: the reference
                             calls ``datetime.now()`` per row,
                             dekispart.py:473; we pin one literal per job).
+- ``multi_column``        — one predicate template applied to each of
+                            ``columns``; ONE violation per matching FIELD
+                            (reference: CLOUD CHK_0006/0022 per-field
+                            emission, cloud.py:237-246, 765-787). The
+                            template uses ``{col}`` as the placeholder.
 
 Set-oriented kinds (dispatched to operators, not the projection):
 
@@ -47,6 +52,7 @@ ROW_LOCAL_KINDS = {
     "range",
     "length",
     "cross_column",
+    "multi_column",
 }
 
 SET_KINDS = {

@@ -175,3 +175,33 @@ def test_shipped_rules_json_matches_catalog():
     shipped = load_catalog("/root/repo/rules/audio_rules.json")
     default = audio_catalog()
     assert [r.to_dict() for r in shipped] == [r.to_dict() for r in default]
+
+
+def test_multi_column_per_field_emission(spark):
+    """multi_column emits one violation per matching FIELD (CLOUD 0006)."""
+    from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+    from data_check_spark.rules.spec import Rule
+
+    df = spark.createDataFrame(
+        [("a", 1, 9, "p"), ("b", 9, 9, "p"), ("c", 1, 1, "p")],
+        "clip_id string, x int, y int, partition string",
+    )
+    rule = Rule("MC", "multi_column", None,
+                {"columns": ["x", "y"], "expr": "`{col}` > 5"})
+    out = apply_row_rules(df, compile_row_rules([rule])).collect()
+    got = sorted((r["clip_id"], r["observed"]) for r in out)
+    assert got == [("a", "y=9"), ("b", "x=9"), ("b", "y=9")]
+
+
+def test_multi_column_gate(spark):
+    from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+    from data_check_spark.rules.spec import Rule
+
+    df = spark.createDataFrame(
+        [("a", 9, True, "p"), ("b", 9, False, "p")],
+        "clip_id string, x int, active boolean, partition string",
+    )
+    rule = Rule("MCG", "multi_column", None,
+                {"columns": ["x"], "expr": "`{col}` > 5"}, gate="active")
+    out = apply_row_rules(df, compile_row_rules([rule])).collect()
+    assert [r["clip_id"] for r in out] == ["a"]
