@@ -49,7 +49,11 @@ def write_checkpoint(verdicts: DataFrame, checkpoint_dir: str, run_id: str) -> N
 def mark_failed(spark: SparkSession, checkpoint_dir: str, partition: str, run_id: str) -> None:
     import datetime as _dt
 
-    row = [(partition, "failed", None, None, None, run_id, _dt.datetime.utcnow())]
+    # tz-aware now(): a naive utcnow() would be re-interpreted in the session
+    # timezone, which on a non-UTC cluster could backdate the 'failed' marker
+    # and lose the max_by(completed_at) ordering to an earlier 'done' row.
+    now = _dt.datetime.now(_dt.timezone.utc)
+    row = [(partition, "failed", None, None, None, run_id, now)]
     spark.createDataFrame(row, CHECKPOINT_SCHEMA).write.mode("append").parquet(checkpoint_dir)
 
 

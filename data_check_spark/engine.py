@@ -58,7 +58,11 @@ from data_check_spark.operators.uniqueness import (
     aggregate_unique_violations,
     unique_violations,
 )
-from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+from data_check_spark.rules.compiler import (
+    apply_row_rules,
+    compile_row_rules,
+    gate_condition,
+)
 from data_check_spark.rules.spec import Rule, RuleCatalog
 from data_check_spark.schemas import CLIPS_SCHEMA, validate_schema
 
@@ -88,9 +92,10 @@ def _dispatch_set_rule(
     *,
     partition_col: str,
     shared_dups: DataFrame | None = None,
+    run_ts: str | None = None,
 ) -> DataFrame:
     p = rule.params
-    gate = F.expr(rule.gate) if rule.gate else None
+    gate = gate_condition(rule.gate, run_ts, rule.rule_id) if rule.gate else None
     if rule.kind == "unique":
         scoped = clips.filter(gate) if gate is not None else clips
         return unique_violations(scoped, rule.rule_id, rule.column or "clip_id",
@@ -213,6 +218,14 @@ def run_validation(
     # --- single wide pass: byte_len + SNR in one mapInPandas stage, then the
     # binary column is gone. Everything downstream is narrow.
     audio_rules = [r for r in catalog.set_oriented if r.kind == "audio_decode"]
+    caps = {r.params.get("cap_ms", 100) for r in audio_rules}
+    if len(caps) > 1:
+        # SNR is computed once in the wide pass; two rules disagreeing on the
+        # decode cap would silently share the first rule's SNR column.
+        raise ValueError(
+            f"audio_decode rules disagree on cap_ms ({sorted(caps)}); "
+            "use one cap per catalog (the wide pass decodes once)"
+        )
     if "bytes" in clips.columns:
         cap = audio_rules[0].params.get("cap_ms", 100) if audio_rules else 100
         prepared = prepare_clips(clips, cap_ms=cap, with_snr=bool(audio_rules))
@@ -289,7 +302,8 @@ def run_validation(
                     dim_key=dim_key,
                     partition_col=partition_col,
                     anti_rule=anti.rule_id if anti else None,
-                    anti_gate=F.expr(anti.gate) if anti and anti.gate else None,
+                    anti_gate=gate_condition(anti.gate, run_ts, anti.rule_id)
+                    if anti and anti.gate else None,
                     orphan_rule=orphan.rule_id if orphan else None,
                     match_rule=match.rule_id if match else None,
                     fact_text=match.column if match else None,
@@ -331,7 +345,7 @@ def run_validation(
         if done and global_grain:
             # Full-table key scan (column-pruned; never touches bytes).
             v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
-                                   shared_dups=dups)
+                                   shared_dups=dups, run_ts=run_ts)
             if rule.kind == "unique":
                 # Row-grain output: rows in completed partitions were
                 # already reported by the run that checkpointed them.
@@ -339,7 +353,7 @@ def run_validation(
             parts.append(v)
         else:
             parts.append(_dispatch_set_rule(rule, prepared, dims, partition_col=partition_col,
-                                            shared_dups=dups))
+                                            shared_dups=dups, run_ts=run_ts))
         _mark(f"dispatch {rule.rule_id}", _t)
 
     if synthetic:

@@ -220,10 +220,18 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """Pairs with hamming(simhash) ≤ max_hamming via 16-bit chunk blocking.
+    """Pairs with hamming(simhash) ≤ max_hamming via chunk blocking.
 
-    Pigeonhole: hamming ≤ 3 over 4 chunks → at least one chunk equal, so
-    chunk-equality blocking finds every qualifying pair."""
+    The 64 bits are split into ``max_hamming + 1`` contiguous chunks, so by
+    pigeonhole any pair within the hamming budget agrees on at least one
+    chunk — chunk-equality blocking is COMPLETE for the requested radius at
+    every ``max_hamming`` (a fixed 4-chunk split would silently miss pairs
+    whose >3 differing bits spread across all four chunks)."""
+    n_chunks = max_hamming + 1
+    if n_chunks < 1 or n_chunks > 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    # Contiguous chunk boundaries; widths differ by at most 1 bit.
+    bounds = [(c * 64 // n_chunks, (c + 1) * 64 // n_chunks) for c in range(n_chunks)]
     sh = simhash_64(df, id_col=id_col, text_col=text_col)
     chunked = sh.select(
         F.col(id_col).alias("_id"),
@@ -233,11 +241,15 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("ck"),
+                        (
+                            F.col("simhash")
+                            if hi - lo == 64
+                            else F.shiftright(F.col("simhash"), lo).bitwiseAND(
+                                F.lit((1 << (hi - lo)) - 1)
+                            )
+                        ).alias("ck"),
                     )
-                    for c in range(4)
+                    for c, (lo, hi) in enumerate(bounds)
                 ]
             )
         ).alias("cc"),

@@ -38,6 +38,24 @@ def _observed_default(column: str | None) -> Column:
     return F.col(column).cast("string")
 
 
+def expand_run_ts(expr: str, run_ts: str | None, rule_id: str = "?") -> str:
+    """Substitute the pinned run timestamp into a SQL expression string.
+
+    Shared by predicate exprs, gates (row-local, multi_column, set-oriented,
+    and the engine's fused-join gate reconstruction) so every path that
+    accepts ``{run_ts}`` expands it identically."""
+    if "{run_ts}" not in expr:
+        return expr
+    if run_ts is None:
+        raise ValueError(f"rule {rule_id} needs run_ts but none was pinned")
+    return expr.replace("{run_ts}", f"timestamp'{run_ts}'")
+
+
+def gate_condition(gate: str, run_ts: str | None, rule_id: str = "?") -> Column:
+    """Gate SQL → Column; NULL gate = not applicable = pass."""
+    return F.coalesce(F.expr(expand_run_ts(gate, run_ts, rule_id)), F.lit(False))
+
+
 def compile_rule(rule: Rule, run_ts: str | None = None) -> CompiledRule:
     """Compile one row-local rule into (predicate, observed)."""
     p = rule.params
@@ -98,12 +116,7 @@ def compile_rule(rule: Rule, run_ts: str | None = None) -> CompiledRule:
         pred = is_present(rule.column) & pred
 
     elif rule.kind == "cross_column":
-        expr = p["expr"]
-        if "{run_ts}" in expr:
-            if run_ts is None:
-                raise ValueError(f"rule {rule.rule_id} needs run_ts but none was pinned")
-            expr = expr.replace("{run_ts}", f"timestamp'{run_ts}'")
-        pred = F.expr(expr)
+        pred = F.expr(expand_run_ts(p["expr"], run_ts, rule.rule_id))
 
     elif rule.kind == "multi_column":
         raise ValueError("multi_column rules expand to several compiled rules; use compile_rule_many")
@@ -117,11 +130,8 @@ def compile_rule(rule: Rule, run_ts: str | None = None) -> CompiledRule:
         observed = F.expr(p["observed_expr"]).cast("string")
 
     if rule.gate:
-        gate = rule.gate
-        if run_ts is not None and "{run_ts}" in gate:
-            gate = gate.replace("{run_ts}", f"timestamp'{run_ts}'")
         # Violation requires gate TRUE (null gate = not applicable = pass).
-        pred = F.coalesce(F.expr(gate), F.lit(False)) & pred
+        pred = gate_condition(rule.gate, run_ts, rule.rule_id) & pred
 
     return CompiledRule(rule.rule_id, pred, observed, rule.severity)
 
@@ -139,9 +149,9 @@ def compile_rule_many(rule: Rule, run_ts: str | None = None) -> list[CompiledRul
     observed_t = p.get("observed_expr", "concat('{col}=', cast(`{col}` as string))")
     out = []
     for col in p["columns"]:
-        pred = F.expr(template.replace("{col}", col))
+        pred = F.expr(expand_run_ts(template.replace("{col}", col), run_ts, rule.rule_id))
         if rule.gate:
-            pred = F.coalesce(F.expr(rule.gate), F.lit(False)) & pred
+            pred = gate_condition(rule.gate, run_ts, rule.rule_id) & pred
         observed = F.expr(observed_t.replace("{col}", col)).cast("string")
         out.append(CompiledRule(rule.rule_id, pred, observed, rule.severity))
     return out

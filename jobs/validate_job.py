@@ -47,7 +47,13 @@ def main(argv: list[str] | None = None) -> int:
     from data_check_spark.rules.spec import load_catalog
 
     # spark-submit provides master/conf; default local for direct runs.
-    spark = SparkSession.builder.appName("data_check_validate").getOrCreate()
+    # Session timezone pinned to UTC so checkpoint timestamps and date rules
+    # are cluster-timezone-independent (resume ordering relies on it).
+    spark = (
+        SparkSession.builder.appName("data_check_validate")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     clips = spark.read.parquet(args.input)

@@ -120,3 +120,40 @@ def test_codec_whitelist_dim_consistent(spark):
     from data_check_spark.datagen import CODECS
 
     assert allowed == set(CODECS)
+
+
+def test_conflicting_cap_ms_rejected(spark):
+    """Two audio_decode rules with different cap_ms would silently share one
+    SNR column — the engine refuses instead."""
+    import pytest
+
+    from data_check_spark import datagen
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    clips = datagen.clips_df(spark, 200, bytes_cap_ms=20).drop("_gen_id", "_viol")
+    catalog = RuleCatalog([
+        Rule("SNR_A", "audio_decode", "bytes", {"cap_ms": 20}),
+        Rule("SNR_B", "audio_decode", "bytes", {"cap_ms": 50}),
+    ])
+    with pytest.raises(ValueError, match="cap_ms"):
+        run_validation(spark, clips, {}, catalog, run_ts="2026-01-01 00:00:00")
+
+
+def test_set_rule_gate_run_ts(spark):
+    """{run_ts} expands in set-oriented rule gates (unique here)."""
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    df = spark.createDataFrame(
+        [("a", "2000-01-01 00:00:00", "p"), ("a", "2000-01-02 00:00:00", "p"),
+         ("a", "2002-01-01 00:00:00", "p")],
+        "clip_id string, seen string, partition string",
+    )
+    df = df.withColumn("seen", df["seen"].cast("timestamp"))
+    catalog = RuleCatalog([
+        Rule("DUP_OLD", "unique", "clip_id", gate="seen < {run_ts}"),
+    ])
+    res = run_validation(spark, df, {}, catalog, run_ts="2001-06-01 00:00:00")
+    # Only the two pre-run_ts rows are in scope -> both are duplicate rows.
+    assert res.violations.filter("rule_id = 'DUP_OLD'").count() == 2

@@ -205,3 +205,23 @@ def test_multi_column_gate(spark):
                 {"columns": ["x"], "expr": "`{col}` > 5"}, gate="active")
     out = apply_row_rules(df, compile_row_rules([rule])).collect()
     assert [r["clip_id"] for r in out] == ["a"]
+
+
+def test_multi_column_gate_run_ts(spark):
+    """{run_ts} expands in multi_column gates and exprs (shared helper)."""
+    from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+    from data_check_spark.rules.spec import Rule
+
+    df = spark.createDataFrame(
+        [("a", 9, "2001-01-01 00:00:00"), ("b", 9, "2002-01-01 00:00:00")],
+        "clip_id string, x int, seen string",
+    )
+    df = df.withColumn("seen", df["seen"].cast("timestamp"))
+    rule = Rule("MCTS", "multi_column", None,
+                {"columns": ["x"], "expr": "`{col}` > 5"},
+                gate="seen < {run_ts}")
+    out = apply_row_rules(
+        df, compile_row_rules([rule], run_ts="2001-06-01 00:00:00"),
+        partition_col=None,
+    ).collect()
+    assert [r["clip_id"] for r in out] == ["a"]
