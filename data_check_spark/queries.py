@@ -783,6 +783,49 @@ def multi_field_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                            partition_col="l_linestatus")
 
 
+_DATE_PARSE_SQL = f"""
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'XX-' || strftime(o_orderdate, '%Y-%m-%d')
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS o_date_str
+  FROM orders
+)
+SELECT 'O_DATE_PARSED_SANITY' AS rule_id, cast(o_orderkey AS varchar) AS clip_id,
+       o_orderstatus AS "partition", o_date_str AS observed
+FROM d
+WHERE try_strptime(o_date_str, '%Y-%m-%d') IS NOT NULL
+  AND try_strptime(o_date_str, '%Y-%m-%d') > timestamp '{_RUN_TS}'
+UNION ALL
+SELECT 'O_DATE_PARSED_SANITY_PARSE_ERROR', cast(o_orderkey AS varchar),
+       o_orderstatus, o_date_str
+FROM d
+WHERE o_date_str IS NOT NULL AND trim(o_date_str) <> ''
+  AND try_strptime(o_date_str, '%Y-%m-%d') IS NULL
+"""
+
+
+@register("date_parse_orders", _DATE_PARSE_SQL)
+def date_parse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-error escalation family: a date-string column where ~1/7 of the
+    rows are mangled; unparseable non-blank values emit the secondary
+    ``*_PARSE_ERROR`` rule, parseable ones run the primary date-sanity check
+    (reference: CHK_0044_DATE_PARSE_ERROR, dekispart.py:855-859)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_date_str",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(F.lit("XX-"), F.date_format("o_orderdate", "yyyy-MM-dd")),
+        ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")),
+    )
+    rule = Rule(
+        "O_DATE_PARSED_SANITY", "date_parse", "o_date_str",
+        {"format": "yyyy-MM-dd", "expr": "{parsed} > {run_ts}"},
+        name="parsed order date must not be after the pinned run timestamp",
+    )
+    return apply_row_rules(orders, compile_row_rules([rule], run_ts=_RUN_TS),
+                           id_col="o_orderkey", partition_col="o_orderstatus")
+
+
 @register(
     "sessionize_events",
     """

@@ -118,8 +118,8 @@ def compile_rule(rule: Rule, run_ts: str | None = None) -> CompiledRule:
     elif rule.kind == "cross_column":
         pred = F.expr(expand_run_ts(p["expr"], run_ts, rule.rule_id))
 
-    elif rule.kind == "multi_column":
-        raise ValueError("multi_column rules expand to several compiled rules; use compile_rule_many")
+    elif rule.kind in ("multi_column", "date_parse"):
+        raise ValueError(f"{rule.kind} rules expand to several compiled rules; use compile_rule_many")
 
     else:
         raise ValueError(f"rule kind {rule.kind!r} is not row-local; dispatch to operators")
@@ -136,12 +136,54 @@ def compile_rule(rule: Rule, run_ts: str | None = None) -> CompiledRule:
     return CompiledRule(rule.rule_id, pred, observed, rule.severity)
 
 
+def _compile_date_parse(rule: Rule, run_ts: str | None) -> list[CompiledRule]:
+    """``date_parse`` → [primary value-check rule?, <RULE>_PARSE_ERROR rule].
+
+    The reference escalates unparseable (non-blank) date strings to a
+    secondary rule id while the primary rule checks the parsed value
+    (CHK_0044_DATE_PARSE_ERROR dekispart.py:855-859, CHK_0022_DATE_ERROR
+    innosite.py:417-419). Both predicates compile into the same single-pass
+    projection; ``try_to_timestamp`` keeps parsing JVM-side and null-safe.
+    """
+    p = rule.params
+    col_sql = f"`{rule.column}`"
+    fmt = p.get("format")
+    parsed_sql = (
+        f"try_to_timestamp({col_sql}, '{fmt}')" if fmt else f"try_to_timestamp({col_sql})"
+    )
+    parsed = F.expr(parsed_sql)
+    gate = gate_condition(rule.gate, run_ts, rule.rule_id) if rule.gate else None
+    out: list[CompiledRule] = []
+    if "expr" in p:
+        expr = expand_run_ts(p["expr"].replace("{parsed}", parsed_sql), run_ts, rule.rule_id)
+        pred = parsed.isNotNull() & F.expr(expr)
+        if "observed_expr" in p:
+            observed = F.expr(
+                expand_run_ts(p["observed_expr"].replace("{parsed}", parsed_sql), run_ts, rule.rule_id)
+            ).cast("string")
+        else:
+            observed = F.col(rule.column).cast("string")
+        if gate is not None:
+            pred = gate & pred
+        out.append(CompiledRule(rule.rule_id, pred, observed, rule.severity))
+    err_id = p.get("parse_rule_id", f"{rule.rule_id}_PARSE_ERROR")
+    err_pred = is_present(rule.column) & parsed.isNull()
+    if gate is not None:
+        err_pred = gate & err_pred
+    out.append(CompiledRule(err_id, err_pred, F.col(rule.column).cast("string"), rule.severity))
+    return out
+
+
 def compile_rule_many(rule: Rule, run_ts: str | None = None) -> list[CompiledRule]:
     """Compile a rule to one-or-more (predicate, observed) entries.
 
     ``multi_column`` expands to one compiled entry PER FIELD (same rule_id),
     so a row violating k fields emits k violation rows — the reference's
-    per-field emission (CLOUD CHK_0006/0022, cloud.py:237-246, 765-787)."""
+    per-field emission (CLOUD CHK_0006/0022, cloud.py:237-246, 765-787).
+    ``date_parse`` expands to the primary parsed-value rule plus the
+    ``<RULE_ID>_PARSE_ERROR`` escalation rule."""
+    if rule.kind == "date_parse":
+        return _compile_date_parse(rule, run_ts)
     if rule.kind != "multi_column":
         return [compile_rule(rule, run_ts)]
     p = rule.params

@@ -26,6 +26,16 @@ Row-local kinds (compiled into the single-pass projection):
                             (reference: CLOUD CHK_0006/0022 per-field
                             emission, cloud.py:237-246, 765-787). The
                             template uses ``{col}`` as the placeholder.
+- ``date_parse``          — parse ``column`` with ``try_to_timestamp``
+                            (optional ``format``); a non-blank value that
+                            fails to parse emits a SECONDARY rule id
+                            ``<RULE_ID>_PARSE_ERROR`` (override via
+                            ``parse_rule_id``), and the optional ``expr``
+                            (with ``{parsed}`` as the parsed-value
+                            placeholder) checks successfully parsed values
+                            under the primary rule id — the reference's
+                            parse-null escalation (dekispart.py:855-859,
+                            innosite.py:417-419, 396-398).
 
 Set-oriented kinds (dispatched to operators, not the projection):
 
@@ -53,6 +63,7 @@ ROW_LOCAL_KINDS = {
     "length",
     "cross_column",
     "multi_column",
+    "date_parse",
 }
 
 SET_KINDS = {

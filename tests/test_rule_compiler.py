@@ -225,3 +225,39 @@ def test_multi_column_gate_run_ts(spark):
         partition_col=None,
     ).collect()
     assert [r["clip_id"] for r in out] == ["a"]
+
+
+def test_date_parse_escalation(spark):
+    """date_parse: unparseable non-blank -> <RULE>_PARSE_ERROR; parsed value
+    checked by the primary rule; blank exempt from both."""
+    from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+    from data_check_spark.rules.spec import Rule
+
+    df = spark.createDataFrame(
+        [("ok_past", "2000-01-01"), ("ok_future", "2030-01-01"),
+         ("bad", "not-a-date"), ("blank", "  "), ("nul", None)],
+        "clip_id string, d string",
+    )
+    rule = Rule("D_SANE", "date_parse", "d",
+                {"format": "yyyy-MM-dd", "expr": "{parsed} > {run_ts}"})
+    out = apply_row_rules(
+        df, compile_row_rules([rule], run_ts="2001-06-01 00:00:00"),
+        partition_col=None,
+    ).collect()
+    got = sorted((r["rule_id"], r["clip_id"]) for r in out)
+    assert got == [("D_SANE", "ok_future"), ("D_SANE_PARSE_ERROR", "bad")]
+
+
+def test_date_parse_rule_id_override_and_gate(spark):
+    from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+    from data_check_spark.rules.spec import Rule
+
+    df = spark.createDataFrame(
+        [("a", "junk", True), ("b", "junk", False)],
+        "clip_id string, d string, active boolean",
+    )
+    rule = Rule("D2", "date_parse", "d",
+                {"format": "yyyy-MM-dd", "parse_rule_id": "D2_BADDATE"},
+                gate="active")
+    out = apply_row_rules(df, compile_row_rules([rule]), partition_col=None).collect()
+    assert [(r["rule_id"], r["clip_id"]) for r in out] == [("D2_BADDATE", "a")]
