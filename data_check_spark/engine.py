@@ -369,17 +369,28 @@ def run_validation(
 
     # Per-partition verdicts: rows scanned vs violations (partition-grain
     # violations with NULL clip_id count against their partition too).
+    # Severity tier (reference: エラー vs 警告, check_definitions.json:954-960):
+    # warning-severity rules are counted but do NOT fail a partition — a
+    # partition whose only violations are warnings passes.
+    warning_ids = sorted(
+        {c.rule_id for c in compiled if c.severity == "warning"}
+        | {r.rule_id for r in catalog.set_oriented if r.severity == "warning"}
+    )
     rows_per_part = prepared.groupBy(F.col(partition_col).alias("partition")).agg(
         F.count(F.lit(1)).alias("rows_scanned")
     )
+    is_error = (
+        ~F.col("rule_id").isin(warning_ids) if warning_ids else F.lit(True)
+    )
     viol_per_part = violations.filter(F.col("partition").isNotNull()).groupBy("partition").agg(
-        F.count(F.lit(1)).alias("violations")
+        F.count(F.lit(1)).alias("violations"),
+        F.sum(F.when(is_error, 1).otherwise(0)).alias("_errors"),
     )
     verdicts = (
         rows_per_part.join(viol_per_part, "partition", "left")
         .select(
             "partition",
-            (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias("passed"),
+            (F.coalesce(F.col("_errors"), F.lit(0)) == 0).alias("passed"),
             "rows_scanned",
             F.coalesce(F.col("violations"), F.lit(0)).alias("violations"),
         )

@@ -157,3 +157,24 @@ def test_set_rule_gate_run_ts(spark):
     res = run_validation(spark, df, {}, catalog, run_ts="2001-06-01 00:00:00")
     # Only the two pre-run_ts rows are in scope -> both are duplicate rows.
     assert res.violations.filter("rule_id = 'DUP_OLD'").count() == 2
+
+
+def test_warning_only_partition_passes(spark):
+    """Severity tier: warning violations are reported but don't fail the
+    partition; error violations do (reference warning-only CHK_0021)."""
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    df = spark.createDataFrame(
+        [("a", 5, "warn_only"), ("b", -1, "has_error"), ("c", 1, "clean")],
+        "clip_id string, x int, partition string",
+    )
+    catalog = RuleCatalog([
+        Rule("X_BIG_WARN", "range", "x", {"max": 3}, severity="warning"),
+        Rule("X_NEGATIVE", "range", "x", {"min": 0}),
+    ])
+    res = run_validation(spark, df, {}, catalog, run_ts="2026-01-01 00:00:00")
+    v = {r["partition"]: (r["passed"], r["violations"]) for r in res.verdicts.collect()}
+    assert v["warn_only"] == (True, 1)   # counted, but passes
+    assert v["has_error"] == (False, 1)
+    assert v["clean"] == (True, 0)
