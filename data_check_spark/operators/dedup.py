@@ -295,6 +295,10 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 
 
+MAX_SHINGLE_DF = 128  # stop-shingle cutoff: document frequency above this
+                      # drops the shingle from CANDIDATE GENERATION only
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -302,31 +306,61 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = SHINGLE_K,
     threshold: float = 0.5,
+    max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact Jaccard over distinct k-shingles for pairs sharing ≥1 shingle.
+    """Exact Jaccard over distinct k-shingles for pairs sharing ≥1 RARE shingle.
 
-    Plan: explode distinct shingles → self-join on shingle (inverted index)
-    → per-pair intersection counts → join per-doc set sizes → filter.
-    The shuffle key is the shingle, so common-shingle skew is bounded by
-    blocking upstream (callers pre-filter; the LSH path is the scale route —
-    this operator is the exact oracle-checkable variant)."""
+    Plan: explode distinct shingles → drop shingles with document frequency
+    > ``max_df`` (stop-shingle removal, standard for inverted-index Jaccard)
+    → self-join the pruned index for candidate pairs → exact Jaccard per
+    candidate via ``array_intersect`` over the FULL shingle sets.
+
+    The posting-list cap bounds the self-join at Σ min(df, max_df)² instead
+    of Σ df² — one boilerplate shingle shared by 10^6 docs would otherwise
+    produce 10^12 candidate pairs. Jaccard values stay exact (common
+    shingles still count in the intersection/union); only pairs whose EVERY
+    shared shingle is boilerplate-frequent are skipped, which at
+    ``threshold`` ≥ 0.5 is not a near-duplicate signal."""
     sh = df.select(F.col(id_col).alias("_id"), F.explode(_shingles_expr(text_col, k)).alias("s"))
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("s")
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    sh_rare = sh.join(rare, "s")
+    a = sh_rare.alias("a")
+    b = sh_rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+    sets = df.select(F.col(id_col).alias("_id"), _shingles_expr(text_col, k).alias("_sh"))
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    n_inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    jac = n_inter.cast("double") / (
+        F.size(F.col("_sha")) + F.size(F.col("_shb")) - n_inter
     ).cast("double")
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.format_string("%.4f", F.col("jaccard")).alias("jaccard"))
+    )
+
+
+def stop_shingles(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(shingle, df) rows EXCLUDED from candidate generation — callers log
+    this (small) set so truncation is visible, not silent."""
+    sh = df.select(F.explode(_shingles_expr(text_col, k)).alias("s"))
+    return (
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
     )

@@ -548,19 +548,26 @@ WITH sh AS (
                unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
         FROM documents)
 ),
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 128),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM rare)
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT id_a, id_b,
-       printf('%.4f', cast(n_inter AS double)
-                      / cast(sa.n + sb.n - n_inter AS double)) AS jaccard
-FROM inter
-JOIN sizes sa ON id_a = sa.doc_id
-JOIN sizes sb ON id_b = sb.doc_id
-WHERE cast(n_inter AS double) / cast(sa.n + sb.n - n_inter AS double) >= 0.3
+SELECT c.id_a, c.id_b,
+       printf('%.4f', cast(i.n_inter AS double)
+                      / cast(sa.n + sb.n - i.n_inter AS double)) AS jaccard
+FROM cand c
+JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE cast(i.n_inter AS double) / cast(sa.n + sb.n - i.n_inter AS double) >= 0.3
 """
 
 

@@ -85,3 +85,41 @@ def test_lsh_scales_not_quadratic(docs):
     """Bucket cap bounds pair fan-out: plan contains no cartesian join."""
     plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_stop_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc must not explode candidate
+    generation; genuinely similar pairs are still found with EXACT jaccard
+    (common shingles still count in intersection/union)."""
+    import hashlib
+
+    boiler = "HEADER-BOILERPLATE-TEXT "
+    rows = [
+        (i, boiler + hashlib.sha256(f"u{i}".encode()).hexdigest())
+        for i in range(60)
+    ]
+    # one planted near-dup pair sharing rare content shingles
+    rows.append((100, boiler + "abcdefghijklmnopqrstuvwxyz0123456789"))
+    rows.append((101, boiler + "abcdefghijklmnopqrstuvwxyz0123456788"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_df=16).collect()
+    got = {(p["id_a"], p["id_b"]): float(p["jaccard"]) for p in pairs}
+    # Only the planted pair survives: every other doc pair shares ONLY the
+    # boilerplate shingles, which are df-capped out of candidate generation.
+    assert set(got) == {(100, 101)}
+    # Jaccard is exact over FULL sets: recompute brute force.
+    def shingles(t):
+        return {t[i:i + 8] for i in range(len(t) - 7)}
+    a, b = shingles(rows[-2][1]), shingles(rows[-1][1])
+    expected = len(a & b) / len(a | b)
+    assert abs(got[(100, 101)] - expected) < 5e-5
+
+
+def test_stop_shingles_reported(spark):
+    from data_check_spark.operators.dedup import stop_shingles
+
+    rows = [(i, "SAMEPREFIX" + str(i) * 20) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stopped = stop_shingles(docs, max_df=16).collect()
+    assert any(r["s"] == "SAMEPREF" and r["df"] == 40 for r in stopped)
