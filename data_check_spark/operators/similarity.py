@@ -79,6 +79,108 @@ def cosine_topk(
     )
 
 
+EXACT_PAIRS_MAX_ROWS = 100_000  # guard for the O(n^2) exact-pair baseline
+
+
+def exact_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    max_rows: int = EXACT_PAIRS_MAX_ROWS,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — EXACT baseline.
+
+    This is inherently O(n²) (a nested-loop join); it exists as the
+    oracle-checkable reference for the LSH route. The guard refuses corpora
+    above ``max_rows`` so the baseline cannot be launched at a scale where
+    the quadratic blow-up would run forever — use
+    :func:`lsh_near_dup_pairs` there."""
+    if max_rows is not None:
+        # Bounded probe: scans at most max_rows+1 ids, never the full corpus.
+        n = df.select(id_col).limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"exact_cosine_pairs is O(n^2); corpus exceeds max_rows={max_rows}. "
+                "Use lsh_near_dup_pairs for large corpora or raise max_rows explicitly."
+            )
+    a = df.select(F.col(id_col).alias("id_a"), _vec_d(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), _vec_d(vec_col).alias("_vb"))
+    sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b", F.format_string("%.4f", F.col("_sim")).alias("cosine"))
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    multiprobe: int = MULTIPROBE_FLIPS,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH buckets + EXACT cosine re-rank (scale path).
+
+    Each vector lands in its signature bucket plus ``multiprobe`` 1-bit-flip
+    buckets; pairs co-bucketed anywhere are re-scored exactly. The shuffle
+    carries (id, signature, vector) — no all-pairs join appears in the plan,
+    and degenerate buckets are capped like the MinHash route. Approximate in
+    recall (pairs never co-bucketed are missed), exact in the reported
+    cosine values."""
+    v = df.select(F.col(id_col).alias("_id"), _vec_d(vec_col).alias("_v"))
+    sig = lsh_signature(F.col("_v"), n_planes)
+    probes = F.array_distinct(
+        F.array(
+            sig,
+            *[sig.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(multiprobe)],
+        )
+    )
+    exploded = v.select("_id", "_v", F.explode(probes).alias("_bucket"))
+    buckets = (
+        exploded.groupBy("_bucket")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("_id"), F.col("_v")))).alias("m"))
+        .filter(F.size("m") > 1)
+        .select(F.slice("m", 1, max_bucket).alias("m"))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("m"),
+                            lambda a: F.transform(
+                                F.col("m"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"]["_id"] < p["b"]["_id"],
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a._id").alias("id_a"),
+            F.col("p.b._id").alias("id_b"),
+            F.col("p.a._v").alias("_va"),
+            F.col("p.b._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        pairs.withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b", F.format_string("%.4f", F.col("_sim")).alias("cosine"))
+    )
+
+
 def _plane_weight(plane: Column, dim_idx: Column) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1)."""
     return (F.pmod(F.xxhash64(plane, dim_idx, F.lit("plane")), F.lit(2000)) - 1000) / 1000.0

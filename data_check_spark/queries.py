@@ -747,19 +747,18 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-duplicate pairs (embedding-space dedup baseline)."""
-    from data_check_spark.operators.similarity import _dot, _norm, _vec_d
+    """Exact cosine near-duplicate pairs (embedding-space dedup baseline;
+    corpus-size guarded — the LSH-bucketed variant is the scale route)."""
+    return _sim.exact_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), _vec_d("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), _vec_d("embedding").alias("_vb"))
-    sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("_sim", sim)
-        .filter(F.col("_sim") >= 0.3)
-        .select("id_a", "id_b", F.format_string("%.4f", F.col("_sim")).alias("cosine"))
-    )
+
+@register("lsh_embedding_near_dup")
+def lsh_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale route for embedding near-dup: LSH buckets + exact cosine
+    re-rank (no all-pairs join in the plan — asserted in test_plans)."""
+    return _sim.lsh_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    ).orderBy("id_a", "id_b")
 
 
 @register(

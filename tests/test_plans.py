@@ -94,3 +94,15 @@ def test_ann_broadcasts_queries(spark):
     q = emb.filter(F.col("vec_id") < 2).selectExpr("vec_id as q_id", "embedding as q_vec")
     plan = _plan(cosine_topk(emb, q, k=5))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lsh_near_dup_pairs_no_all_pairs_join(spark):
+    """The LSH embedding-pair route must never plan an all-pairs join; the
+    guarded exact baseline is the only O(n^2) surface and it refuses large
+    corpora."""
+    from data_check_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(lsh_near_dup_pairs(emb, threshold=0.3))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -77,3 +77,59 @@ def test_lsh_candidates_subset_is_ranked_by_true_cosine(vectors):
     got = lsh_ann_topk(df, queries, k=50, n_planes=8, multiprobe=2).collect()
     cosines = [float(r["cosine"]) for r in sorted(got, key=lambda r: r["rank"])]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_exact_pairs_guard(spark):
+    """exact_cosine_pairs refuses corpora beyond max_rows (O(n^2) guard)."""
+    import pytest
+
+    from data_check_spark.operators.similarity import exact_cosine_pairs
+
+    rows = [(i, [float(i), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_rows"):
+        exact_cosine_pairs(df, max_rows=10)
+    # under the limit it runs
+    assert exact_cosine_pairs(df, threshold=0.99, max_rows=100).count() > 0
+
+
+def test_lsh_pairs_subset_of_exact_with_exact_values(spark):
+    """LSH pair route: reported cosines are exact (match the brute-force
+    values) and the pair set is a subset of the exact pair set."""
+    from data_check_spark.operators.similarity import (
+        exact_cosine_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in exact_cosine_pairs(emb, threshold=0.3).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in lsh_near_dup_pairs(emb, threshold=0.3).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+
+
+def test_lsh_pairs_recall_on_planted_near_dups(spark):
+    """The LSH pair route must recover nearly all PLANTED near-duplicates
+    (cosine >= 0.95) — the regime the scale path is for. Weakly similar
+    pairs (0.3) are allowed to be missed; near-identical ones are not."""
+    import numpy as np
+
+    from data_check_spark.operators.similarity import lsh_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    # 20 planted near-dups: tiny perturbation of vectors 0..19
+    planted = []
+    for i in range(20):
+        vec = base[i] + rng.normal(scale=0.02, size=16)
+        rows.append((1000 + i, [float(x) for x in vec]))
+        planted.append((i, 1000 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"])
+           for r in lsh_near_dup_pairs(df, threshold=0.95, multiprobe=8).collect()}
+    recall = sum(p in got for p in planted) / len(planted)
+    assert recall >= 0.9, f"planted near-dup recall {recall}"
