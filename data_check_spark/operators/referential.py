@@ -28,9 +28,15 @@ BROADCAST_MAX_ROWS = 1_000_000
 
 
 def _maybe_broadcast(dim_keys: DataFrame, dim_rows: int | None) -> DataFrame:
-    if dim_rows is None:
-        dim_rows = dim_keys.count()  # one cheap job over the (pruned) key column
-    return F.broadcast(dim_keys) if dim_rows <= BROADCAST_MAX_ROWS else dim_keys
+    """Explicit broadcast ONLY when the caller knows the dim size (table
+    metadata, catalog stats). Unknown size → leave the plan unhinted: AQE
+    converts the join to broadcast at runtime when the built side turns out
+    small. The previous behavior (count() when unknown) cost one full dim
+    scan per referential rule per run — at 100x scale that is a job per rule
+    just to pick a join strategy AQE picks for free."""
+    if dim_rows is not None and dim_rows <= BROADCAST_MAX_ROWS:
+        return F.broadcast(dim_keys)
+    return dim_keys
 
 
 def anti_join_violations(

@@ -57,11 +57,32 @@ def test_row_rules_single_scan(spark):
 
 
 def test_semi_join_is_broadcast(spark):
+    """Dim size is unknown to the operator (no count job is spent on it);
+    AQE must convert the semi join to broadcast at runtime."""
     from data_check_spark.queries import QUERIES
 
-    plan = _plan(QUERIES["semi_negative_balance_orders"](spark, SF_DIR))
+    df = QUERIES["semi_negative_balance_orders"](spark, SF_DIR)
+    df.collect()  # materialize so AQE finalizes the adaptive plan
+    plan = _plan(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "PushedFilters" in plan
+
+
+def test_referential_no_count_job_when_size_unknown(spark, monkeypatch):
+    """Unknown dim size must NOT trigger a count() job (one full dim scan
+    per rule per run at cluster scale)."""
+    from pyspark.sql import DataFrame
+
+    from data_check_spark.operators.referential import anti_join_violations
+
+    fact = spark.createDataFrame([("a", "p")], "clip_id string, partition string")
+    dim = spark.createDataFrame([("a",)], "clip_id string")
+
+    def boom(self):
+        raise AssertionError("count() called during referential plan build")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    anti_join_violations(fact, dim, "FK")  # plan build only — must not count
 
 
 def test_wide_pass_single_python_stage(spark, tmp_path):
