@@ -155,6 +155,7 @@ def run_validation(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     cache_input: bool = True,
+    reliable_cache: bool = False,
 ) -> ValidationResult:
     """Run the full catalog; returns lazily-built violations + materialized
     verdicts (the verdict aggregation is the single action that executes the
@@ -235,13 +236,30 @@ def run_validation(
         )
 
     if cache_input:
-        # Materialize NOW via eager localCheckpoint: (1) rule subplan
-        # branches racing inside one job would each recompute the wide scan
-        # before cache blocks landed; (2) Spark's in-memory cache build on
-        # top of a python stage measured ~12x slower at local[32] than
-        # checkpointing the computed batches directly.
+        # Materialize NOW via eager checkpoint: (1) rule subplan branches
+        # racing inside one job would each recompute the wide scan before
+        # cache blocks landed; (2) Spark's in-memory cache build on top of a
+        # python stage measured ~12x slower at local[32] than checkpointing
+        # the computed batches directly.
+        #
+        # Default localCheckpoint is fast but NOT fault-tolerant: an executor
+        # loss mid-run loses its blocks and kills the job. ``reliable_cache``
+        # writes the narrow table to the cluster checkpoint dir instead
+        # (HDFS/S3) so a 10^12-row run survives executor loss at the cost of
+        # one distributed write — the right default on a real cluster.
         _t = time.monotonic()
-        prepared = prepared.localCheckpoint(eager=True)
+        if reliable_cache:
+            sc = spark.sparkContext
+            if sc.getCheckpointDir() is None:
+                if checkpoint_dir is None:
+                    raise ValueError(
+                        "reliable_cache needs sc.setCheckpointDir(...) or a "
+                        "checkpoint_dir argument"
+                    )
+                sc.setCheckpointDir(f"{checkpoint_dir}/_spark_checkpoint")
+            prepared = prepared.checkpoint(eager=True)
+        else:
+            prepared = prepared.localCheckpoint(eager=True)
         # The narrow table is consumed by ~8 rule subplans; zero-shuffle
         # coalesce to the shuffle-partition count so each downstream wave
         # schedules that many tasks instead of one per input split.

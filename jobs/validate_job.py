@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--reliable-cache", action="store_true",
+                    help="fault-tolerant wide-pass checkpoint (HDFS/S3) "
+                         "instead of executor-local blocks; survives "
+                         "executor loss on long cluster runs")
     ap.add_argument("--run-ts", default=None, help="pinned run timestamp (UTC)")
     ap.add_argument("--partition-col", default="partition")
     args = ap.parse_args(argv)
@@ -77,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
         partition_col=args.partition_col,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
+        reliable_cache=args.reliable_cache,
     )
     res.violations.write.mode("overwrite").parquet(f"{args.output_dir}/violations")
     res.verdicts.write.mode("overwrite").parquet(f"{args.output_dir}/verdicts")

@@ -107,3 +107,41 @@ def test_checkpoint_latest_wins(spark, data, tmp_path):
     time.sleep(1.1)
     cp.mark_failed(spark, ckpt, "p1", "rerun")
     assert cp.completed_partitions(spark, ckpt) == ["p0"]
+
+
+def test_reliable_cache_path(spark, tmp_path):
+    """reliable_cache writes the wide pass to the cluster checkpoint dir
+    (fault-tolerant) and produces identical results to the default path."""
+    from data_check_spark import datagen
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.catalog_audio import audio_catalog
+
+    clips = datagen.clips_df(spark, 1000, bytes_cap_ms=20).drop("_gen_id", "_viol")
+    dims = {"transcripts": datagen.transcripts_df(spark, 1000)}
+    cat = audio_catalog(bytes_cap_ms=20)
+    kwargs = dict(run_ts="2026-01-01 00:00:00")
+    base = run_validation(spark, clips, dims, cat, **kwargs)
+    rel = run_validation(
+        spark, clips, dims, cat,
+        checkpoint_dir=str(tmp_path / "ckpt"), reliable_cache=True, **kwargs,
+    )
+    key = lambda df: sorted(
+        (r["rule_id"], r["clip_id"], r["partition"], r["observed"])
+        for r in df.collect()
+    )
+    assert key(rel.violations) == key(base.violations)
+
+
+def test_reliable_cache_requires_dir(spark):
+    import pytest
+
+    from data_check_spark import datagen
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.catalog_audio import audio_catalog
+
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir already set session-wide")
+    clips = datagen.clips_df(spark, 100, bytes_cap_ms=20).drop("_gen_id", "_viol")
+    with pytest.raises(ValueError, match="reliable_cache"):
+        run_validation(spark, clips, {}, audio_catalog(bytes_cap_ms=20),
+                       run_ts="2026-01-01 00:00:00", reliable_cache=True)
