@@ -186,15 +186,18 @@ def _plane_weight(plane: Column, dim_idx: Column) -> Column:
     return (F.pmod(F.xxhash64(plane, dim_idx, F.lit("plane")), F.lit(2000)) - 1000) / 1000.0
 
 
-def lsh_signature(vec: Column, n_planes: int = N_PLANES) -> Column:
-    """n-bit random-hyperplane signature as an int column."""
+def lsh_signature(vec: Column, n_planes: int = N_PLANES, *, plane_offset: int = 0) -> Column:
+    """n-bit random-hyperplane signature as an int column.
+
+    ``plane_offset`` selects an independent plane family — multi-table LSH
+    uses offsets t*n_planes for table t."""
     def _weigh(plane: int):
         return lambda x, i: x * _plane_weight(F.lit(plane), i)
 
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         dot = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _weigh(p)),
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _weigh(plane_offset + p)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -215,17 +218,37 @@ def lsh_ann_topk(
     q_vec_col: str = "q_vec",
     n_planes: int = N_PLANES,
     multiprobe: int = MULTIPROBE_FLIPS,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: LSH bucket candidates → exact cosine re-rank.
 
-    Recall/latency dial: ``n_planes`` (bucket granularity) and ``multiprobe``
-    (how many 1-bit-flip buckets each query also probes)."""
+    Recall/latency dials: ``n_planes`` (bucket granularity), ``multiprobe``
+    (how many 1-bit-flip buckets each query also probes), and ``n_tables``
+    (independent plane families — candidate recall is 1-(1-p)^T for
+    per-table hit rate p, the standard multi-table LSH amplification).
+    Shorter signatures + more tables = higher recall on weakly-similar
+    corpora; longer signatures = tighter buckets for near-identical ones."""
+    def _sigs(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("_table"),
+                    lsh_signature(vec, n_planes, plane_offset=t * n_planes).alias("_sig"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
     v = vectors.select(F.col(id_col).alias("_vid"), _vec_d(vec_col).alias("_vv"))
-    v_sig = v.withColumn("_sig", lsh_signature(F.col("_vv"), n_planes))
+    v_sig = v.select(
+        "_vid", "_vv", F.explode(_sigs(F.col("_vv"))).alias("_ts")
+    ).select("_vid", "_vv", F.col("_ts._table").alias("_table"), F.col("_ts._sig").alias("_sig"))
     q = queries.select(F.col(q_id_col).alias("_qid"), _vec_d(q_vec_col).alias("_qv"))
-    q_sig = q.withColumn("_sig", lsh_signature(F.col("_qv"), n_planes))
+    q_sig = q.select(
+        "_qid", "_qv", F.explode(_sigs(F.col("_qv"))).alias("_ts")
+    ).select("_qid", "_qv", F.col("_ts._table").alias("_table"), F.col("_ts._sig").alias("_sig"))
     probes = q_sig.select(
-        "_qid", "_qv",
+        "_qid", "_qv", "_table",
         F.explode(
             F.array_distinct(
                 F.array(
@@ -237,10 +260,10 @@ def lsh_ann_topk(
                 )
             )
         ).alias("_sig"),
-    ) if multiprobe > 0 else q_sig.select("_qid", "_qv", "_sig")
+    ) if multiprobe > 0 else q_sig
 
     cand = (
-        v_sig.join(F.broadcast(probes), "_sig")
+        v_sig.join(F.broadcast(probes), ["_table", "_sig"])
         .filter(F.col("_vid") != F.col("_qid"))
         .dropDuplicates(["_qid", "_vid"])
     )

@@ -123,3 +123,37 @@ def test_stop_shingles_reported(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     stopped = stop_shingles(docs, max_df=16).collect()
     assert any(r["s"] == "SAMEPREF" and r["df"] == 40 for r in stopped)
+
+
+def test_minhash_estimate_error_vs_exact_jaccard(spark):
+    """Quantified quality gate for the MinHash path: on candidate pairs the
+    64-permutation estimate must track the exact n-gram Jaccard closely
+    (expected std ~ sqrt(j(1-j)/64) ~ 0.06)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {(r["id_a"], r["id_b"]): float(r["jaccard"])
+             for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()}
+    est = {(r["id_a"], r["id_b"]): float(r["est_jaccard"])
+           for r in minhash_lsh_pairs(docs, threshold=0.05).collect()}
+    common = set(exact) & set(est)
+    assert len(common) >= 5, f"too few overlapping pairs to judge: {len(common)}"
+    errs = [abs(exact[p] - est[p]) for p in common]
+    assert sum(errs) / len(errs) < 0.1, f"mean abs error {sum(errs)/len(errs)}"
+    assert max(errs) < 0.3, f"max abs error {max(errs)}"
+
+
+def test_simhash_blocking_complete_vs_brute_force(spark):
+    """Pigeonhole completeness, verified against brute force: every pair
+    with hamming(simhash) <= 3 in the corpus must appear in the blocked
+    result (bucket cap raised so truncation can't hide pairs)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash_64(docs).collect()}
+    ids = sorted(hashes)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((hashes[a] ^ hashes[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3:
+                want.add((a, b))
+    got = {(r["id_a"], r["id_b"])
+           for r in simhash_near_pairs(docs, max_hamming=3, max_bucket=100_000).collect()}
+    assert want <= got, f"missed pairs: {sorted(want - got)[:10]}"
+    assert got == want  # and nothing beyond the radius

@@ -133,3 +133,26 @@ def test_lsh_pairs_recall_on_planted_near_dups(spark):
            for r in lsh_near_dup_pairs(df, threshold=0.95, multiprobe=8).collect()}
     recall = sum(p in got for p in planted) / len(planted)
     assert recall >= 0.9, f"planted near-dup recall {recall}"
+
+
+def test_lsh_ann_recall_at_10_vs_exact(spark):
+    """Quantified quality gate for the approximate ANN path: multi-table
+    LSH with the registered query's parameters must reach recall@10 >= 0.9
+    against the exact brute-force top-10 on the sf0.01 embeddings."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    exact = {(r["q_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in lsh_ann_topk(
+            emb, q, k=10, n_planes=4, multiprobe=4, n_tables=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@10 {recall}"
