@@ -92,9 +92,15 @@ def read_keyword_column(
 ) -> list[str]:
     """Load one column of a small aux file as a keyword list (reference:
     Excel 検索文字 extraction, dekispart.py:1178-1192). Distinct, non-blank,
-    order-stable. For parquet/csv aux files; Excel itself should be
-    converted upstream (no Excel reader ships with Spark)."""
-    if path.endswith(".parquet") or os.path.isdir(path):
+    order-stable. Accepts parquet, csv (encoding-sniffed) and .xlsx (stdlib
+    OOXML reader — no Excel dependency ships in Spark)."""
+    if path.endswith(".xlsx"):
+        from data_check_spark.sources.xlsx import read_xlsx_df
+
+        df = read_xlsx_df(spark, path, kwargs.get("sheet"))
+        if column not in df.columns:
+            raise MissingColumnsError(path, [column])
+    elif path.endswith(".parquet") or os.path.isdir(path):
         df = spark.read.parquet(path)
     else:
         df = read_csv_with_fallback(spark, path, required_columns=[column], **kwargs)

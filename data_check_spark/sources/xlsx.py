@@ -1,0 +1,110 @@
+"""Minimal stdlib .xlsx reader for small aux files (keyword lists).
+
+The reference loads keyword/customer lists directly from Excel sheets
+(reference: dekispart.py:1178-1192 検索文字 extraction;
+dekispart_school.py:130-153). Spark ships no Excel reader and this
+environment has no openpyxl, so this module parses the OOXML container
+directly with ``zipfile`` + ``xml.etree`` — sufficient for the flat
+header-row sheets the aux files are (shared strings, inline strings and
+number cells; no formula evaluation, no styles).
+
+Scale note: aux keyword files are tiny by contract (the reference loads
+them wholesale into pandas); this is a DRIVER-side read that feeds a
+broadcast list / small DataFrame, never a distributed scan.
+"""
+
+from __future__ import annotations
+
+import zipfile
+from xml.etree import ElementTree as ET
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_NS_REL = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_NS_PKG = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'BC12' -> zero-based column index 54."""
+    idx = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return idx - 1
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        data = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    root = ET.fromstring(data)
+    out = []
+    for si in root.findall(f"{_NS}si"):
+        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+    return out
+
+
+def _sheet_path(zf: zipfile.ZipFile, sheet: str | None) -> str:
+    """Resolve a sheet name to its worksheet part via workbook rels."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    target_by_rid = {
+        r.get("Id"): r.get("Target") for r in rels.findall(f"{_NS_PKG}Relationship")
+    }
+    sheets = wb.findall(f"{_NS}sheets/{_NS}sheet")
+    if not sheets:
+        raise ValueError("xlsx has no sheets")
+    chosen = sheets[0]
+    if sheet is not None:
+        by_name = {s.get("name"): s for s in sheets}
+        if sheet not in by_name:
+            raise ValueError(f"sheet {sheet!r} not found; have {sorted(by_name)}")
+        chosen = by_name[sheet]
+    target = target_by_rid[chosen.get(f"{_NS_REL}id")]
+    return target if target.startswith("xl/") else f"xl/{target}"
+
+
+def read_xlsx_rows(path: str, sheet: str | None = None) -> list[list[str | None]]:
+    """All rows of one sheet as lists of cell strings (None = empty cell)."""
+    with zipfile.ZipFile(path) as zf:
+        strings = _shared_strings(zf)
+        root = ET.fromstring(zf.read(_sheet_path(zf, sheet)))
+        rows: list[list[str | None]] = []
+        for row_el in root.iter(f"{_NS}row"):
+            cells: list[str | None] = []
+            for c in row_el.findall(f"{_NS}c"):
+                idx = _col_index(c.get("r", ""))
+                if idx < 0:
+                    idx = len(cells)
+                while len(cells) <= idx:
+                    cells.append(None)
+                ctype = c.get("t", "n")
+                if ctype == "s":
+                    v = c.find(f"{_NS}v")
+                    cells[idx] = strings[int(v.text)] if v is not None else None
+                elif ctype == "inlineStr":
+                    is_el = c.find(f"{_NS}is")
+                    cells[idx] = (
+                        "".join(t.text or "" for t in is_el.iter(f"{_NS}t"))
+                        if is_el is not None
+                        else None
+                    )
+                else:  # n / str / b — take the raw value text
+                    v = c.find(f"{_NS}v")
+                    cells[idx] = v.text if v is not None else None
+            rows.append(cells)
+        return rows
+
+
+def read_xlsx_df(spark, path: str, sheet: str | None = None):
+    """Sheet → Spark DataFrame (first row = header, all columns string)."""
+    rows = read_xlsx_rows(path, sheet)
+    if not rows:
+        raise ValueError(f"{path}: empty sheet")
+    header = [h if h is not None else f"_c{i}" for i, h in enumerate(rows[0])]
+    width = len(header)
+    data = [tuple((r + [None] * width)[:width]) for r in rows[1:]]
+    schema = ", ".join(f"`{h}` string" for h in header)
+    return spark.createDataFrame(data, schema)

@@ -153,3 +153,83 @@ def test_run_series_validations(spark):
     assert ("DEKISPART", "X_NOT_NULL") in rows
     assert all(r["series"] in jobs for r in verd.collect())
     assert set(results) == {"DEKISPART", "INNOSITE"}
+
+
+def _write_minimal_xlsx(path, header, rows, sheet_name="キーワード"):
+    """Build a real (minimal) OOXML workbook with shared + inline strings."""
+    import zipfile
+
+    all_rows = [header] + rows
+    shared = sorted({c for r in all_rows for c in r if c is not None})
+    sidx = {s: i for i, s in enumerate(shared)}
+
+    def cell(r, c, v):
+        ref = f"{chr(65 + c)}{r + 1}"
+        if v is None:
+            return ""
+        if r % 2 == 0:  # exercise both cell types
+            return f'<c r="{ref}" t="s"><v>{sidx[v]}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    sheet_xml = (
+        '<?xml version="1.0"?><worksheet '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        + "".join(
+            f'<row r="{i + 1}">' + "".join(cell(i, j, v) for j, v in enumerate(r)) + "</row>"
+            for i, r in enumerate(all_rows)
+        )
+        + "</sheetData></worksheet>"
+    )
+    ss_xml = (
+        '<?xml version="1.0"?><sst '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        f'count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    wb_xml = (
+        '<?xml version="1.0"?><workbook '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{sheet_name}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels_xml = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb_xml)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels_xml)
+        zf.writestr("xl/sharedStrings.xml", ss_xml)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+
+
+def test_read_keyword_column_from_xlsx(spark, tmp_path):
+    """Real .xlsx aux files load directly (reference loads keyword sheets
+    straight from Excel, dekispart.py:1178-1192)."""
+    from data_check_spark.sources.files import read_keyword_column
+
+    path = str(tmp_path / "keywords.xlsx")
+    _write_minimal_xlsx(
+        path,
+        ["検索文字", "メモ"],
+        [["株式会社", "a"], ["有限会社", None], ["  ", "blank row"],
+         ["株式会社", "dup"], [None, "empty kw"]],
+    )
+    kws = read_keyword_column(spark, path, "検索文字")
+    assert kws == ["有限会社", "株式会社"]
+
+
+def test_read_xlsx_missing_column_raises(spark, tmp_path):
+    import pytest
+
+    from data_check_spark.sources.files import MissingColumnsError, read_keyword_column
+
+    path = str(tmp_path / "kw2.xlsx")
+    _write_minimal_xlsx(path, ["other"], [["x", ]])
+    with pytest.raises(MissingColumnsError):
+        read_keyword_column(spark, path, "検索文字")
