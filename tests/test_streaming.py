@@ -98,3 +98,49 @@ def test_violation_rate_monitor_plan(spark, clip_dir):
     mon = violation_rate_monitor(viol)
     assert mon.isStreaming
     assert set(mon.columns) == {"window_start", "window_end", "rule_id", "n_violations"}
+
+
+def test_batch_reconciliation_catches_cross_batch_duplicate(spark, tmp_path):
+    """The documented trade-off: a duplicate straddling two micro-batches is
+    NOT flagged by the stateless streaming pass, and the nightly batch run
+    over the same directory IS the reconciliation that catches it."""
+    import datetime as dt
+
+    from data_check_spark.engine import run_validation
+
+    ts = dt.datetime(2026, 1, 1, 0, 0, 0)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    dup_catalog = RuleCatalog(
+        list(CATALOG) + [Rule("S_ID_UNIQUE", "unique", "clip_id")]
+    )
+
+    # batch 1 and batch 2 each contain "cdup" exactly once
+    _write_batch(spark, in_dir,
+                 [("cdup", 16000, 1000, "flac", "t", "p0", ts),
+                  ("c1", 16000, 1000, "flac", "t", "p0", ts)], 1)
+    q = start_incremental_validation(
+        spark, in_dir, out_dir, dup_catalog,
+        run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt, trigger_once=True,
+    )
+    q.awaitTermination(120)
+    _write_batch(spark, in_dir,
+                 [("cdup", 16000, 1000, "flac", "t", "p1", ts),
+                  ("c2", 16000, 1000, "flac", "t", "p1", ts)], 2)
+    q = start_incremental_validation(
+        spark, in_dir, out_dir, dup_catalog,
+        run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt, trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    stream_out = spark.read.parquet(out_dir)
+    assert stream_out.filter("rule_id = 'S_ID_UNIQUE'").count() == 0  # missed
+
+    # nightly batch reconciliation over the SAME directory flags both rows
+    clips = spark.read.parquet(in_dir)
+    res = run_validation(spark, clips, {}, dup_catalog, run_ts="2026-01-01 00:00:00")
+    dup_rows = res.violations.filter("rule_id = 'S_ID_UNIQUE'").collect()
+    assert sorted((r["clip_id"], r["partition"]) for r in dup_rows) == [
+        ("cdup", "p0"), ("cdup", "p1"),
+    ]
