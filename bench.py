@@ -32,6 +32,7 @@ BYTES_CAP_MS = 50
 GEN_PARTITIONS = 128  # balanced input splits; >= 4x max bench parallelism
 
 BENCH_QUERIES = [
+    # rule-engine / TPC-H-ish coverage
     "row_rules_orders",
     "dup_values_lineitem",
     "dup_rows_orders",
@@ -40,6 +41,20 @@ BENCH_QUERIES = [
     "region_revenue",
     "latest_event_per_user",
     "events_daily",
+    "date_parse_orders",
+    "sessionize_events",
+    # LLM-pipeline operators (dedup / text / similarity) so regressions in
+    # them are visible round-over-round in BENCH_r{N}.json
+    "dedup_exact_documents",
+    "ngram_jaccard_documents",
+    "minhash_near_dup_documents",
+    "simhash_near_dup_documents",
+    "token_stats_documents",
+    "quality_score_documents",
+    "lang_id_documents",
+    "ann_cosine_topk",
+    "lsh_ann_embeddings",
+    "lsh_embedding_near_dup",
 ]
 
 

@@ -59,6 +59,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, re-split to the session parallelism.
+
+    The test-scale parquet is one file → one input split, which serializes
+    shingle/signature computation onto a single task (measured 110s vs 7s
+    for minhash pairs at sf0.1). At production scale the table arrives in
+    thousands of splits and this repartition is a no-op in spirit; here it
+    models that. The shuffled payload is the raw doc text once."""
+    df = _t(spark, sf_dir, "documents")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _dec(col: str) -> F.Column:
     """Exact, order-insensitive sum input: double → decimal(18,2)."""
     return F.col(col).cast("decimal(18,2)")
@@ -573,7 +585,7 @@ WHERE cast(i.n_inter AS double) / cast(sa.n + sb.n - i.n_inter AS double) >= 0.3
 
 @register("ngram_jaccard_documents", _NGRAM_SQL)
 def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    return _dedup.ngram_jaccard_pairs(_docs_parallel(spark, sf_dir), threshold=0.3)
 
 
 @register(
@@ -620,14 +632,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("minhash_near_dup_documents")
 def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.3
+        _docs_parallel(spark, sf_dir), threshold=0.3
     ).orderBy("id_a", "id_b")
 
 
 @register("simhash_near_dup_documents")
 def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=6
+        _docs_parallel(spark, sf_dir), max_hamming=6
     ).orderBy("id_a", "id_b")
 
 
