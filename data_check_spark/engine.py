@@ -60,7 +60,7 @@ from data_check_spark.operators.uniqueness import (
 )
 from data_check_spark.rules.compiler import (
     apply_row_rules,
-    compile_row_rules,
+    compile_rule_many,
     gate_condition,
 )
 from data_check_spark.rules.spec import Rule, RuleCatalog
@@ -268,8 +268,27 @@ def run_validation(
             prepared = prepared.coalesce(2 * n_parts)
         _mark("wide_pass_checkpoint", _t)
 
+    # --- per-rule isolation (reference: a crashing per-row check degrades to
+    # UNEXPECTED_ERROR_<fn> violation rows, dekispart.py:1151-1157). Each
+    # rule's compile + analysis (column resolution, type check — no job) and
+    # regex precompile run individually; a broken rule becomes a synthetic
+    # RULE_ERROR_<id> row and the rest of the catalog still runs.
     parts: list[DataFrame] = []
-    compiled = compile_row_rules(catalog.row_local, run_ts)
+    compiled = []
+    for r in catalog.row_local:
+        try:
+            for pat in [r.params.get("pattern"), *(r.params.get("any_of") or [])]:
+                if pat is not None:  # JVM regex compiles lazily at first eval
+                    spark._jvm.java.util.regex.Pattern.compile(pat)
+            rule_compiled = compile_rule_many(r, run_ts)
+            for c in rule_compiled:
+                # analysis-only probe: resolves columns/types, runs no job
+                prepared.select(c.predicate.cast("boolean"), c.observed).schema
+            compiled.extend(rule_compiled)
+        except Exception as e:  # noqa: BLE001 — degrade, don't die
+            synthetic.append(
+                (f"RULE_ERROR_{r.rule_id}", "N/A", None, str(e).splitlines()[0][:200])
+            )
     if compiled:
         parts.append(apply_row_rules(prepared, compiled, partition_col=partition_col))
 
@@ -360,18 +379,23 @@ def run_validation(
         )
         dups = None if rule.gate else shared_dups.get(rule.column or "clip_id")
         _t = time.monotonic()
-        if done and global_grain:
-            # Full-table key scan (column-pruned; never touches bytes).
-            v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
-                                   shared_dups=dups, run_ts=run_ts)
-            if rule.kind == "unique":
-                # Row-grain output: rows in completed partitions were
-                # already reported by the run that checkpointed them.
-                v = v.filter(~F.col("partition").isin(done))
-            parts.append(v)
-        else:
-            parts.append(_dispatch_set_rule(rule, prepared, dims, partition_col=partition_col,
-                                            shared_dups=dups, run_ts=run_ts))
+        try:
+            if done and global_grain:
+                # Full-table key scan (column-pruned; never touches bytes).
+                v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
+                                       shared_dups=dups, run_ts=run_ts)
+                if rule.kind == "unique":
+                    # Row-grain output: rows in completed partitions were
+                    # already reported by the run that checkpointed them.
+                    v = v.filter(~F.col("partition").isin(done))
+                parts.append(v)
+            else:
+                parts.append(_dispatch_set_rule(rule, prepared, dims, partition_col=partition_col,
+                                                shared_dups=dups, run_ts=run_ts))
+        except Exception as e:  # noqa: BLE001 — same per-rule degradation
+            synthetic.append(
+                (f"RULE_ERROR_{rule.rule_id}", "N/A", None, str(e).splitlines()[0][:200])
+            )
         _mark(f"dispatch {rule.rule_id}", _t)
 
     if synthetic:

@@ -178,3 +178,28 @@ def test_warning_only_partition_passes(spark):
     assert v["warn_only"] == (True, 1)   # counted, but passes
     assert v["has_error"] == (False, 1)
     assert v["clean"] == (True, 0)
+
+
+def test_broken_rule_degrades_to_violation_row(spark):
+    """A rule whose expression cannot compile/resolve becomes a
+    RULE_ERROR_<id> row instead of failing the run (reference:
+    UNEXPECTED_ERROR_<fn> degradation, dekispart.py:1151-1157)."""
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    df = spark.createDataFrame(
+        [("a", -1, "p")], "clip_id string, x int, partition string"
+    )
+    catalog = RuleCatalog([
+        Rule("X_NEGATIVE", "range", "x", {"min": 0}),                 # fine
+        Rule("BAD_COLUMN", "cross_column", None, {"expr": "no_such_col > 1"}),
+        Rule("BAD_REGEX", "format", "clip_id", {"pattern": "(["}),
+        Rule("BAD_DIM_KEY", "referential", "clip_id",
+             {"dim": "d", "dim_key": "missing_key", "mode": "anti"}),
+    ])
+    dims = {"d": spark.createDataFrame([("a",)], "clip_id string")}
+    res = run_validation(spark, df, dims, catalog, run_ts="2026-01-01 00:00:00")
+    rules = {r["rule_id"] for r in res.violations.collect()}
+    assert "X_NEGATIVE" in rules  # healthy rule still ran
+    assert {"RULE_ERROR_BAD_COLUMN", "RULE_ERROR_BAD_REGEX",
+            "RULE_ERROR_BAD_DIM_KEY"} <= rules
