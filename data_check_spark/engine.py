@@ -190,11 +190,22 @@ def run_validation(
     needed_dims = {
         r.params["dim"] for r in catalog.set_oriented if "dim" in r.params
     } | ({"baseline_stats"} if any(r.kind == "drift" for r in catalog.set_oriented) else set())
+    # One Spark job probes ALL dims for emptiness (a per-dim isEmpty() is a
+    # tiny job per dimension per run — they fold into a single union scan of
+    # one row each).
+    provided = [n for n in sorted(needed_dims) if n in dims]
+    nonempty: set[str] = set()
+    if provided:
+        heads = reduce(
+            DataFrame.union,
+            [dims[n].limit(1).select(F.lit(n).alias("_dim")) for n in provided],
+        )
+        nonempty = {r["_dim"] for r in heads.collect()}
     for name in sorted(needed_dims):
         if name not in dims:
             unavailable_dims.add(name)
             synthetic.append((f"AUX_MISSING_{name.upper()}", "N/A", None, f"dimension {name} not provided"))
-        elif dims[name].isEmpty():
+        elif name not in nonempty:
             unavailable_dims.add(name)
             synthetic.append((f"AUX_EMPTY_{name.upper()}", "N/A", None, f"dimension {name} is empty"))
     if unavailable_dims:
