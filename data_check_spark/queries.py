@@ -848,6 +848,52 @@ def date_parse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_latest_order_per_event",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS last_orderkey,
+             max_by(o_totalprice, o_orderkey) AS p
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           r.last_orderkey,
+           printf('%.2f', r.p) AS last_price
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the latest order of the same key at
+    or before its timestamp — union + per-key window carry-forward, ONE
+    shuffle, no range self-join (operators/asof.py). DuckDB's native ASOF
+    JOIN is the oracle."""
+    from data_check_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    # dedup right side per (key, ts) so the as-of winner is deterministic
+    right = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("last_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("_p"),
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        right,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        values=["last_orderkey", "_p"],
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "last_orderkey",
+        F.format_string("%.2f", F.col("_p")).alias("last_price"),
+    )
+
+
+@register(
     "sessionize_events",
     """
     WITH marked AS (

@@ -1,0 +1,62 @@
+"""As-of join operator: boundary semantics, direction, left-join nulls."""
+
+import datetime as dt
+
+from data_check_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("e1", 1, _ts("2026-01-01T10:00:00")),
+         ("e2", 1, _ts("2026-01-01T12:00:00")),
+         ("e3", 2, _ts("2026-01-01T09:00:00")),   # before any right row
+         ("e4", 3, _ts("2026-01-01T09:00:00"))],  # key with no right rows
+        "event_id string, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2026-01-01T10:00:00"), "r-a"),   # equal ts -> inclusive
+         (1, _ts("2026-01-01T11:30:00"), "r-b"),
+         (2, _ts("2026-01-01T11:00:00"), "r-c")],
+        "k int, rts timestamp, payload string",
+    )
+    return left, right
+
+
+def test_backward_inclusive_and_nulls(spark):
+    left, right = _frames(spark)
+    out = {r["event_id"]: r["payload"]
+           for r in asof_join(left, right, left_key="k", right_key="k",
+                              left_ts="ts", right_ts="rts",
+                              values=["payload"]).collect()}
+    assert out == {"e1": "r-a",   # equal timestamp matches (inclusive)
+                   "e2": "r-b",   # latest at-or-before
+                   "e3": None,    # right rows all later
+                   "e4": None}    # key absent from right
+
+
+def test_forward_direction(spark):
+    left, right = _frames(spark)
+    out = {r["event_id"]: r["payload"]
+           for r in asof_join(left, right, left_key="k", right_key="k",
+                              left_ts="ts", right_ts="rts",
+                              values=["payload"], direction="forward").collect()}
+    assert out == {"e1": "r-a",   # equal ts inclusive forward too
+                   "e2": None,    # nothing at-or-after
+                   "e3": "r-c",
+                   "e4": None}
+
+
+def test_asof_plan_single_shuffle_no_range_join(spark):
+    left, right = _frames(spark)
+    plan = asof_join(left, right, left_key="k", right_key="k",
+                     left_ts="ts", right_ts="rts",
+                     values=["payload"])._jdf.queryExecution().executedPlan().toString()
+    # union + ONE window shuffle; never a range/nested-loop join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
