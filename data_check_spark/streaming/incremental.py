@@ -12,11 +12,11 @@ Design:
   SAME compiler output the batch engine uses (one plan, two runtimes).
 - Set-oriented rules (uniqueness, referential, drift) need cross-row state;
   they run per micro-batch through ``foreachBatch`` against the batch
-  operators — each micro-batch is validated as a delta, with duplicate
-  detection against a replayable running key sketch left to the batch
-  reconciliation pass (documented trade-off: streaming gives fast feedback,
-  the nightly batch run remains the source of truth, resumable via the
-  checkpoint table).
+  operators — each micro-batch is validated as a delta. Cross-batch
+  duplicate detection has a REAL streaming path now:
+  ``streaming/stateful.py`` (``applyInPandasWithState`` keyed state, TTL
+  bounded); the nightly batch run remains the source of truth for keys
+  older than the state TTL, resumable via the checkpoint table.
 - Windowed violation-rate monitoring: event-time tumbling window counts per
   (window, rule_id) with a watermark for late data.
 """

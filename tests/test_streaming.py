@@ -144,3 +144,47 @@ def test_batch_reconciliation_catches_cross_batch_duplicate(spark, tmp_path):
     assert sorted((r["clip_id"], r["partition"]) for r in dup_rows) == [
         ("cdup", "p0"), ("cdup", "p1"),
     ]
+
+
+def test_stateful_dedup_catches_cross_batch_duplicate(spark, tmp_path):
+    """applyInPandasWithState closes the cross-batch window: the state store
+    remembers first occurrences across availableNow restarts, so the second
+    arrival of a key emits violations for BOTH rows — no batch run needed."""
+    import datetime as dt
+
+    from data_check_spark.streaming.stateful import start_stateful_dedup
+
+    ts = dt.datetime(2026, 1, 1, 0, 0, 0)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, in_dir,
+                 [("cdup", 16000, 1000, "flac", "t", "p0", ts),
+                  ("c1", 16000, 1000, "flac", "t", "p0", ts),
+                  (None, 16000, 1000, "flac", "t", "p0", ts)], 1)
+    q = start_stateful_dedup(spark, in_dir, out_dir, checkpoint_dir=ckpt,
+                             trigger_once=True)
+    q.awaitTermination(120)
+    # only one occurrence so far -> silent
+    assert spark.read.parquet(out_dir).count() == 0
+
+    _write_batch(spark, in_dir,
+                 [("cdup", 16000, 1000, "flac", "t", "p1", ts),
+                  ("c2", 16000, 1000, "flac", "t", "p1", ts)], 2)
+    q = start_stateful_dedup(spark, in_dir, out_dir, checkpoint_dir=ckpt,
+                             trigger_once=True)
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).collect()
+    got = sorted((r["clip_id"], r["partition"], r["observed"]) for r in rows)
+    assert got == [("cdup", "p0", "dup_count=2"), ("cdup", "p1", "dup_count=2")]
+    assert all(r["rule_id"] == "STREAM_DUP" for r in rows)
+
+    # third occurrence -> one more violation for the new row only
+    _write_batch(spark, in_dir,
+                 [("cdup", 16000, 1000, "flac", "t", "p2", ts)], 3)
+    q = start_stateful_dedup(spark, in_dir, out_dir, checkpoint_dir=ckpt,
+                             trigger_once=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).filter("partition = 'p2'").count() == 1
