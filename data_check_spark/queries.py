@@ -894,6 +894,54 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_repeat_orders",
+    """
+    WITH w AS (
+      SELECT o_custkey AS w_custkey, o_orderkey AS w_orderkey,
+             o_orderdate AS ws, o_orderdate + INTERVAL 30 DAY AS we
+      FROM orders
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           count(*) AS n_windows, min(w.w_orderkey) AS first_window_order
+    FROM orders o
+    JOIN w ON o.o_custkey = w.w_custkey
+          AND o.o_orderkey <> w.w_orderkey
+          AND o.o_orderdate >= w.ws AND o.o_orderdate <= w.we
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+    """,
+)
+def range_join_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-bucketed equi-join (operators/rangejoin.py):
+    orders falling inside another same-customer order's 30-day window.
+    The naive BETWEEN predicate plans as a nested-loop join; the bucketed
+    plan is hash-partitioned (plan-asserted in tests/test_rangejoin.py)."""
+    from data_check_spark.operators.rangejoin import interval_join
+
+    orders = _t(spark, sf_dir, "orders")
+    points = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    windows = orders.select(
+        F.col("o_custkey").alias("w_custkey"),
+        F.col("o_orderkey").alias("w_orderkey"),
+        F.col("o_orderdate").alias("ws"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("we"),
+    )
+    joined = interval_join(
+        points, windows,
+        point_key="o_custkey", interval_key="w_custkey",
+        ts="o_orderdate", start="ws", end="we", bucket="30 days",
+    ).filter(F.col("o_orderkey") != F.col("w_orderkey"))
+    return joined.groupBy("o_orderkey", "o_custkey", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("w_orderkey").alias("first_window_order"),
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "n_windows", "first_window_order",
+    )
+
+
+@register(
     "sessionize_events",
     """
     WITH marked AS (
