@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "events_daily",
     "date_parse_orders",
     "sessionize_events",
+    "asof_latest_order_per_event",
+    "range_join_repeat_orders",
     # LLM-pipeline operators (dedup / text / similarity) so regressions in
     # them are visible round-over-round in BENCH_r{N}.json
     "dedup_exact_documents",

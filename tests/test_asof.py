@@ -60,3 +60,33 @@ def test_asof_plan_single_shuffle_no_range_join(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_asof_matches_brute_force_random(spark):
+    """Randomized cross-check: asof_join equals a python brute force on
+    colliding keys, duplicate timestamps and unmatched rows."""
+    import random
+
+    rng = random.Random(42)
+    base = dt.datetime(2026, 1, 1)
+    lrows = [(f"e{i}", rng.randint(0, 5), base + dt.timedelta(minutes=rng.randint(0, 500)))
+             for i in range(120)]
+    rrows = [(rng.randint(0, 6), base + dt.timedelta(minutes=rng.randint(0, 500)), f"v{j}")
+             for j in range(60)]
+    # dedup right per (key, ts): keep the max payload so the winner is defined
+    best = {}
+    for k, ts, v in rrows:
+        if (k, ts) not in best or v > best[(k, ts)]:
+            best[(k, ts)] = v
+    rrows = [(k, ts, v) for (k, ts), v in best.items()]
+
+    left = spark.createDataFrame(lrows, "event_id string, k int, ts timestamp")
+    right = spark.createDataFrame(rrows, "k int, rts timestamp, payload string")
+    got = {r["event_id"]: r["payload"]
+           for r in asof_join(left, right, left_key="k", right_key="k",
+                              left_ts="ts", right_ts="rts",
+                              values=["payload"]).collect()}
+    for eid, k, ts in lrows:
+        cands = [(rts, v) for rk, rts, v in rrows if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[eid] == want, (eid, got[eid], want)

@@ -127,3 +127,13 @@ def test_lsh_near_dup_pairs_no_all_pairs_join(spark):
     plan = _plan(lsh_near_dup_pairs(emb, threshold=0.3))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_date_parse_single_scan(spark):
+    """Both date_parse outputs (primary + parse-error escalation) evaluate
+    in the same single-pass projection as every other row-local rule."""
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["date_parse_orders"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Generate explode" in plan
