@@ -2,20 +2,26 @@
 
 Media payloads are opaque ``binary`` columns + typed metadata; all heavy
 per-item work runs as Arrow-batched ``mapInPandas`` so nothing row-at-a-time
-touches the driver. The decode step itself is STUBBED (image/audio codec
-libraries are not in this container): ``decode_stub=True`` (default)
-produces a deterministic fake feature vector from the payload bytes, while
-``decode_stub=False`` raises ``NotImplementedError`` at the exact seam where
-a real decoder (PIL / soundfile / av) plugs in. The Spark-side contract —
-schema, batch shape, partitioning, null handling — is real and tested.
+touches the driver. Decode support is tiered:
 
-Audio-PCM decode is NOT stubbed anywhere in this repo: the real vectorized
+- ``decode_stub=True`` (default): deterministic fake feature vector from the
+  payload bytes — exercises the full Spark contract without codecs.
+- ``decode_stub=False``: REAL decode where the stdlib suffices — WAV/RIFF
+  audio parses via ``wave`` + numpy (header sniffed from the payload magic),
+  yielding genuine (channels, sample-rate, duration, level) features.
+  Image/video payloads have no decoder in this container; they come back as
+  ``ok=false`` rows naming the seam (plug PIL / av in ``_REAL_DECODERS``) —
+  the engine-wide "error is data, not an exception" convention.
+
+Audio-PCM decode is NOT stubbed anywhere in this repo: the vectorized
 decode/validate path lives in operators/audio.py (pandas UDF, SNR gate).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,6 +46,36 @@ _FEATURES_SCHEMA = (
     "media_id string, media_type string, ok boolean, error string, "
     "n_bytes long, feature array<float>"
 )
+
+
+def _decode_wav(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real WAV decode (stdlib wave + numpy): summary feature vector
+    [n_channels, sr/48k, dur_s, rms, peak, zcr_per_s/1k, 0...]."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, width, sr, n_frames = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        raw = w.readframes(n_frames)
+    if width != 2:
+        raise ValueError(f"only PCM16 wav supported, got sample width {width}")
+    x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    dur_s = n_frames / sr if sr else 0.0
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    peak = float(np.max(np.abs(x))) if x.size else 0.0
+    signs = np.signbit(x)
+    zcr = float(np.count_nonzero(signs[1:] != signs[:-1]) / dur_s) if dur_s > 0 else 0.0
+    vec = np.zeros(dim, dtype=np.float32)
+    vec[:6] = [n_ch, sr / 48000.0, dur_s, rms, peak, zcr / 1000.0]
+    return vec
+
+
+# Magic-byte sniffers → real decoders. Image (PNG/JPEG) and video seams are
+# intentionally absent in this container; add ("\x89PNG", pil_decode) etc.
+_REAL_DECODERS = [
+    (b"RIFF", _decode_wav),
+]
 
 
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -86,16 +122,21 @@ def extract_features(
                     if decode_stub:
                         vec = _fake_decode(bytes(payload), feature_dim)
                     else:
-                        raise NotImplementedError(
-                            f"real {mtype} decoder not available in this environment; "
-                            "plug PIL/soundfile/av in here"
+                        b = bytes(payload)
+                        decoder = next(
+                            (fn for magic, fn in _REAL_DECODERS if b.startswith(magic)),
+                            None,
                         )
+                        if decoder is None:
+                            raise ValueError(
+                                f"no decoder for {mtype} payload in this environment "
+                                "(plug PIL/av into _REAL_DECODERS)"
+                            )
+                        vec = decoder(b, feature_dim)
                     out["ok"].append(True)
                     out["error"].append(None)
                     out["n_bytes"].append(len(payload))
                     out["feature"].append(vec)
-                except NotImplementedError:
-                    raise
                 except Exception as e:  # decode error -> data, not failure
                     out["ok"].append(False)
                     out["error"].append(f"{type(e).__name__}: {e}")
