@@ -181,6 +181,81 @@ def lsh_near_dup_pairs(
     )
 
 
+def ivf_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iter: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-flat ANN: k-means coarse quantizer → probe n_probe cells → exact
+    cosine re-rank (the classic inverted-file index, complementing the LSH
+    route).
+
+    The quantizer trains with MLlib KMeans (distributed, deterministic for a
+    given seed+input); every vector lands in ONE cell, queries probe their
+    ``n_probe`` nearest centroids, and only probed cells are re-ranked
+    exactly. The corpus-side shuffle carries (cell, id, vector) once;
+    centroids travel as a broadcast literal (n_lists × dim doubles). Recall
+    dial: ``n_probe``/``n_lists`` — at n_probe=n_lists this degrades to the
+    exact scan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(F.col(id_col).alias("_vid"), _vec_d(vec_col).alias("_vv"))
+    ml_df = v.withColumn("_feat", array_to_vector("_vv"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=kmeans_iter, featuresCol="_feat").fit(ml_df)
+    assigned = model.transform(ml_df).select("_vid", "_vv", F.col("prediction").alias("_cell"))
+    centroids = [c.tolist() for c in model.clusterCenters()]
+
+    def _sq_dist(vec: Column, center: list[float]) -> Column:
+        c_arr = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, c_arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = queries.select(F.col(q_id_col).alias("_qid"), _vec_d(q_vec_col).alias("_qv"))
+    dists = F.array(
+        *[
+            F.struct(_sq_dist(F.col("_qv"), c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = q.select(
+        "_qid", "_qv",
+        F.explode(
+            F.transform(F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"])
+        ).alias("_cell"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "_cell")
+        .filter(F.col("_vid") != F.col("_qid"))
+        .dropDuplicates(["_qid", "_vid"])
+    )
+    sim = _dot(F.col("_qv"), F.col("_vv")) / (_norm(F.col("_qv")) * _norm(F.col("_vv")))
+    w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_vid"))
+    return (
+        cand.select("_qid", "_vid", sim.alias("_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("q_id"),
+            "rank",
+            F.col("_vid").alias("vec_id"),
+            F.format_string("%.4f", F.col("_sim")).alias("cosine"),
+        )
+    )
+
+
 def _plane_weight(plane: Column, dim_idx: Column) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1)."""
     return (F.pmod(F.xxhash64(plane, dim_idx, F.lit("plane")), F.lit(2000)) - 1000) / 1000.0

@@ -156,3 +156,41 @@ def test_lsh_ann_recall_at_10_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"recall@10 {recall}"
+
+
+def test_ivf_ann_recall_at_10_vs_exact(spark):
+    """IVF route quality gate: recall@10 >= 0.9 vs exact top-10 at the
+    registered query's parameters (isotropic corpus -> high probe ratio;
+    clustered real corpora prune harder at the same recall)."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    exact = {(r["q_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_ann_topk(emb, q, k=10, n_lists=8, n_probe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@10 {recall}"
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """n_probe == n_lists degrades IVF to the exact scan."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    exact = {(r["q_id"], r["rank"], r["vec_id"], r["cosine"])
+             for r in cosine_topk(emb, q, k=10).collect()}
+    ivf = {(r["q_id"], r["rank"], r["vec_id"], r["cosine"])
+           for r in ivf_ann_topk(emb, q, k=10, n_lists=4, n_probe=4).collect()}
+    assert ivf == exact
