@@ -657,6 +657,45 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+_CURATION_SQL = f"""
+WITH q AS ({_quality_sql()}),
+fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+keep AS (
+  SELECT doc_id FROM fp
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+),
+l AS ({_lang_sql()})
+SELECT q.doc_id, fp.fingerprint, q.quality_q4, l.predicted_lang,
+       q.n_tokens
+FROM q
+JOIN fp ON q.doc_id = fp.doc_id
+JOIN l ON q.doc_id = l.doc_id
+WHERE q.doc_id IN (SELECT doc_id FROM keep)
+  AND q.quality_q4 >= 6500
+  AND q.n_tokens >= 25
+"""
+
+
+@register("corpus_curation_documents", _CURATION_SQL)
+def corpus_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline composition: exact dedup (first-wins
+    keep) ∘ quality cutoff ∘ language-ID ∘ min-length — the canonical
+    "filter the training corpus" job, all JVM-side projections plus one
+    dedup window, column-pruned to exactly the text column."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = _text.fingerprints(docs)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    keep = fp.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    q = _text.quality_score(docs)
+    lang = _text.lang_id(docs).select("doc_id", "predicted_lang")
+    return (
+        q.join(keep.select("doc_id", "fingerprint"), "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality_q4") >= 6500) & (F.col("n_tokens") >= 25))
+        .select("doc_id", "fingerprint", "quality_q4", "predicted_lang", "n_tokens")
+    )
+
+
 @register("ivf_ann_embeddings")
 def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (k-means coarse quantizer + probed exact re-rank) — the
