@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "lsh_ann_embeddings",
     "lsh_embedding_near_dup",
+    "ivf_ann_embeddings",
+    "corpus_curation_documents",
 ]
 
 
