@@ -128,6 +128,34 @@ def violation_rate_monitor(
     )
 
 
+def violation_sessions(
+    violations_with_ts: DataFrame,
+    *,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based SESSION windows over the violation stream: bursts of
+    violations for the same rule separated by ≥ ``gap`` of quiet close a
+    session (native ``session_window`` + watermark; the streaming analog of
+    the batch ``sessionize_events`` query). Surfaces "rule X started firing
+    continuously at T" rather than per-minute counts."""
+    return (
+        violations_with_ts.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("w"), "rule_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_violations"),
+            F.approx_count_distinct("clip_id").alias("n_clips"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "rule_id",
+            "n_violations",
+            "n_clips",
+        )
+    )
+
+
 def start_incremental_validation(
     spark: SparkSession,
     input_dir: str,

@@ -188,3 +188,59 @@ def test_stateful_dedup_catches_cross_batch_duplicate(spark, tmp_path):
                              trigger_once=True)
     q.awaitTermination(120)
     assert spark.read.parquet(out_dir).filter("partition = 'p2'").count() == 1
+
+
+def test_violation_sessions_gap_semantics(spark, tmp_path):
+    """Session windows close after a quiet gap: two violation bursts 20min
+    apart with a 5min gap yield two sessions for the rule."""
+    import datetime as dt
+
+    from data_check_spark.streaming.incremental import (
+        stream_clips,
+        streaming_violations_with_ts,
+        violation_sessions,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    in_dir = str(tmp_path / "in")
+    rows = []
+    for m in (0, 1, 2):            # burst 1
+        rows.append((None, 16000, 1000, "flac", "t", "p0", base + dt.timedelta(minutes=m)))
+    for m in (22, 23):             # burst 2 (gap 20min > 5min)
+        rows.append((None, 16000, 1000, "flac", "t", "p0", base + dt.timedelta(minutes=m)))
+    _write_batch(spark, in_dir, rows, 1)
+
+    stream = stream_clips(spark, in_dir)
+    sessions = violation_sessions(
+        streaming_violations_with_ts(stream, CATALOG, run_ts="2026-01-01 00:00:00"),
+        gap="5 minutes", watermark="1 minute",
+    )
+    out_dir = str(tmp_path / "sessions")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # advance the watermark so both sessions finalize: a later batch
+    _write_batch(spark, in_dir,
+                 [(None, 16000, 1000, "flac", "t", "p0", base + dt.timedelta(hours=2))], 2)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["session_start"], r["n_violations"])
+        for r in spark.read.parquet(out_dir).filter("rule_id = 'S_ID_NOT_NULL'").collect()
+    )
+    assert (base, 3) in got                                  # burst 1: 3 rows
+    assert (base + dt.timedelta(minutes=22), 2) in got       # burst 2: 2 rows
