@@ -60,24 +60,27 @@ def quality_score(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
     Integer-count inputs → double arithmetic identical across engines.
     """
     stats = token_stats(df, id_col=id_col, text_col=text_col)
-    nt = F.col("n_tokens").cast("double")
+    return stats.select(
+        id_col, "n_tokens", "n_distinct_tokens",
+        _quality_q4(
+            F.col("n_tokens"), F.col("n_distinct_tokens"),
+            F.col("n_chars_calc"), F.col("n_punct"),
+        ).alias("quality_q4"),
+    )
+
+
+def _quality_q4(n_tokens: Column, n_distinct: Column, n_chars: Column, n_punct: Column) -> Column:
+    """Quality score quantized to 1e-4 grain ints: identical input doubles
+    → identical ints on every engine, no representation-boundary rounding."""
+    nt = n_tokens.cast("double")
     length_component = F.least(nt / F.lit(64.0), F.lit(1.0))
-    ttr = F.when(
-        F.col("n_tokens") > 0, F.col("n_distinct_tokens").cast("double") / nt
-    ).otherwise(F.lit(0.0))
+    ttr = F.when(n_tokens > 0, n_distinct.cast("double") / nt).otherwise(F.lit(0.0))
     punct_density = F.when(
-        F.col("n_chars_calc") > 0,
-        F.col("n_punct").cast("double") / F.col("n_chars_calc").cast("double"),
+        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
     ).otherwise(F.lit(0.0))
     punct_component = F.lit(1.0) - F.least(punct_density * F.lit(10.0), F.lit(1.0))
     score = length_component * F.lit(0.4) + ttr * F.lit(0.4) + punct_component * F.lit(0.2)
-    # Integer quantization (1e-4 grain) instead of decimal formatting:
-    # identical input doubles → identical ints on every engine, no
-    # representation-boundary rounding ambiguity.
-    return stats.select(
-        id_col, "n_tokens", "n_distinct_tokens",
-        F.floor(score * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("quality_q4"),
-    )
+    return F.floor(score * F.lit(10000.0) + F.lit(0.5)).cast("long")
 
 
 def _marker_score(text_col: str, words: list[str]) -> Column:
@@ -92,14 +95,10 @@ def _marker_score(text_col: str, words: list[str]) -> Column:
     return total
 
 
-def lang_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Marker-word language ID; equal scores resolve in LANG_MARKERS order."""
-    scored = df.select(
-        F.col(id_col),
-        *[_marker_score(text_col, words).alias(f"s_{lang}") for lang, words in LANG_MARKERS],
-    )
-    # when-chain in priority order, first-wins on ties: lang i beats
-    # earlier langs strictly and later langs non-strictly.
+def _predicted_lang() -> Column:
+    """Argmax when-chain over the ``s_<lang>`` score columns, first-wins on
+    ties in LANG_MARKERS priority order: lang i beats earlier langs strictly
+    and later langs non-strictly."""
     chain = None
     for i, (lang, _) in enumerate(LANG_MARKERS[:-1]):
         cond = None
@@ -113,9 +112,66 @@ def lang_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") ->
             )
             cond = c if cond is None else (cond & c)
         chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
-    chain = chain.otherwise(F.lit(LANG_MARKERS[-1][0]))
+    return chain.otherwise(F.lit(LANG_MARKERS[-1][0]))
+
+
+def lang_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID; equal scores resolve in LANG_MARKERS order."""
+    scored = df.select(
+        F.col(id_col),
+        *[_marker_score(text_col, words).alias(f"s_{lang}") for lang, words in LANG_MARKERS],
+    )
     return scored.select(
-        id_col, *[f"s_{lang}" for lang, _ in LANG_MARKERS], chain.alias("predicted_lang")
+        id_col, *[f"s_{lang}" for lang, _ in LANG_MARKERS],
+        _predicted_lang().alias("predicted_lang"),
+    )
+
+
+def curation_pipeline(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality_q4: int = 6500,
+    min_tokens: int = 25,
+) -> DataFrame:
+    """Single-scan corpus curation: fingerprint + quality + lang-ID compute
+    in ONE chained projection over the text column (at 100 TB, three
+    separate text scans joined on doc_id would triple the dominant IO);
+    the only shuffle is the first-wins dedup window on the fingerprint."""
+    from pyspark.sql.window import Window
+
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    s1 = df.select(
+        F.col(id_col),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_calc"),
+        (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))
+        ).alias("n_punct"),
+        *[_marker_score(text_col, words).alias(f"s_{lang}") for lang, words in LANG_MARKERS],
+    )
+    s2 = s1.select(
+        id_col, "fingerprint", "n_tokens",
+        _quality_q4(
+            F.col("n_tokens"), F.col("n_distinct_tokens"),
+            F.col("n_chars_calc"), F.col("n_punct"),
+        ).alias("quality_q4"),
+        _predicted_lang().alias("predicted_lang"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        s2.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            & (F.col("quality_q4") >= min_quality_q4)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+        .select(id_col, "fingerprint", "quality_q4", "predicted_lang", "n_tokens")
     )
 
 

@@ -678,21 +678,11 @@ WHERE q.doc_id IN (SELECT doc_id FROM keep)
 
 @register("corpus_curation_documents", _CURATION_SQL)
 def corpus_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation pipeline composition: exact dedup (first-wins
-    keep) ∘ quality cutoff ∘ language-ID ∘ min-length — the canonical
-    "filter the training corpus" job, all JVM-side projections plus one
-    dedup window, column-pruned to exactly the text column."""
-    docs = _t(spark, sf_dir, "documents")
-    fp = _text.fingerprints(docs)
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    keep = fp.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    q = _text.quality_score(docs)
-    lang = _text.lang_id(docs).select("doc_id", "predicted_lang")
-    return (
-        q.join(keep.select("doc_id", "fingerprint"), "doc_id")
-        .join(lang, "doc_id")
-        .filter((F.col("quality_q4") >= 6500) & (F.col("n_tokens") >= 25))
-        .select("doc_id", "fingerprint", "quality_q4", "predicted_lang", "n_tokens")
+    """End-to-end curation pipeline: exact dedup (first-wins keep) ∘ quality
+    cutoff ∘ language-ID ∘ min-length — ONE scan of the text column plus one
+    dedup-window shuffle (plan-asserted single scan in test_plans)."""
+    return _text.curation_pipeline(
+        _t(spark, sf_dir, "documents"), min_quality_q4=6500, min_tokens=25
     )
 
 

@@ -137,3 +137,12 @@ def test_date_parse_single_scan(spark):
     plan = _plan(QUERIES["date_parse_orders"](spark, SF_DIR))
     assert plan.count("Scan parquet") == 1
     assert "Generate explode" in plan
+
+
+def test_corpus_curation_single_scan(spark):
+    """Fingerprint + quality + lang-ID compute in ONE text scan; at 100 TB
+    three joined projections would triple the dominant IO."""
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["corpus_curation_documents"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
