@@ -40,24 +40,39 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
+    # The right payload travels as ONE struct: the carry-forward then always
+    # reflects a single matched right ROW — a NULL field inside the matched
+    # row stays NULL instead of being backfilled per-column from an older
+    # row (which could also stitch fields of different rows together).
+    rv_struct = F.struct(*[F.col(v).alias(v) for v in values])
+    rv_type = "struct<" + ", ".join(
+        f"{v}: {right.schema[v].dataType.simpleString()}" for v in values
+    ) + ">"
     l = left.select(
         F.col(left_key).alias("_key"),
         F.col(left_ts).cast("timestamp").alias("_ts"),
         F.lit(1).alias("_src"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in values],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
-    r = right.select(
+    # Right rows with a NULL timestamp can never match (ts >= NULL is never
+    # true) — drop them so they can't seed the carry.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(right_key).alias("_key"),
         F.col(right_ts).cast("timestamp").alias("_ts"),
         F.lit(0).alias("_src"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(v).alias(f"_r_{v}") for v in values],
+        rv_struct.alias("_rv"),
     )
     u = l.unionByName(r)
     # Right rows sort before left rows at equal ts (src 0 < 1), making the
-    # boundary inclusive in both directions.
-    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    # boundary inclusive in both directions. NULL left timestamps sort
+    # FIRST so they precede every right row and keep a NULL carry (a left
+    # row with no timestamp matches nothing).
+    ts_order = (
+        F.col("_ts").asc_nulls_first() if direction == "backward"
+        else F.col("_ts").desc_nulls_first()
+    )
     w = (
         Window.partitionBy("_key")
         .orderBy(ts_order, F.col("_src").asc())
@@ -66,8 +81,8 @@ def asof_join(
     filled = u.select(
         "_src",
         *[F.col(c) for c in lcols],
-        *[F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"_r_{v}") for v in values],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
     return filled.filter(F.col("_src") == 1).select(
-        *lcols, *[F.col(f"_r_{v}").alias(v) for v in values]
+        *lcols, *[F.col(f"_rv.{v}").alias(v) for v in values]
     )

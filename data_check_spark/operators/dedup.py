@@ -341,10 +341,17 @@ def ngram_jaccard_pairs(
     # slack. A qualifying pair (true jac >= t) can only be dropped here if
     # hash collisions shift its estimate by > 0.05 — that needs ~0.05*|union|
     # simultaneous 64-bit collisions inside ONE pair (p < 1e-100), so the
-    # final stage-3 string-exact rescore sees every real pair.
+    # final stage-3 string-exact rescore sees every real pair. The hash
+    # arrays come from a second column-pruned projection of the text —
+    # measured CHEAPER than regrouping the exploded index (collect_list of
+    # 1.35M hashes shuffled: 20s vs 11s at sf0.1), and at cluster scale the
+    # index self-join above already shuffles ~k× the text volume, so one
+    # extra pruned text scan is not the bottleneck.
     hsets = df.select(
         F.col(id_col).alias("_id"),
-        F.sort_array(F.transform(_shingles_expr(text_col, k), lambda s: F.xxhash64(s))).alias("_hh"),
+        F.sort_array(
+            F.transform(_shingles_expr(text_col, k), lambda s: F.xxhash64(s))
+        ).alias("_hh"),
     )
     ha = hsets.select(F.col("_id").alias("id_a"), F.col("_hh").alias("_ha"))
     hb = hsets.select(F.col("_id").alias("id_b"), F.col("_hh").alias("_hb"))
@@ -358,6 +365,10 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
     )
     # Stage 3: exact rescore on the ORIGINAL shingle strings (oracle-exact).
+    # Deliberately a plain projection of df: a semi-join down to survivor
+    # ids would make this subtree re-execute the whole prefilter pipeline
+    # (the id set depends on `near`) — measured 2x slower than shingling
+    # every doc and letting the join drop non-survivors.
     sets = df.select(F.col(id_col).alias("_id"), _shingles_expr(text_col, k).alias("_sh"))
     sa = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     sb = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))

@@ -71,10 +71,13 @@ def _decode_wav(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return vec
 
 
-# Magic-byte sniffers → real decoders. Image (PNG/JPEG) and video seams are
-# intentionally absent in this container; add ("\x89PNG", pil_decode) etc.
+# Payload sniffers → real decoders. The WAV sniff checks BOTH the RIFF tag
+# and the WAVE fourcc so other RIFF containers (WebP, AVI) fall through to
+# the "no decoder" seam instead of a misleading wave-parse error. Image
+# (PNG/JPEG) and video seams are intentionally absent in this container;
+# add (lambda b: b[:8] == b"\x89PNG\r\n\x1a\n", pil_decode) etc.
 _REAL_DECODERS = [
-    (b"RIFF", _decode_wav),
+    (lambda b: b[:4] == b"RIFF" and b[8:12] == b"WAVE", _decode_wav),
 ]
 
 
@@ -124,7 +127,7 @@ def extract_features(
                     else:
                         b = bytes(payload)
                         decoder = next(
-                            (fn for magic, fn in _REAL_DECODERS if b.startswith(magic)),
+                            (fn for sniff, fn in _REAL_DECODERS if sniff(b)),
                             None,
                         )
                         if decoder is None:

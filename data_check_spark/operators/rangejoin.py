@@ -40,7 +40,10 @@ def interval_join(
         raise ValueError("interval_join supports how='inner' only")
     units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
     n_str, unit = bucket.split()
-    secs = int(n_str) * units[unit.rstrip("s").lower()]
+    unit_key = unit.lower().rstrip("s")  # case-insensitive, like Spark literals
+    if unit_key not in units:
+        raise ValueError(f"unsupported bucket unit {unit!r}; use one of {sorted(units)}")
+    secs = int(n_str) * units[unit_key]
 
     def _bucket_of(col):
         return F.floor(F.unix_seconds(F.col(col).cast("timestamp")) / F.lit(secs))

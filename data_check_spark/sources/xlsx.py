@@ -104,6 +104,14 @@ def read_xlsx_df(spark, path: str, sheet: str | None = None):
     if not rows:
         raise ValueError(f"{path}: empty sheet")
     header = [h if h is not None else f"_c{i}" for i, h in enumerate(rows[0])]
+    # Uniquify repeated header names (exported sheets repeat them routinely):
+    # the first occurrence keeps the bare name, later ones gain _2, _3 … so
+    # downstream F.col(name) never hits AMBIGUOUS_REFERENCE.
+    seen: dict[str, int] = {}
+    for i, h in enumerate(header):
+        seen[h] = seen.get(h, 0) + 1
+        if seen[h] > 1:
+            header[i] = f"{h}_{seen[h]}"
     width = len(header)
     data = [tuple((r + [None] * width)[:width]) for r in rows[1:]]
     schema = ", ".join(f"`{h}` string" for h in header)

@@ -90,3 +90,40 @@ def test_asof_matches_brute_force_random(spark):
         cands = [(rts, v) for rk, rts, v in rrows if rk == k and rts <= ts]
         want = max(cands)[1] if cands else None
         assert got[eid] == want, (eid, got[eid], want)
+
+
+def test_asof_null_value_in_matched_row_stays_null(spark):
+    """The matched right row's NULL field must NOT be backfilled from an
+    older right row (struct carry, not per-column carry) — DuckDB ASOF
+    semantics."""
+    left = spark.createDataFrame(
+        [("e1", 1, _ts("2026-01-01T12:00:00"))], "event_id string, k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2026-01-01T10:00:00"), "old", "x"),
+         (1, _ts("2026-01-01T11:00:00"), None, "y")],
+        "k int, rts timestamp, payload string, other string",
+    )
+    out = asof_join(left, right, left_key="k", right_key="k", left_ts="ts",
+                    right_ts="rts", values=["payload", "other"]).collect()[0]
+    assert out["payload"] is None and out["other"] == "y"  # one row, not a blend
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL right timestamps never seed the carry; NULL left timestamps
+    match nothing (both directions)."""
+    left = spark.createDataFrame(
+        [("e1", 1, _ts("2026-01-01T09:00:00")), ("e2", 1, None)],
+        "event_id string, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, _ts("2026-01-01T10:00:00"), "real")],
+        "k int, rts timestamp, payload string",
+    )
+    for direction, e1_want in (("backward", None), ("forward", "real")):
+        out = {r["event_id"]: r["payload"]
+               for r in asof_join(left, right, left_key="k", right_key="k",
+                                  left_ts="ts", right_ts="rts",
+                                  values=["payload"], direction=direction).collect()}
+        assert out["e1"] == e1_want
+        assert out["e2"] is None

@@ -107,3 +107,18 @@ def test_real_wav_decode_features(spark):
     assert out["a2"]["ok"] and f2[0] == 2.0 and abs(f2[1] - 1.0) < 1e-6
     assert not out["a3"]["ok"] and "Error" in out["a3"]["error"]
     assert not out["i1"]["ok"] and "no decoder" in out["i1"]["error"]
+
+
+def test_non_wav_riff_goes_to_no_decoder_seam(spark):
+    """WebP/AVI are RIFF containers but not WAVE — they must hit the
+    'no decoder' seam, not a misleading wav-parse error."""
+    from data_check_spark.operators.multimodal import extract_features
+
+    webp = b"RIFF" + b"\x00\x00\x00\x00" + b"WEBPVP8 fake-webp-bytes"
+    df = spark.createDataFrame(
+        [("w1", "image", webp, None, "p0")],
+        "media_id string, media_type string, payload binary, "
+        "meta map<string,string>, partition string",
+    )
+    r = extract_features(df, decode_stub=False).collect()[0]
+    assert not r["ok"] and "no decoder" in r["error"]

@@ -67,3 +67,17 @@ def test_interval_join_plans_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_interval_join_bucket_unit_case_insensitive(spark):
+    points, intervals = _frames(spark)
+    import pytest
+
+    upper = interval_join(points, intervals, point_key="k", interval_key="wk",
+                          ts="ts", start="ws", end="we", bucket="7 DAYS")
+    lower = interval_join(points, intervals, point_key="k", interval_key="wk",
+                          ts="ts", start="ws", end="we", bucket="7 days")
+    assert sorted(map(tuple, upper.collect())) == sorted(map(tuple, lower.collect()))
+    with pytest.raises(ValueError, match="bucket unit"):
+        interval_join(points, intervals, point_key="k", interval_key="wk",
+                      ts="ts", start="ws", end="we", bucket="7 fortnights")

@@ -233,3 +233,11 @@ def test_read_xlsx_missing_column_raises(spark, tmp_path):
     _write_minimal_xlsx(path, ["other"], [["x", ]])
     with pytest.raises(MissingColumnsError):
         read_keyword_column(spark, path, "検索文字")
+
+
+def test_xlsx_duplicate_headers_uniquified(spark, tmp_path):
+    from data_check_spark.sources.files import read_keyword_column
+
+    path = str(tmp_path / "dup_headers.xlsx")
+    _write_minimal_xlsx(path, ["検索文字", "検索文字"], [["kw1", "ignored"]])
+    assert read_keyword_column(spark, path, "検索文字") == ["kw1"]
