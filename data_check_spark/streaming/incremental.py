@@ -128,6 +128,52 @@ def violation_rate_monitor(
     )
 
 
+def start_microbatch_validation(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    catalog: RuleCatalog,
+    dims: dict[str, DataFrame] | None = None,
+    *,
+    run_ts: str,
+    checkpoint_dir: str,
+    partition_col: str = "partition",
+    trigger_once: bool = False,
+):
+    """Set-oriented rules per micro-batch via ``foreachBatch``.
+
+    Each arriving batch runs through the FULL batch engine (uniqueness,
+    referential, drift — the same ``run_validation`` the nightly job uses)
+    as a delta: within-batch duplicates and FK violations surface
+    immediately, cross-batch uniqueness goes through the stateful path
+    (streaming/stateful.py) or the nightly reconciliation. Violations
+    append to ``<output>/violations`` tagged with the micro-batch id."""
+    from data_check_spark.engine import run_validation
+
+    dims = dims or {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = run_validation(
+            spark, batch_df, dims, catalog,
+            run_ts=run_ts, partition_col=partition_col, cache_input=False,
+        )
+        (
+            res.violations.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(f"{output_dir}/violations")
+        )
+
+    stream = stream_clips(spark, input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def violation_sessions(
     violations_with_ts: DataFrame,
     *,

@@ -244,3 +244,34 @@ def test_violation_sessions_gap_semantics(spark, tmp_path):
     )
     assert (base, 3) in got                                  # burst 1: 3 rows
     assert (base + dt.timedelta(minutes=22), 2) in got       # burst 2: 2 rows
+
+
+def test_microbatch_set_rules_via_foreachbatch(spark, tmp_path):
+    """Set-oriented rules run per micro-batch through the batch engine:
+    a within-batch duplicate is flagged immediately by the streaming job."""
+    import datetime as dt
+
+    from data_check_spark.streaming.incremental import start_microbatch_validation
+
+    ts = dt.datetime(2026, 1, 1)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    catalog = RuleCatalog(
+        list(CATALOG) + [Rule("S_UNIQ", "unique", "clip_id")]
+    )
+    _write_batch(spark, in_dir,
+                 [("dup_in_batch", 16000, 1000, "flac", "t", "p0", ts),
+                  ("dup_in_batch", 16000, 1000, "flac", "t", "p0", ts),
+                  ("c9", 0, 1000, "flac", "t", "p0", ts)], 1)  # sr=0 violates
+    q = start_microbatch_validation(
+        spark, in_dir, out_dir, catalog,
+        run_ts="2026-01-01 00:00:00",
+        checkpoint_dir=str(tmp_path / "ck"), trigger_once=True,
+    )
+    q.awaitTermination(180)
+    v = spark.read.parquet(f"{out_dir}/violations")
+    got = {(r["rule_id"], r["clip_id"]) for r in v.collect()}
+    assert ("S_UNIQ", "dup_in_batch") in got          # set rule fired in-batch
+    assert ("S_SR_POSITIVE", "c9") in got             # row-local rule too
+    assert v.filter("rule_id = 'S_UNIQ'").count() == 2
+    assert set(r["batch_id"] for r in v.select("batch_id").collect()) == {0}
