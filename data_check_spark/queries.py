@@ -892,6 +892,83 @@ def date_parse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_customers_by_status",
+    """
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders WHERE o_custkey IS NOT NULL
+    GROUP BY o_orderstatus
+    """,
+)
+def distinct_customers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase under the hood: partial
+    distinct per partition, merge on the group key)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "lapsed_customers_except",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate < timestamp '1998-01-01 00:00:00' AND o_custkey IS NOT NULL
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= timestamp '1998-01-01 00:00:00' AND o_custkey IS NOT NULL
+    """,
+)
+def lapsed_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT): customers active before 1998 but never after
+    — the reference has no set ops beyond concat-union (SURVEY §2.5)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    before = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    after = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return before.subtract(after)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "status_by_priority_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+           cast(sum(cast(o_totalprice AS decimal(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS double) AS open_value
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL
+    GROUP BY o_orderpriority
+    """,
+)
+def status_by_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: one pass, counts + value per
+    status column, no actual pivot shuffle beyond the group key."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority").isNotNull())
+
+    def n_for(status: str):
+        return F.count(F.when(F.col("o_orderstatus") == status, 1))
+
+    return orders.groupBy("o_orderpriority").agg(
+        n_for("O").alias("n_open"),
+        n_for("F").alias("n_finished"),
+        n_for("P").alias("n_pending"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", _dec("o_totalprice")))
+        .cast("double").alias("open_value"),
+    )
+
+
+@register(
     "asof_latest_order_per_event",
     """
     WITH r AS (
