@@ -145,3 +145,44 @@ def test_reliable_cache_requires_dir(spark):
     with pytest.raises(ValueError, match="reliable_cache"):
         run_validation(spark, clips, {}, audio_catalog(bytes_cap_ms=20),
                        run_ts="2026-01-01 00:00:00", reliable_cache=True)
+
+
+def test_resume_through_reliable_cache(spark, tmp_path):
+    """Resume works through the reliable-checkpoint path too: a second run
+    with resume=True skips completed partitions while global-grain rules
+    still see the full key set."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark import datagen
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.catalog_audio import audio_catalog
+
+    ckpt = str(tmp_path / "ckpt")
+    # 4000 rows: the duplicate-pool buckets are populated at this scale
+    # (n=1000 can produce zero repeated values)
+    clips = datagen.clips_df(spark, 4000, bytes_cap_ms=20).drop("_gen_id", "_viol")
+    dims = {"transcripts": datagen.transcripts_df(spark, 4000)}
+    cat = audio_catalog(bytes_cap_ms=20)
+
+    # first run: half the partitions
+    half = clips.filter(F.col("partition") < "p0064")
+    r1 = run_validation(spark, half, dims, cat, run_ts="2026-01-01 00:00:00",
+                        checkpoint_dir=ckpt, reliable_cache=True)
+    done1 = r1.verdicts.count()
+    assert done1 > 0
+
+    # resumed full run, reliable path: only the remaining partitions rescan
+    r2 = run_validation(spark, clips, dims, cat, run_ts="2026-01-01 00:00:00",
+                        checkpoint_dir=ckpt, resume=True, reliable_cache=True)
+    parts2 = {r["partition"] for r in r2.verdicts.collect()}
+    assert all(p >= "p0064" for p in parts2)
+    # cross-half duplicate coverage: global-grain dup VALUES from the
+    # resumed run must equal a fresh full run's (the key scan sees
+    # everything even though completed partitions are pruned)
+    full = run_validation(spark, clips, dims, cat, run_ts="2026-01-01 00:00:00")
+    dup_vals = lambda res: {
+        r["clip_id"]
+        for r in res.violations.filter(F.col("rule_id") == "CLIP_ID_DUP_VALUES").collect()
+    }
+    want = dup_vals(full)
+    assert want and dup_vals(r2) == want
