@@ -1,0 +1,236 @@
+"""Single-pass column-stats profiler.
+
+The north-star rule names "column stats" as a first-class check family next
+to uniqueness / referential / drift; the reference computes the same tallies
+piecemeal (per-column null/format counts inside each series module, e.g.
+dekispart.py's per-check ``isnull``/`len` scans — one pandas pass PER rule).
+Here the whole profile is ONE ``df.agg`` over ONE scan:
+
+- ``column_profile`` — per column: row count, null count, blank count
+  (strings), distinct count, min/max rendered to portable strings.
+  ``approx=False`` uses exact ``count_distinct``: Catalyst plans one Expand
+  (row ×k for k profiled columns) feeding a single hash aggregate — exact,
+  oracle-checkable, and the right choice up to a few columns.
+  ``approx=True`` is the 100-TB path: ``approx_count_distinct`` (HyperLogLog++,
+  relative error ``rsd``) keeps the plan a plain one-pass partial+final
+  aggregate with NO row multiplication and O(columns) state per partition.
+  For profiles that must be *mergeable* across incremental runs, see
+  ``operators/sketches.py`` (DataSketches HLL persist + re-merge).
+- ``numeric_quantiles`` — exact linear-interpolation percentiles for numeric
+  columns, one ``agg`` pass. Exact global percentile materializes the
+  column per partition and merges sorted runs — fine for a handful of
+  numeric columns; the sketch-based scale path with bounded memory is the
+  t-digest in ``operators/drift.py``/``operators/tdigest.py`` (same
+  interpolation contract, tested against this exact operator).
+
+Rendering contract: min/max are cast to strings per type so the output is
+one uniform schema and hash-portable across engines (doubles via
+``%.2f``, timestamps via an explicit pattern — never Java's default
+``Double.toString``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampType,
+)
+
+_INT_TYPES = (ByteType, ShortType, IntegerType, LongType)
+_FLOAT_TYPES = (FloatType, DoubleType)
+
+TS_PATTERN = "yyyy-MM-dd HH:mm:ss"
+
+
+def _render(col: Column, dtype) -> Column:
+    """Portable string rendering for min/max values (see module docstring)."""
+    if isinstance(dtype, StringType):
+        return col
+    if isinstance(dtype, _INT_TYPES) or isinstance(dtype, DecimalType):
+        return col.cast("string")
+    if isinstance(dtype, _FLOAT_TYPES):
+        return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+            F.format_string("%.2f", col)
+        )
+    if isinstance(dtype, TimestampType):
+        return F.date_format(col, TS_PATTERN)
+    if isinstance(dtype, DateType):
+        return F.date_format(col, "yyyy-MM-dd")
+    return col.cast("string")
+
+
+def column_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    approx: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """(col_name, n_rows, n_nulls, n_blank, n_distinct, min_value, max_value).
+
+    One row per profiled column, sorted by name; computed in a SINGLE
+    aggregation over a single scan (the per-column unpivot happens on the
+    one aggregated row, not on the data). ``n_blank`` counts
+    whitespace-only non-null strings and is NULL for non-string columns;
+    ``n_distinct`` excludes nulls (matching SQL ``count(distinct)``).
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = sorted(columns if columns is not None else fields)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        dt = fields[c]
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"{c}!nulls"))
+        if isinstance(dt, StringType):
+            blank = F.count(F.when(col.isNotNull() & (F.trim(col) == ""), 1))
+        else:
+            blank = F.first(F.lit(None).cast("long"))
+        aggs.append(blank.alias(f"{c}!blank"))
+        nd = F.approx_count_distinct(col, rsd) if approx else F.count_distinct(col)
+        aggs.append(nd.alias(f"{c}!distinct"))
+        aggs.append(_render(F.min(col), dt).alias(f"{c}!min"))
+        aggs.append(_render(F.max(col), dt).alias(f"{c}!max"))
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"`{c}!nulls`").alias("n_nulls"),
+                F.col(f"`{c}!blank`").alias("n_blank"),
+                F.col(f"`{c}!distinct`").alias("n_distinct"),
+                F.col(f"`{c}!min`").alias("min_value"),
+                F.col(f"`{c}!max`").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    scale: int = 100,
+) -> DataFrame:
+    """(col_name, percentile, q_scaled) exact interpolated percentiles.
+
+    Values are quantized BEFORE the percentile (``round(x*scale)`` as
+    bigint) and the interpolated result is returned ×4 as a bigint
+    (``q_scaled`` = quarter-units of 1/scale): with dyadic percentiles
+    (quarters), ``p*(n-1)`` and the linear interpolation between two
+    integers are exact in double arithmetic, so the output is
+    bit-identical across engines — no float-formatting hazards.
+
+    Dyadic percentiles only (k/4): anything else makes the interpolation
+    fraction non-representable and the cross-engine contract ulp-fragile.
+    """
+    for p in percentiles:
+        if (p * 4) != int(p * 4):
+            raise ValueError(f"percentile {p} is not a quarter; contract is exact-only")
+    pcts = F.array(*[F.lit(float(p)) for p in percentiles])
+    aggs = [
+        F.percentile(F.round(F.col(c) * scale).cast("long"), pcts).alias(c)
+        for c in columns
+    ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(float(p)).alias("percentile"),
+                (F.col(c)[i] * 4).cast("long").alias("q_scaled"),
+            )
+            for c in columns
+            for i, p in enumerate(percentiles)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def value_histogram(
+    df: DataFrame, column: str, *, bin_width: float, scale: int = 100
+) -> DataFrame:
+    """(bin, bin_lo_scaled, n) fixed-width histogram — one hash aggregate.
+
+    Bin index = ``floor(round(x*scale) / round(bin_width*scale))`` over the
+    integer-quantized value, so the bin boundary arithmetic is exact (a raw
+    ``floor(x / w)`` on doubles flips bins for values within a ulp of a
+    boundary). Output is O(value_range / bin_width) rows regardless of
+    input size; the single groupBy gets a map-side partial aggregate for
+    free."""
+    w = round(bin_width * scale)
+    if w <= 0:
+        raise ValueError(f"bin_width too small for scale={scale}: {bin_width}")
+    q = F.round(F.col(column) * scale).cast("long")
+    bin_ = F.floor(q / w).cast("long")
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo_scaled", F.col("bin") * w)
+        .select("bin", "bin_lo_scaled", "n")
+    )
+
+
+def quantile_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group vs whole-table quantile drift in ONE scan via ROLLUP.
+
+    The north-star drift family, re-expressed so it is exactly
+    SQL-checkable: ``rollup(group)`` computes every group's quantiles AND
+    the global baseline in a single aggregation (no second pass over the
+    fact table); the tiny baseline row is broadcast back onto the group
+    rows. Output per (group, percentile): the quantized group/baseline
+    quantiles plus ``drift_bp`` — the absolute relative drift in basis
+    points, computed with INTEGER floor-division so both engines agree
+    bit-for-bit. The sketch-based route for streaming/incremental baselines
+    is operators/drift.py (t-digest + treeAggregate); this operator is the
+    batch-audit counterpart with exact values.
+    """
+    for p in percentiles:
+        if (p * 4) != int(p * 4):
+            raise ValueError(f"percentile {p} is not a quarter; contract is exact-only")
+    pcts = F.array(*[F.lit(float(p)) for p in percentiles])
+    q = (
+        df.rollup(group_col)
+        .agg(
+            F.percentile(F.round(F.col(value_col) * scale).cast("long"), pcts).alias("qs"),
+            F.grouping(group_col).alias("_g"),
+        )
+    )
+    base = q.filter(F.col("_g") == 1).select(F.col("qs").alias("bqs"))
+    grp = q.filter(F.col("_g") == 0).select(group_col, "qs")
+    joined = grp.crossJoin(F.broadcast(base))
+    rows = F.array(
+        *[
+            F.struct(
+                F.col(group_col).alias("group_value"),
+                F.lit(float(p)).alias("percentile"),
+                (F.col("qs")[i] * 4).cast("long").alias("q_scaled"),
+                (F.col("bqs")[i] * 4).cast("long").alias("base_scaled"),
+            )
+            for i, p in enumerate(percentiles)
+        ]
+    )
+    out = joined.select(F.explode(rows).alias("r")).select("r.*")
+    drift_bp = F.expr("(abs(q_scaled - base_scaled) * 10000) div base_scaled")
+    return out.withColumn("drift_bp", drift_bp)

@@ -180,3 +180,33 @@ def fingerprints(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
     return df.select(
         F.col(id_col), F.md5(F.encode(F.col(text_col), "UTF-8")).alias("fingerprint")
     )
+
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_hash(
+    text_col: str, *, base: int = ROLLING_BASE, mod: int = ROLLING_MOD
+) -> Column:
+    """Polynomial rolling hash of a string, entirely JVM-side.
+
+    ``h = fold(codepoints, 0, (h, c) -> (h*base + c) mod m)`` — the classic
+    Rabin-Karp document fingerprint. The mod is applied at EVERY step so the
+    accumulator stays < mod*base + 0x10FFFF and can never overflow a 64-bit
+    long, which keeps the arithmetic identical on any engine (DuckDB raises
+    on bigint overflow; Spark non-ANSI wraps — neither path is ever hit).
+    Unlike ``fingerprints`` (md5), a rolling hash extends incrementally:
+    appending a suffix only folds the new characters, which is what chunked
+    / streamed fingerprinting at scale wants.
+    """
+    t = F.col(text_col)
+    # sequence(1, 0) would DESCEND ([1, 0]) — guard the empty string.
+    chars = F.when(F.length(t) == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.length(t))
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda h, i: (h * base + F.ascii(t.substr(i, F.lit(1)))) % mod,
+    )

@@ -1107,3 +1107,235 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 21. Column-stats profile — the north-rule "column stats" family as ONE pass
+# ---------------------------------------------------------------------------
+
+def _profile_col_sql(col: str, render: str, blank: str | None) -> str:
+    nb = (
+        f"count(*) FILTER (WHERE {col} IS NOT NULL AND trim({col}) = '')"
+        if blank == "string"
+        else "CAST(NULL AS BIGINT)"
+    )
+    return f"""
+    SELECT '{col}' AS col_name, count(*) AS n_rows,
+           count(*) - count({col}) AS n_nulls,
+           {nb} AS n_blank,
+           count(DISTINCT {col}) AS n_distinct,
+           {render.format(v=f"min({col})")} AS min_value,
+           {render.format(v=f"max({col})")} AS max_value
+    FROM orders"""
+
+
+_COLUMN_STATS_SQL = "\nUNION ALL\n".join(
+    [
+        _profile_col_sql("o_custkey", "CAST({v} AS VARCHAR)", None),
+        _profile_col_sql("o_orderdate", "strftime({v}, '%Y-%m-%d %H:%M:%S')", None),
+        _profile_col_sql("o_orderkey", "CAST({v} AS VARCHAR)", None),
+        _profile_col_sql("o_orderpriority", "{v}", "string"),
+        _profile_col_sql("o_orderstatus", "{v}", "string"),
+        _profile_col_sql("o_totalprice", "printf('%.2f', {v})", None),
+    ]
+) + "\nORDER BY col_name"
+
+
+@register("column_stats_orders", _COLUMN_STATS_SQL)
+def column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table per-column profile (nulls/blanks/distinct/min/max) in a
+    single aggregation pass — the "column stats" check family of the
+    north-star rule. Exact distinct here (oracle contract); the 100-TB
+    route is ``column_profile(approx=True)`` (HLL++, no Expand) — accuracy
+    gated in tests."""
+    from data_check_spark.operators.profile import column_profile
+
+    return column_profile(_t(spark, sf_dir, "orders")).orderBy("col_name")
+
+
+_QUANTILES_SQL = """
+WITH q AS (
+    SELECT 'l_quantity' AS col_name,
+           quantile_cont(CAST(round(l_quantity*100) AS BIGINT), [0.25,0.5,0.75]) AS qs
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), [0.25,0.5,0.75])
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           quantile_cont(CAST(round(l_discount*100) AS BIGINT), [0.25,0.5,0.75])
+    FROM lineitem
+)
+SELECT col_name, CAST(p.percentile AS DOUBLE) AS percentile,
+       CAST(qs[p.i] * 4 AS BIGINT) AS q_scaled
+FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) p(i, percentile)
+ORDER BY col_name, percentile
+"""
+
+
+@register("numeric_quantiles_lineitem", _QUANTILES_SQL)
+def numeric_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles for the numeric lineitem columns, one
+    agg pass. Outputs are integer-quantized quarter-cents so the linear
+    interpolation is bit-identical across engines (dyadic percentiles over
+    integer-quantized inputs — see operators/profile.py). The bounded-memory
+    scale path for the same numbers is the t-digest sketch
+    (operators/tdigest.py), harness-checked against this exact operator."""
+    from data_check_spark.operators.profile import numeric_quantiles
+
+    return numeric_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    ).orderBy("col_name", "percentile")
+
+
+_ROLLING_HASH_SQL = """
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text)+1),
+                              i -> unicode(substring(text, i, 1)))),
+           (h, c) -> (h*31 + c) % 1000000007) AS rhash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("rolling_hash_documents", _ROLLING_HASH_SQL)
+def rolling_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial fingerprint per document, pure JVM fold — the
+    incremental-extension counterpart of the md5 fingerprint (appending a
+    suffix re-folds only the new characters)."""
+    from data_check_spark.operators.text import rolling_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("rhash")).orderBy("doc_id")
+
+
+_ROLLING_HOUR_SQL = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       count(*) OVER w AS n_prev_hour,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+@register("events_hourly_rolling", _ROLLING_HOUR_SQL)
+def events_hourly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour event count + value sum via a RANGE window
+    frame over epoch microseconds (exact boundary semantics on both
+    engines; sub-second timestamps make second-granularity frames wrong).
+    One shuffle on user_id; the frame is evaluated with a sliding
+    aggregate, never a self-join."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+        F.sum(_dec("value")).over(w).cast("double").alias("value_hour"),
+    ).orderBy("user_id", "event_id")
+
+
+_QUANTILE_DRIFT_SQL = """
+WITH q AS (
+    SELECT l_returnflag,
+           quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), [0.25,0.5,0.75]) AS qs,
+           GROUPING(l_returnflag) AS g
+    FROM lineitem GROUP BY ROLLUP (l_returnflag)
+),
+b AS (SELECT qs AS bqs FROM q WHERE g = 1),
+g2 AS (SELECT l_returnflag, qs FROM q WHERE g = 0)
+SELECT g2.l_returnflag AS group_value, CAST(p.percentile AS DOUBLE) AS percentile,
+       CAST(g2.qs[p.i]*4 AS BIGINT) AS q_scaled,
+       CAST(b.bqs[p.i]*4 AS BIGINT) AS base_scaled,
+       (abs(CAST(g2.qs[p.i]*4 AS BIGINT) - CAST(b.bqs[p.i]*4 AS BIGINT)) * 10000)
+           // CAST(b.bqs[p.i]*4 AS BIGINT) AS drift_bp
+FROM g2, b, (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) p(i, percentile)
+ORDER BY group_value, percentile
+"""
+
+
+@register("quantile_drift_lineitem", _QUANTILE_DRIFT_SQL)
+def quantile_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group vs whole-table quantile drift — the north-rule drift family
+    as an exactly-checkable batch audit. ONE scan: rollup() computes group
+    and baseline quantiles together; drift is integer basis points (values
+    are non-negative, so Spark's truncating `div` == DuckDB's flooring
+    `//`). The streaming/incremental sketch route is operators/drift.py."""
+    from data_check_spark.operators.profile import quantile_drift
+
+    return quantile_drift(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag"
+    ).orderBy("group_value", "percentile")
+
+
+_SAMPLE_RATES = {"en": 0.5, "zh": 0.125, "de": 0.25, "fr": 0.25, "es": 0.25}
+
+
+def _sample_case_sql() -> str:
+    from data_check_spark.operators.sampling import _rate_threshold
+
+    branches = "\n        ".join(
+        f"WHEN '{k}' THEN '{_rate_threshold(v)}'" for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substring(md5('cur1:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang {branches} ELSE '00000000' END
+ORDER BY doc_id
+"""
+
+
+@register("stratified_sample_documents", _sample_case_sql())
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (seeded md5-threshold): the
+    sample is a pure function of (seed, doc_id), reproducible across runs,
+    engines and repartitioning — rand()-based sampling is none of those.
+    Plan: single map-side filter; sampling 100 TB costs one scan, zero
+    shuffle."""
+    from data_check_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs, id_col="doc_id", strata_col="lang", rates=_SAMPLE_RATES, seed="cur1"
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT CAST(floor(CAST(round(o_totalprice*100) AS BIGINT) / 2500000) AS BIGINT) AS bin,
+       CAST(floor(CAST(round(o_totalprice*100) AS BIGINT) / 2500000) AS BIGINT) * 2500000
+           AS bin_lo_scaled,
+       count(*) AS n
+FROM orders
+WHERE o_totalprice IS NOT NULL
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@register("histogram_totalprice_orders", _HISTOGRAM_SQL)
+def histogram_totalprice_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bin = 25,000 currency units) over the
+    integer-quantized price — one hash aggregate with map-side partials;
+    output size is bounded by the value range, not the row count."""
+    from data_check_spark.operators.profile import value_histogram
+
+    return value_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", bin_width=25_000.0
+    ).orderBy("bin")

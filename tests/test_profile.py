@@ -1,0 +1,141 @@
+"""Column-stats profiler + exact quantiles + rolling hash."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_check_spark.operators.profile import column_profile, numeric_quantiles
+from data_check_spark.operators.text import rolling_hash
+
+
+@pytest.fixture(scope="module")
+def mixed_df(spark):
+    rows = [
+        (1, "a", 1.5, None),
+        (2, "  ", 2.25, "2024-01-02 03:04:05"),
+        (3, None, None, "2024-01-02 03:04:05"),
+        (4, "a", -1.0, "2023-12-31 23:59:59"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, x double, ts_s string")
+    return df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_column_profile_exact(spark, mixed_df):
+    prof = {r["col_name"]: r.asDict() for r in column_profile(mixed_df).collect()}
+    assert set(prof) == {"id", "s", "x", "ts"}
+    assert prof["id"] == {
+        "col_name": "id", "n_rows": 4, "n_nulls": 0, "n_blank": None,
+        "n_distinct": 4, "min_value": "1", "max_value": "4",
+    }
+    assert prof["s"]["n_nulls"] == 1
+    assert prof["s"]["n_blank"] == 1  # whitespace-only, non-null
+    assert prof["s"]["n_distinct"] == 2
+    assert prof["x"]["min_value"] == "-1.00" and prof["x"]["max_value"] == "2.25"
+    assert prof["ts"]["min_value"] == "2023-12-31 23:59:59"
+    assert prof["ts"]["n_distinct"] == 2
+
+
+def test_column_profile_column_subset_and_empty_input(spark, mixed_df):
+    prof = column_profile(mixed_df, ["x"]).collect()
+    assert [r["col_name"] for r in prof] == ["x"]
+    empty = mixed_df.filter(F.lit(False))
+    rows = {r["col_name"]: r for r in column_profile(empty).collect()}
+    assert rows["id"]["n_rows"] == 0 and rows["id"]["n_distinct"] == 0
+    assert rows["id"]["min_value"] is None
+
+
+def test_column_profile_approx_tracks_exact(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").cast("string").alias("s")
+    )
+    exact = {r["col_name"]: r["n_distinct"] for r in column_profile(df).collect()}
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in column_profile(df, approx=True, rsd=0.02).collect()
+    }
+    for c in exact:
+        assert abs(approx[c] - exact[c]) <= 0.05 * max(exact[c], 1), (c, exact[c], approx[c])
+
+
+def test_column_profile_approx_plan_has_no_expand(spark, mixed_df):
+    """Exact multi-count_distinct plans an Expand (row x k); the approx
+    scale path must stay a plain partial+final aggregate."""
+    exact_plan = column_profile(mixed_df)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = (
+        column_profile(mixed_df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
+
+
+def test_numeric_quantiles_match_numpy(spark):
+    vals = [1.0, 2.0, 2.5, 7.25, 100.0, 3.75, 0.25]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        (r["col_name"], r["percentile"]): r["q_scaled"]
+        for r in numeric_quantiles(df, ["x"]).collect()
+    }
+    arr = np.round(np.array(vals) * 100).astype(np.int64)
+    for p in (0.25, 0.5, 0.75):
+        want = int(np.quantile(arr, p, method="linear") * 4)
+        assert got[("x", p)] == want
+
+
+def test_numeric_quantiles_rejects_non_dyadic(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        numeric_quantiles(df, ["x"], percentiles=(0.9,))
+
+
+def test_value_histogram_exact_boundaries(spark):
+    from data_check_spark.operators.profile import value_histogram
+
+    # 24999.99 and 25000.00 must land in different bins; nulls dropped
+    vals = [0.0, 24999.99, 25000.0, 25000.01, 74999.99, 75000.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["bin"]: (r["bin_lo_scaled"], r["n"]) for r in
+           value_histogram(df, "x", bin_width=25_000.0).collect()}
+    assert got == {0: (0, 2), 1: (2_500_000, 2), 2: (5_000_000, 1), 3: (7_500_000, 1)}
+
+
+def test_quantile_drift_groups_vs_global(spark):
+    from data_check_spark.operators.profile import quantile_drift
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 5.0]] + [
+        ("b", v) for v in [10.0, 20.0, 30.0, 40.0, 50.0]
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {
+        (r["group_value"], r["percentile"]): r
+        for r in quantile_drift(df, "x", "g").collect()
+    }
+    assert set(k[0] for k in out) == {"a", "b"}
+    # group a median: 3.0 -> 300 quantized -> *4 = 1200
+    r = out[("a", 0.5)]
+    assert r["q_scaled"] == 1200
+    # global median over the 10 values: (5.0 + 10.0)/2 = 7.5 -> 750*4 = 3000
+    assert r["base_scaled"] == 3000
+    # drift, basis points: |1200-3000|*10000 div 3000 = 6000
+    assert r["drift_bp"] == 6000
+    b = out[("b", 0.5)]
+    assert b["q_scaled"] == 12000 and b["drift_bp"] == 30000
+
+
+def _ref_rolling_hash(s: str, base: int = 31, mod: int = 1_000_000_007) -> int:
+    h = 0
+    for ch in s:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+def test_rolling_hash_matches_reference_and_extends(spark):
+    texts = ["", "a", "hello world", "x" * 300, "prefix", "prefixsuffix"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["h"] for r in df.select("doc_id", rolling_hash("text").alias("h")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_rolling_hash(t), t[:20]
+    # incremental-extension property: fold(suffix) over h(prefix) == h(prefix+suffix)
+    h = got[4]
+    for ch in "suffix":
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    assert h == got[5]
