@@ -59,6 +59,14 @@ BENCH_QUERIES = [
     "lsh_embedding_near_dup",
     "ivf_ann_embeddings",
     "corpus_curation_documents",
+    # profiling / drift / sampling family (round 2)
+    "column_stats_orders",
+    "numeric_quantiles_lineitem",
+    "quantile_drift_lineitem",
+    "categorical_drift_orders",
+    "events_hourly_rolling",
+    "stratified_sample_documents",
+    "rolling_hash_documents",
 ]
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 N_PARTITIONS = 128
 HOT_PARTITION = "p0001"  # receives ~26x the median row count (skew fixture)
 DRIFT_PARTITIONS = {f"p{i:04d}" for i in range(120, 128)}  # dur_ms shifted +8s
+CODEC_MIX_PARTITIONS = {f"p{i:04d}" for i in range(116, 120)}  # codec mix 80% opus
 CODECS = ["pcm_s16le", "flac", "opus", "mp3", "aac"]
 SR_VALUES = [8000, 16000, 22050, 44100, 48000]
 HOT_DUP_CLIP_ID = "clip_00000000deadbeef"
@@ -146,15 +147,22 @@ def clips_df(spark: SparkSession, n_rows: int, *, with_bytes: bool = True, bytes
         .otherwise(drifted)
     ).cast("int")
 
-    # --- codec
+    # --- codec (codec-mix partitions skew the clean rows to 80% opus — the
+    # categorical-drift fixture; the planted anomaly bands stay untouched so
+    # CODEC_WHITELIST / CODEC_NOT_NULL counts are unaffected)
     c_ix = F.pmod(F.xxhash64(F.col("id"), F.lit("codec")), F.lit(len(CODECS))) + 1
     base_codec = F.element_at(F.array(*[F.lit(c) for c in CODECS]), c_ix.cast("int"))
+    mix_skewed = F.when(
+        partition.isin(*sorted(CODEC_MIX_PARTITIONS))
+        & (F.pmod(F.xxhash64(F.col("id"), F.lit("cmix")), F.lit(10)) < 8),
+        F.lit("opus"),
+    ).otherwise(base_codec)
     codec = (
         F.when(_in(v, "codec_unknown"), F.lit("wav?"))
         .when(_in(v, "codec_empty"), F.lit(""))
         .when(_in(v, "codec_null"), F.lit(None).cast("string"))
         .when(_in(v, "codec_case"), F.lit("FLAC"))
-        .otherwise(base_codec)
+        .otherwise(mix_skewed)
     )
 
     # --- transcript

@@ -48,7 +48,10 @@ from data_check_spark.operators.audio import (
     snr_column_violations,
     transcript_match_violations,
 )
-from data_check_spark.operators.drift import drift_violations
+from data_check_spark.operators.drift import (
+    categorical_drift_violations,
+    drift_violations,
+)
 from data_check_spark.operators.referential import (
     anti_join_violations,
     orphan_violations,
@@ -122,6 +125,12 @@ def _dispatch_set_rule(
         return drift_violations(
             clips, baseline, rule.rule_id, rule.column,
             threshold=p.get("threshold", 0.25), partition_col=partition_col,
+        )
+    if rule.kind == "cat_drift":
+        return categorical_drift_violations(
+            clips, rule.rule_id, rule.column or "codec",
+            threshold_bp=p.get("threshold_bp", 2500),
+            min_rows=p.get("min_rows", 100), partition_col=partition_col,
         )
     if rule.kind == "audio_decode":
         if SNR_COL in clips.columns:  # precomputed in the single wide pass
@@ -385,7 +394,10 @@ def run_validation(
     for rule in catalog.set_oriented:
         if rule.kind == "drift" or rule.rule_id in fused_ids:
             continue
-        global_grain = rule.kind in ("unique", "aggregate_unique") or (
+        # cat_drift is global-grain too: its baseline is the CURRENT table
+        # mix, which a resume run must compute over all partitions, not just
+        # the remaining ones.
+        global_grain = rule.kind in ("unique", "aggregate_unique", "cat_drift") or (
             rule.kind == "referential" and rule.params.get("mode") == "orphan"
         )
         dups = None if rule.gate else shared_dups.get(rule.column or "clip_id")
@@ -395,9 +407,10 @@ def run_validation(
                 # Full-table key scan (column-pruned; never touches bytes).
                 v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
                                        shared_dups=dups, run_ts=run_ts)
-                if rule.kind == "unique":
-                    # Row-grain output: rows in completed partitions were
-                    # already reported by the run that checkpointed them.
+                if rule.kind in ("unique", "cat_drift"):
+                    # Partition-attributed output: rows in completed
+                    # partitions were already reported by the run that
+                    # checkpointed them.
                     v = v.filter(~F.col("partition").isin(done))
                 parts.append(v)
             else:

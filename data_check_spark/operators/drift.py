@@ -227,3 +227,82 @@ def drift_violations(
     return drift_violations_multi(
         df, baseline, [(rule_id, column, threshold)], partition_col=partition_col
     )
+
+
+def categorical_drift_violations(
+    df: DataFrame,
+    rule_id: str,
+    column: str,
+    *,
+    threshold_bp: int = 2500,
+    min_rows: int = 100,
+    partition_col: str = "partition",
+) -> DataFrame:
+    """Partition-grain CATEGORICAL drift: codec-mix shift vs the table mix.
+
+    The t-digest path above monitors numeric distributions; this is its
+    counterpart for low-cardinality string columns (codec, language, ...).
+    Sufficient statistic = the (partition, category) count table, so unlike
+    the numeric case no sketch is needed: ONE groupBy pass (map-side
+    partials, the shuffle moves only counts), then window sums over the
+    tiny aggregated frame compute each partition's share and the global
+    baseline share — never a second scan of the data.
+
+    Metric: total-variation distance in integer basis points
+    (``Σ |share_bp − base_bp| div 2`` with truncating shares), exact and
+    engine-portable; nulls are excluded (a null surge is the NOT_NULL
+    rule's job, not drift's). Violation row per drifted partition:
+    (rule_id, NULL clip_id, partition, "col tv_bp=N").
+
+    ``min_rows``: partitions with fewer non-null rows are SKIPPED — the
+    share estimate's sampling noise is ~``10000*sqrt(p(1-p)/n)`` bp per
+    category, so below ~100 rows a 2500 bp threshold fires on noise (a
+    128-partition table of 1k rows would flag most partitions). Drift needs
+    volume; tiny partitions are a row-rule problem, not a drift problem.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(partition_col).alias("partition"), F.col(column).alias("_cat"))
+        .agg(F.count(F.lit(1)).alias("n_pc"))
+        # the grid + window stages below reference this tiny count table
+        # three times; materialize it once (lazy) so the input is scanned
+        # exactly once regardless of how many consumers follow
+        .localCheckpoint(eager=False)
+    )
+    # Full (partition x category) grid so a category MISSING from a
+    # partition still contributes its baseline share to the distance —
+    # built from the aggregated counts (|partitions| x |categories| rows),
+    # never from the data.
+    grid = (
+        counts.select("partition").distinct()
+        .crossJoin(counts.select("_cat").distinct())
+        .join(counts, ["partition", "_cat"], "left")
+        .fillna(0, subset=["n_pc"])
+    )
+    shares = grid.select(
+        "partition",
+        F.sum("n_pc").over(Window.partitionBy("partition")).alias("n_p"),
+        F.sum("n_pc").over(Window.partitionBy("_cat")).alias("n_c"),
+        F.sum("n_pc").over(Window.partitionBy()).alias("n"),
+        "n_pc",
+    ).select(
+        "partition",
+        "n_p",
+        F.abs(
+            F.expr("(n_pc * 10000) div n_p") - F.expr("(n_c * 10000) div n")
+        ).alias("_diff_bp"),
+    )
+    tv = shares.groupBy("partition").agg(
+        F.expr("sum(_diff_bp) div 2").alias("tv_bp"),
+        F.max("n_p").alias("_n_p"),
+    )
+    return tv.filter(
+        (F.col("tv_bp") > threshold_bp) & (F.col("_n_p") >= min_rows)
+    ).select(
+        F.lit(rule_id).alias("rule_id"),
+        F.lit(None).cast("string").alias("clip_id"),
+        F.col("partition"),
+        F.concat(F.lit(f"{column} tv_bp="), F.col("tv_bp").cast("string")).alias("observed"),
+    )

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     ByteType,
     DateType,
@@ -216,6 +217,11 @@ def quantile_drift(
             F.percentile(F.round(F.col(value_col) * scale).cast("long"), pcts).alias("qs"),
             F.grouping(group_col).alias("_g"),
         )
+        # The tiny rollup output feeds BOTH the baseline and the group
+        # branches; without materialization each branch re-plans the whole
+        # aggregation (measured 4 scans of the fact table). Lazy local
+        # checkpoint → exactly one scan, computed at first action.
+        .localCheckpoint(eager=False)
     )
     base = q.filter(F.col("_g") == 1).select(F.col("qs").alias("bqs"))
     grp = q.filter(F.col("_g") == 0).select(group_col, "qs")
@@ -234,3 +240,49 @@ def quantile_drift(
     out = joined.select(F.explode(rows).alias("r")).select("r.*")
     drift_bp = F.expr("(abs(q_scaled - base_scaled) * 10000) div base_scaled")
     return out.withColumn("drift_bp", drift_bp)
+
+
+def categorical_drift(df: DataFrame, cat_col: str, group_col: str) -> DataFrame:
+    """Per-group categorical-mix drift vs the whole table, ONE heavy pass.
+
+    The categorical sibling of ``quantile_drift``: for an audio corpus this
+    is "has partition X's codec mix shifted against the table baseline".
+    The only pass over the data is a single ``groupBy(group, cat).count()``
+    (map-side partials, one shuffle of (group, cat) keys); group totals,
+    category baselines and the grand total are window sums over that tiny
+    aggregated frame — never a second scan.
+
+    Shares are integer basis points (``n*10000 div total``, truncating on
+    non-negative counts) so every value is engine-exact; ``diff_bp`` is the
+    per-category absolute share difference — summing it per group and
+    halving gives total-variation distance in bp.
+    """
+    counts = (
+        df.filter(F.col(cat_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("group_value"), F.col(cat_col).alias("category")
+        )
+        .agg(F.count(F.lit(1)).alias("n_gc"))
+        # tiny sufficient statistic, consumed by several window branches —
+        # materialize once so the fact table is scanned exactly once
+        .localCheckpoint(eager=False)
+    )
+    w_g = Window.partitionBy("group_value")
+    w_c = Window.partitionBy("category")
+    w_all = Window.partitionBy()
+    out = counts.select(
+        "group_value",
+        "category",
+        "n_gc",
+        F.sum("n_gc").over(w_g).alias("n_g"),
+        F.sum("n_gc").over(w_c).alias("n_c"),
+        F.sum("n_gc").over(w_all).alias("n"),
+    )
+    share = F.expr("(n_gc * 10000) div n_g")
+    base = F.expr("(n_c * 10000) div n")
+    return (
+        out.withColumn("share_bp", share)
+        .withColumn("base_bp", base)
+        .withColumn("diff_bp", F.abs(F.col("share_bp") - F.col("base_bp")))
+        .select("group_value", "category", "n_gc", "share_bp", "base_bp", "diff_bp")
+    )

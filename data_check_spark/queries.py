@@ -1339,3 +1339,39 @@ def histogram_totalprice_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(
         _t(spark, sf_dir, "orders"), "o_totalprice", bin_width=25_000.0
     ).orderBy("bin")
+
+
+_CAT_DRIFT_SQL = """
+WITH c AS (
+    SELECT o_orderstatus AS group_value, o_orderpriority AS category,
+           count(*) AS n_gc
+    FROM orders
+    WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    GROUP BY 1, 2
+),
+e AS (
+    SELECT group_value, category, n_gc,
+           sum(n_gc) OVER (PARTITION BY group_value) AS n_g,
+           sum(n_gc) OVER (PARTITION BY category) AS n_c,
+           sum(n_gc) OVER () AS n
+    FROM c
+)
+SELECT group_value, category, n_gc,
+       (n_gc * 10000) // n_g AS share_bp,
+       (n_c * 10000) // n AS base_bp,
+       abs((n_gc * 10000) // n_g - (n_c * 10000) // n) AS diff_bp
+FROM e
+ORDER BY group_value, category
+"""
+
+
+@register("categorical_drift_orders", _CAT_DRIFT_SQL)
+def categorical_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order-priority mix vs the whole-table baseline — the
+    categorical drift family (for audio: per-partition codec-mix shift).
+    One groupBy pass; shares in integer basis points."""
+    from data_check_spark.operators.profile import categorical_drift
+
+    return categorical_drift(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    ).orderBy("group_value", "category")

@@ -24,6 +24,7 @@ def audio_catalog(
     *,
     snr_db_min: float = 30.0,
     drift_threshold: float = 0.25,
+    cat_drift_threshold_bp: int = 2500,
     bytes_cap_ms: int = 100,
 ) -> RuleCatalog:
     rules = [
@@ -101,6 +102,9 @@ def audio_catalog(
         Rule("DRIFT_SR_HZ", "drift", "sr_hz",
              {"threshold": drift_threshold},
              name="sr_hz distribution must match the baseline snapshot"),
+        Rule("CODEC_MIX_DRIFT", "cat_drift", "codec",
+             {"threshold_bp": cat_drift_threshold_bp},
+             name="per-partition codec mix must match the table-wide mix"),
         Rule("PCM_SNR", "audio_decode", "bytes",
              {"snr_db_min": snr_db_min, "cap_ms": bytes_cap_ms},
              gate=f"clip_id rlike '{CLIP_ID_PATTERN}' AND sr_hz > 0 AND dur_ms > 0",

@@ -44,6 +44,8 @@ Set-oriented kinds (dispatched to operators, not the projection):
 - ``aggregate_unique``    — one violation per duplicate *value* (reference:
                             dekispart_school.py:204-208)
 - ``drift``               — t-digest distribution drift vs baseline snapshot
+- ``cat_drift``           — categorical-mix drift (per-partition
+                            total-variation distance vs the table mix)
 - ``audio_decode``        — decoded-PCM SNR>=30dB allclose (pandas UDF)
 - ``transcript_match``    — byte-equality vs transcript dimension
 """
@@ -71,6 +73,7 @@ SET_KINDS = {
     "aggregate_unique",
     "referential",
     "drift",
+    "cat_drift",
     "audio_decode",
     "transcript_match",
 }

@@ -72,3 +72,63 @@ def test_drift_no_baseline_at_all_flags(spark):
     empty = make_baseline(spark, current, ["dur_ms"]).filter(F.lit(False))
     out = drift_violations(current, empty, "DRIFT", "dur_ms").collect()
     assert len(out) == 6
+
+
+def test_categorical_drift_flags_skewed_partition(spark):
+    # p_skew: 90% opus; others: uniform over 3 codecs
+    rows = []
+    for p in ("p0", "p1", "p2"):
+        for i in range(60):
+            rows.append((p, ["flac", "opus", "mp3"][i % 3]))
+    rows += [("p_skew", "opus")] * 54 + [("p_skew", "flac")] * 6
+    df = spark.createDataFrame(rows, "partition string, codec string")
+    from data_check_spark.operators.drift import categorical_drift_violations
+
+    out = categorical_drift_violations(
+        df, "CMIX", "codec", threshold_bp=2500, min_rows=50
+    ).collect()
+    assert {r["partition"] for r in out} == {"p_skew"}
+    r = next(r for r in out if r["partition"] == "p_skew")
+    assert r["rule_id"] == "CMIX" and r["clip_id"] is None
+    assert r["observed"].startswith("codec tv_bp=")
+    # missing category counts toward the distance: a partition with NO mp3
+    # at all still pays mp3's baseline share
+    tv = int(r["observed"].split("=")[1])
+    assert tv > 4000
+
+
+def test_categorical_drift_uniform_passes(spark):
+    rows = [(f"p{i % 4}", ["flac", "opus"][(i // 4) % 2]) for i in range(400)]
+    df = spark.createDataFrame(rows, "partition string, codec string")
+    from data_check_spark.operators.drift import categorical_drift_violations
+
+    assert (
+        categorical_drift_violations(df, "CMIX", "codec", threshold_bp=500, min_rows=50).collect()
+        == []
+    )
+
+
+def test_categorical_drift_skips_tiny_partitions(spark):
+    """Below min_rows the share estimate is noise — no verdict either way."""
+    from data_check_spark.operators.drift import categorical_drift_violations
+
+    rows = [("p_big", ["flac", "opus"][(i // 2) % 2]) for i in range(200)]
+    rows += [("p_tiny", "opus")] * 5  # wildly skewed but only 5 rows
+    df = spark.createDataFrame(rows, "partition string, codec string")
+    out = categorical_drift_violations(df, "CMIX", "codec", threshold_bp=2500, min_rows=100)
+    assert out.collect() == []
+
+
+def test_engine_codec_mix_drift_on_planted_partitions(spark):
+    """End-to-end: the shipped catalog flags exactly the 4 planted
+    codec-mix partitions (datagen.CODEC_MIX_PARTITIONS)."""
+    from data_check_spark import datagen
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.catalog_audio import audio_catalog
+    from data_check_spark.rules.spec import RuleCatalog
+
+    clips = datagen.clips_df(spark, 20000, with_bytes=False).drop("_gen_id", "_viol")
+    catalog = RuleCatalog([r for r in audio_catalog() if r.kind == "cat_drift"])
+    res = run_validation(spark, clips, {}, catalog, run_ts="2026-01-01 00:00:00")
+    got = {(r["rule_id"], r["partition"]) for r in res.violations.collect()}
+    assert got == {("CODEC_MIX_DRIFT", p) for p in sorted(datagen.CODEC_MIX_PARTITIONS)}

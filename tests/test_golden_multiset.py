@@ -165,7 +165,7 @@ def golden(spark):
     clips = datagen.clips_df(spark, N_ROWS, bytes_cap_ms=CAP_MS).drop("_gen_id", "_viol")
     tdf_spark = datagen.transcripts_df(spark, N_ROWS)
     catalog = RuleCatalog(
-        [r for r in audio_catalog(bytes_cap_ms=CAP_MS) if r.kind != "drift"]
+        [r for r in audio_catalog(bytes_cap_ms=CAP_MS) if r.kind not in ("drift", "cat_drift")]
     )
     res = run_validation(
         spark, clips, {"transcripts": tdf_spark}, catalog,

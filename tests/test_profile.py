@@ -121,6 +121,30 @@ def test_quantile_drift_groups_vs_global(spark):
     assert b["q_scaled"] == 12000 and b["drift_bp"] == 30000
 
 
+def test_categorical_drift_shares(spark):
+    from data_check_spark.operators.profile import categorical_drift
+
+    rows = (
+        [("p1", "flac")] * 6 + [("p1", "wav")] * 4 +
+        [("p2", "flac")] * 1 + [("p2", "wav")] * 9 +
+        [(None, "flac"), ("p2", None)]  # null group/category rows are excluded
+    )
+    df = spark.createDataFrame(rows, "part string, codec string")
+    got = {
+        (r["group_value"], r["category"]): r
+        for r in categorical_drift(df, "codec", "part").collect()
+    }
+    assert set(got) == {("p1", "flac"), ("p1", "wav"), ("p2", "flac"), ("p2", "wav")}
+    r = got[("p1", "flac")]
+    # p1: 6/10 flac; baseline: 7/20 flac
+    assert r["share_bp"] == 6000 and r["base_bp"] == 3500 and r["diff_bp"] == 2500
+    r2 = got[("p2", "wav")]
+    assert r2["share_bp"] == 9000 and r2["base_bp"] == 6500 and r2["diff_bp"] == 2500
+    # single heavy pass: exactly one aggregate over the input
+    plan = categorical_drift(df, "codec", "part")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") <= 1
+
+
 def _ref_rolling_hash(s: str, base: int = 31, mod: int = 1_000_000_007) -> int:
     h = 0
     for ch in s:
