@@ -78,6 +78,8 @@ class ValidationResult:
     wall_time_ms: int = 0
     rows_scanned: int = 0
     schema_problems: list[str] = field(default_factory=list)
+    # per-partition column stats (lazy; None unless profile_columns was set)
+    profile: DataFrame | None = None
 
     def summary(self) -> dict:
         """Reference-style summary: total, per-rule counts, top-5 rule ids."""
@@ -165,6 +167,7 @@ def run_validation(
     resume: bool = False,
     cache_input: bool = True,
     reliable_cache: bool = False,
+    profile_columns: list[str] | None = None,
 ) -> ValidationResult:
     """Run the full catalog; returns lazily-built violations + materialized
     verdicts (the verdict aggregation is the single action that executes the
@@ -482,6 +485,19 @@ def run_validation(
     if checkpoint_dir:
         cp.write_checkpoint(verdicts, checkpoint_dir, run_id)
 
+    # Optional per-partition column stats (north-rule "column stats"
+    # family): one extra aggregation over the NARROW checkpointed table —
+    # never the wide scan. approx distinct (HLL++) keeps the per-group plan
+    # a plain partial+final aggregate (the exact path's Expand would
+    # multiply every row by len(profile_columns) before the shuffle).
+    profile = None
+    if profile_columns:
+        from data_check_spark.operators.profile import column_profile
+
+        profile = column_profile(
+            prepared, profile_columns, approx=True, group_by=partition_col
+        )
+
     return ValidationResult(
         violations=violations,
         verdicts=verdicts,
@@ -489,6 +505,7 @@ def run_validation(
         wall_time_ms=wall_ms,
         rows_scanned=int(rows_scanned),
         schema_problems=schema_problems,
+        profile=profile,
     )
 
 

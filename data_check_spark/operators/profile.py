@@ -76,6 +76,7 @@ def column_profile(
     *,
     approx: bool = False,
     rsd: float = 0.01,
+    group_by: str | None = None,
 ) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_blank, n_distinct, min_value, max_value).
 
@@ -84,9 +85,15 @@ def column_profile(
     one aggregated row, not on the data). ``n_blank`` counts
     whitespace-only non-null strings and is NULL for non-string columns;
     ``n_distinct`` excludes nulls (matching SQL ``count(distinct)``).
+
+    ``group_by``: profile per group (e.g. per table partition) instead of
+    whole-table — one row per (group, column), same single-pass shape with
+    the group key leading the output. Pair with ``approx=True`` at scale:
+    the exact multi-``count_distinct`` Expand multiplies rows by the column
+    count BEFORE the aggregate, which per-group profiling makes expensive.
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
-    cols = sorted(columns if columns is not None else fields)
+    cols = sorted(columns if columns is not None else (set(fields) - {group_by}))
     aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         dt = fields[c]
@@ -101,7 +108,7 @@ def column_profile(
         aggs.append(nd.alias(f"{c}!distinct"))
         aggs.append(_render(F.min(col), dt).alias(f"{c}!min"))
         aggs.append(_render(F.max(col), dt).alias(f"{c}!max"))
-    wide = df.agg(*aggs)
+    wide = df.groupBy(group_by).agg(*aggs) if group_by else df.agg(*aggs)
     per_col = F.array(
         *[
             F.struct(
@@ -116,7 +123,8 @@ def column_profile(
             for c in cols
         ]
     )
-    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+    head = [group_by] if group_by else []
+    return wide.select(*head, F.explode(per_col).alias("p")).select(*head, "p.*")
 
 
 def numeric_quantiles(

@@ -37,9 +37,13 @@ def result(spark):
 
 def test_all_rule_families_fire(result):
     fired = {r["rule_id"] for r in result.violations.select("rule_id").distinct().collect()}
-    expected = {r.rule_id for r in audio_catalog()} - {"SR_NOT_NULL", "DRIFT_SR_HZ", "AUDIO_SILENCE"}
+    expected = {r.rule_id for r in audio_catalog()} - {
+        "SR_NOT_NULL", "DRIFT_SR_HZ", "AUDIO_SILENCE", "CODEC_MIX_DRIFT"
+    }
     # SR_NOT_NULL does fire (planted); DRIFT_SR_HZ may or may not (no planted
-    # sr shift); AUDIO_SILENCE has no planted silent clips (monitoring rule)
+    # sr shift); AUDIO_SILENCE has no planted silent clips (monitoring rule);
+    # CODEC_MIX_DRIFT needs >= min_rows=100 per partition and at N=12k the
+    # planted mix partitions hold ~75 rows (dedicated 20k test in test_drift.py)
     assert expected <= fired | {"DRIFT_SR_HZ", "AUDIO_SILENCE"}
     assert "SR_NOT_NULL" in fired
 
