@@ -15,10 +15,16 @@ Scale design — two-level sketching so NO group ever needs to fit in memory:
 3. global digest: ``treeAggregate`` over the chunk digests (depth 2) for the
    ``__global__`` baseline row.
 
-Drift metric: max over the decile grid of |q_cur − q_base| normalized by the
-baseline inter-quantile scale (q90−q10, floored to 1). This is a quantile-
-distance test — robust to outliers, sensitive to location/scale shifts like
-the planted +8s dur_ms shift in the drift partitions.
+Drift metric: normalized Wasserstein-1 — ``∫|CDF_cur − CDF_base| dx`` read
+off the two sketches (:func:`tdigest.wasserstein`), divided by the baseline
+inter-quantile scale (q90−q10, floored to 1). W1 is MASS-WEIGHTED, which is
+what makes it safe on DISCRETE columns (sr_hz has ~5 atoms): a 1% probability
+flip around an atom boundary teleports the median across the atom gap, so any
+sup-norm quantile distance is knife-edged there (score ~1.0 from negligible
+drift, and t-digest centroid placement noise between two sketches of the SAME
+atom distribution trips it too). Under W1 that flip contributes only
+``gap × 0.01`` (score ~0.01), while a genuine location shift like the planted
++8s dur_ms drift moves all mass by 8000ms → score ≈ 8000/scale ≈ 0.33.
 """
 
 from __future__ import annotations
@@ -32,7 +38,6 @@ from pyspark.sql import functions as F
 
 from data_check_spark.operators import tdigest as td
 
-QUANTILE_GRID = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
 GLOBAL_KEY = "__global__"
 
 _CHUNK_SCHEMA = "partition string, column_name string, tdigest binary, n long"
@@ -141,8 +146,11 @@ def drift_violations_multi(
     pass: ``rules`` is [(rule_id, column, threshold)]. One mapInPandas over
     the table sketches every column; one (partition, column) merge; one
     scoring pass against the broadcast baseline (falling back to the
-    __global__ row for partitions without a dedicated baseline sketch)."""
-    columns = [c for _, c, _ in rules]
+    __global__ row for partitions without a dedicated baseline sketch).
+    A partition flags when the normalized Wasserstein-1 distance to its
+    baseline exceeds the rule threshold (module docstring explains why W1
+    and not quantile distance)."""
+    columns = [c for _, c, *_ in rules]
     by_col = {c: (rid, thr) for rid, c, thr in rules}
     chunks = chunk_digests(df, columns, partition_col=partition_col)
 
@@ -187,28 +195,31 @@ def drift_violations_multi(
                     rows.append((r["partition"], r["column_name"], float("nan")))
                     continue
                 ref = td.deserialize(ref_bytes)
-                qc = np.array(td.quantiles(cur, QUANTILE_GRID))
-                qb = np.array(td.quantiles(ref, QUANTILE_GRID))
                 scale = max(td.quantile(ref, 0.9) - td.quantile(ref, 0.1), 1.0)
-                rows.append((r["partition"], r["column_name"], float(np.max(np.abs(qc - qb)) / scale)))
-            yield pd.DataFrame(rows, columns=["partition", "column_name", "qdist"])
+                w1 = td.wasserstein(cur, ref) / scale
+                rows.append((r["partition"], r["column_name"], float(w1)))
+            yield pd.DataFrame(rows, columns=["partition", "column_name", "w1"])
 
-    scored = joined.mapInPandas(score, schema="partition string, column_name string, qdist double")
+    scored = joined.mapInPandas(
+        score, schema="partition string, column_name string, w1 double"
+    )
     rid = F.lit(None).cast("string")
     thr = F.lit(None).cast("double")
     for c, (r_id, r_thr) in by_col.items():
         rid = F.when(F.col("column_name") == c, F.lit(r_id)).otherwise(rid)
         thr = F.when(F.col("column_name") == c, F.lit(float(r_thr))).otherwise(thr)
+    # NaN compares greater than any number in Spark SQL, so a sketch-less or
+    # all-null partition (NaN w1) stays fail-closed → flagged.
     return (
         scored.withColumn("_rid", rid)
         .withColumn("_thr", thr)
-        .filter(F.col("qdist").isNull() | (F.col("qdist") > F.col("_thr")))
+        .filter(F.col("w1").isNull() | (F.col("w1") > F.col("_thr")))
         .select(
             F.col("_rid").alias("rule_id"),
             F.lit(None).cast("string").alias("clip_id"),
             F.col("partition"),
             F.concat(
-                F.col("column_name"), F.lit(" qdist="), F.round(F.col("qdist"), 4).cast("string")
+                F.col("column_name"), F.lit(" w1="), F.round(F.col("w1"), 4).cast("string")
             ).alias("observed"),
         )
     )

@@ -67,11 +67,44 @@ def test_drift_global_fallback(spark):
 
 
 def test_drift_no_baseline_at_all_flags(spark):
-    # missing baseline row AND no __global__ → NULL qdist → flagged (fail-closed)
+    # missing baseline row AND no __global__ → NULL w1 → flagged (fail-closed)
     current = _table(spark)
     empty = make_baseline(spark, current, ["dur_ms"]).filter(F.lit(False))
     out = drift_violations(current, empty, "DRIFT", "dur_ms").collect()
     assert len(out) == 6
+
+
+def test_drift_discrete_knife_edge_not_flagged(spark):
+    """A discrete column whose per-atom probabilities barely differ must NOT
+    flag, even though the median teleports across the atom gap (the sr_hz
+    false-positive mechanism: sup-norm quantile distance would be ~1.0 here,
+    but only ~1% of the mass actually moved → W1 score ~0.01)."""
+    ref_rows = [("p0", 16000.0)] * 505 + [("p0", 44100.0)] * 495
+    cur_rows = [("pX", 16000.0)] * 495 + [("pX", 44100.0)] * 505  # flip 1%
+    clean = spark.createDataFrame(ref_rows, "partition string, sr_hz double")
+    baseline = make_baseline(spark, clean, ["sr_hz"])
+    cur = spark.createDataFrame(cur_rows, "partition string, sr_hz double")
+    # pX is absent from the baseline → compared against __global__ where the
+    # median sits on the other side of the atom boundary
+    out = drift_violations(cur, baseline, "DRIFT", "sr_hz", threshold=0.25).collect()
+    assert out == []
+    # sanity: a LARGE flip of the same two atoms (30% of mass) IS drift and
+    # does fire — proves the metric, not an insensitive threshold, held above
+    big_rows = [("pY", 16000.0)] * 200 + [("pY", 44100.0)] * 800
+    big = spark.createDataFrame(big_rows, "partition string, sr_hz double")
+    out_big = drift_violations(big, baseline, "DRIFT", "sr_hz", threshold=0.25).collect()
+    assert {r["partition"] for r in out_big} == {"pY"}
+
+
+def test_drift_real_shift_flagged_w1(spark):
+    """The planted-style +8s location shift moves ALL the mass: W1 ≈ 8000 /
+    inter-decile scale ≫ threshold."""
+    clean = _table(spark)
+    baseline = make_baseline(spark, clean, ["dur_ms"])
+    shifted = _table(spark, shift_parts={"p1"})
+    out = drift_violations(shifted, baseline, "DRIFT", "dur_ms", threshold=0.25).collect()
+    assert {r["partition"] for r in out} == {"p1"}
+    assert "w1=" in out[0]["observed"]
 
 
 def test_categorical_drift_flags_skewed_partition(spark):

@@ -48,3 +48,27 @@ def test_empty():
 def test_nan_filtered():
     d = td.from_values(np.array([1.0, np.nan, 3.0]))
     assert d.total_weight == 2
+
+
+def test_wasserstein_location_shift():
+    # W1 between two digests of X and X+c is ~c
+    rng = np.random.default_rng(7)
+    vals = rng.normal(0, 100, 20_000)
+    a = td.from_values(vals, 128)
+    b = td.from_values(vals + 500, 128)
+    assert abs(td.wasserstein(a, b) - 500) < 10
+    assert td.wasserstein(a, a) == 0.0
+
+
+def test_wasserstein_atom_flip_is_mass_weighted():
+    # 1% of mass flipped across a 28100-wide gap: W1 ≈ 281, NOT ~28100
+    a = td.from_values(np.array([16000.0] * 505 + [44100.0] * 495), 128)
+    b = td.from_values(np.array([16000.0] * 495 + [44100.0] * 505), 128)
+    assert 150 < td.wasserstein(a, b) < 450
+
+
+def test_wasserstein_empty_is_nan():
+    e = td.from_values(np.array([]))
+    d = td.from_values(np.array([1.0, 2.0]))
+    assert np.isnan(td.wasserstein(e, d))
+    assert np.isnan(td.wasserstein(d, e))
