@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     # them are visible round-over-round in BENCH_r{N}.json
     "dedup_exact_documents",
     "ngram_jaccard_documents",
+    "dedup_clusters_documents",
     "minhash_near_dup_documents",
     "simhash_near_dup_documents",
     "token_stats_documents",

@@ -1,0 +1,109 @@
+"""Connected components over near-duplicate pair sets.
+
+The missing last step of a dedup pipeline: pair emitters (exact fingerprint
+groups, MinHash/SimHash/LSH buckets, n-gram Jaccard — operators/dedup.py)
+produce EDGES, but "keep one copy per duplicate cluster" needs the
+transitive closure — A~B and B~C must land A, B, C in one cluster even
+though (A, C) was never emitted as a pair. Reference analog: the per-series
+duplicate-set checks (CHK_0008 family) stop at pair/key grain; this extends
+them to cluster grain for corpus curation.
+
+Algorithm: iterative min-label propagation on the undirected pair graph —
+every node starts labeled with itself; each round takes the min of its own
+and its neighbors' labels; fixpoint = every node carries its component's
+minimum id (the deterministic canonical representative).
+
+Scale shape (the reason this is iterative DataFrame joins, not a collect):
+
+* The working set is one row per node THAT APPEARS IN A PAIR plus the edge
+  list — at 100 TB corpus scale this is the near-dup subset, orders of
+  magnitude smaller than the corpus; the heavy lifting (pair generation)
+  already happened upstream in the bucketed emitters.
+* Rounds needed = graph diameter. Near-dup clusters are dense and shallow
+  (diameter ≤ 3-4 in practice), so 5-10 rounds; ``max_iter`` guards
+  adversarial chains. Each round is ONE shuffle join + ONE groupBy on the
+  (node, label) frame — both keyed by node id, so AQE coalesces them.
+* Every round ends in an eager ``localCheckpoint``: without it the plan
+  doubles per iteration (Spark recompiles the whole lineage), which is the
+  classic iterative-algorithm failure mode; with it each round's input is a
+  materialized frame (CLAUDE.md: localCheckpoint, not persist, keeps AQE).
+* Convergence check is a count on the already-materialized frame — O(nodes
+  in pairs) rows, no recomputation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_ITER = 30
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``; ``component`` is the
+    smallest node id reachable via pair edges (deterministic canonical id).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't reach the fixpoint
+    (component labels would be incomplete — fail loudly, never silently)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round — cut the upstream plan once
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias("label"),
+                (F.col("_nbr") < F.col("label")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> DataFrame:
+    """Cluster view of a near-dup pair set: one row per clustered doc —
+    (doc_id, cluster_id, cluster_size, is_canonical) where cluster_id is the
+    min doc id of the component and is_canonical=1 marks the kept copy
+    (first-wins, matching exact_duplicate_groups' keep rule)."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+        )
+    )

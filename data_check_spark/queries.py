@@ -446,6 +446,7 @@ def topk_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from data_check_spark.operators import dedup as _dedup  # noqa: E402
+from data_check_spark.operators import graph as _graph  # noqa: E402
 from data_check_spark.operators import similarity as _sim  # noqa: E402
 from data_check_spark.operators import text as _text  # noqa: E402
 
@@ -586,6 +587,37 @@ WHERE cast(i.n_inter AS double) / cast(sa.n + sb.n - i.n_inter AS double) >= 0.3
 @register("ngram_jaccard_documents", _NGRAM_SQL)
 def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ngram_jaccard_pairs(_docs_parallel(spark, sf_dir), threshold=0.3)
+
+
+# Transitive closure of the SAME pair set: DuckDB expresses it as a
+# recursive CTE (min label = min over all reachable nodes, since pair
+# edges are undirected), Spark as iterative min-label propagation
+# (operators/graph.py) — an inherently iterative operator that still
+# gets full value-level oracle coverage.
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT a, a FROM edges GROUP BY a
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node
+),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.node AS doc_id, cc.cluster_id, sizes.cluster_size,
+       CAST(cc.node = cc.cluster_id AS INT) AS is_canonical
+FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
+"""
+
+
+@register("dedup_clusters_documents", _DEDUP_CLUSTERS_SQL)
+def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _dedup.ngram_jaccard_pairs(_docs_parallel(spark, sf_dir), threshold=0.3)
+    return _graph.dedup_clusters(pairs.select("id_a", "id_b"))
 
 
 @register(

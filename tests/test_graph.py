@@ -1,0 +1,57 @@
+"""Connected components / dedup clusters over pair sets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_check_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_two_components(spark):
+    out = connected_components(_pairs(spark, [(1, 2), (2, 3), (10, 11)])).collect()
+    comp = {r["node"]: r["component"] for r in out}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    # path 0-1-2-...-9: min label must propagate 9 hops
+    out = connected_components(_pairs(spark, [(i, i + 1) for i in range(9)])).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == 10
+
+
+def test_edge_direction_irrelevant(spark):
+    # pairs given "backwards" (bigger id first) still connect
+    a = connected_components(_pairs(spark, [(5, 1), (3, 5)])).collect()
+    assert {r["component"] for r in a} == {1}
+
+
+def test_empty_pairs(spark):
+    assert connected_components(_pairs(spark, [])).collect() == []
+
+
+def test_max_iter_exceeded_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # diameter 4 cannot finish in 1 round
+        connected_components(_pairs(spark, [(i, i + 1) for i in range(4)]), max_iter=1)
+
+
+def test_dedup_clusters_canonical_and_sizes(spark):
+    out = dedup_clusters(_pairs(spark, [(1, 2), (2, 3), (10, 11)])).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["cluster_id"] == 1 and rows[1]["is_canonical"] == 1
+    assert rows[3]["cluster_id"] == 1 and rows[3]["is_canonical"] == 0
+    assert rows[1]["cluster_size"] == 3
+    assert rows[10]["cluster_size"] == 2 and rows[11]["is_canonical"] == 0
+    # exactly one canonical per cluster
+    canon = [r for r in out if r["is_canonical"] == 1]
+    assert {r["cluster_id"] for r in canon} == {1, 10} and len(canon) == 2
+
+
+def test_triangle_plus_tail_converges_to_min(spark):
+    pairs = _pairs(spark, [(7, 8), (8, 9), (9, 7), (9, 2)])
+    out = connected_components(pairs).collect()
+    assert {r["component"] for r in out} == {2}
