@@ -151,8 +151,25 @@ def drift_violations_multi(
     baseline exceeds the rule threshold (module docstring explains why W1
     and not quantile distance)."""
     columns = [c for _, c, *_ in rules]
-    by_col = {c: (rid, thr) for rid, c, thr in rules}
     chunks = chunk_digests(df, columns, partition_col=partition_col)
+    return score_chunk_digests(chunks, baseline, rules)
+
+
+def score_chunk_digests(
+    chunks: DataFrame,
+    baseline: DataFrame,
+    rules: list[tuple[str, str, float]],
+) -> DataFrame:
+    """Merge pre-computed chunk digests per (partition, column) and score
+    them against the baseline snapshot. Split out from
+    :func:`drift_violations_multi` because digest merging is ASSOCIATIVE:
+    any accumulation of chunk rows works — one batch pass (the batch
+    engine), or micro-batch sketch rows appended over days by a stream
+    (streaming/incremental.py::cumulative_drift_violations) — without ever
+    rescanning the underlying data."""
+    columns = [c for _, c, *_ in rules]
+    by_col = {c: (rid, thr) for rid, c, thr in rules}
+    chunks = chunks.filter(F.col("column_name").isin(columns))
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         digs = [td.deserialize(b) for b in pdf["tdigest"]]

@@ -227,3 +227,65 @@ def start_incremental_validation(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Cumulative drift via sketch accumulation
+# ---------------------------------------------------------------------------
+
+
+def start_drift_sketch_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    columns: list[str],
+    *,
+    checkpoint_dir: str,
+    partition_col: str = "partition",
+    trigger_once: bool = False,
+):
+    """Accumulate per-micro-batch t-digest chunk sketches into a tiny
+    append-only parquet state table — the streaming leg of the drift rule.
+
+    Each batch contributes O(tasks × partitions-per-task) sketch rows
+    (≤2KB each) for the monitored ``columns``; the DATA is touched exactly
+    once, on arrival. Because digest merging is associative, the cumulative
+    stream distribution at any moment is just a merge over all accumulated
+    rows (:func:`cumulative_drift_violations`) — no re-scan of history,
+    which is the only workable shape at 10^12-row scale."""
+    from data_check_spark.operators.drift import chunk_digests
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            chunk_digests(batch_df, columns, partition_col=partition_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(f"{state_dir}/drift_sketches")
+        )
+
+    stream = stream_clips(spark, input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cumulative_drift_violations(
+    spark: SparkSession,
+    state_dir: str,
+    baseline: DataFrame,
+    rules: list[tuple[str, str, float]],
+) -> DataFrame:
+    """Score the stream-to-date distribution against the baseline snapshot:
+    merge every accumulated sketch row per (partition, column) and apply the
+    same W1 scoring as the batch drift rule — identical violation contract,
+    zero re-reads of clip data. ``rules`` is [(rule_id, column, threshold)]
+    exactly as in :func:`~data_check_spark.operators.drift.drift_violations_multi`."""
+    from data_check_spark.operators.drift import score_chunk_digests
+
+    chunks = spark.read.parquet(f"{state_dir}/drift_sketches")
+    return score_chunk_digests(chunks, baseline, rules)

@@ -115,3 +115,33 @@ def test_synth_wave_length_contract(sr, dur_ms):
     w = synth_wave("clip_00000000000000aa", sr, dur_ms, cap_ms=100)
     assert w.dtype == np.int16
     assert w.size == int(sr * min(dur_ms, 100) / 1000)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(floats, min_size=2, max_size=1000),
+    st.floats(min_value=-1e5, max_value=1e5, allow_nan=False, allow_infinity=False),
+)
+def test_wasserstein_shift_equivariance(values, c):
+    """W1 between X and X+c is |c| (the drift metric's core property:
+    a pure location shift scores exactly the shift size)."""
+    arr = np.array(values, dtype=np.float64)
+    a = td.from_values(arr)
+    b = td.from_values(arr + c)
+    tol = max(1e-6, abs(c) * 0.02) + 1e-9 * (np.max(np.abs(arr)) + 1)
+    assert abs(td.wasserstein(a, b) - abs(c)) <= tol
+    # symmetry + identity
+    assert td.wasserstein(a, b) == td.wasserstein(b, a)
+    assert td.wasserstein(a, a) == 0.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(floats, min_size=2, max_size=500), st.lists(floats, min_size=2, max_size=500))
+def test_wasserstein_bounded_by_range(xs, ys):
+    """W1 never exceeds the span of the combined support (sanity against
+    interpolation blow-ups on degenerate/atom-heavy inputs)."""
+    a = td.from_values(np.array(xs, dtype=np.float64))
+    b = td.from_values(np.array(ys, dtype=np.float64))
+    span = max(np.max(xs), np.max(ys)) - min(np.min(xs), np.min(ys))
+    w = td.wasserstein(a, b)
+    assert 0.0 <= w <= span + 1e-9

@@ -275,3 +275,57 @@ def test_microbatch_set_rules_via_foreachbatch(spark, tmp_path):
     assert ("S_SR_POSITIVE", "c9") in got             # row-local rule too
     assert v.filter("rule_id = 'S_UNIQ'").count() == 2
     assert set(r["batch_id"] for r in v.select("batch_id").collect()) == {0}
+
+
+def test_cumulative_drift_sketch_stream(spark, tmp_path):
+    """Sketch accumulation across micro-batches: a partition that looks
+    clean after batch 1 drifts once batch 2's shifted rows merge in —
+    scored from the accumulated sketches alone, never re-reading batch 1."""
+    import datetime as dt
+
+    import numpy as np
+
+    from data_check_spark.operators.drift import make_baseline
+    from data_check_spark.streaming.incremental import (
+        cumulative_drift_violations,
+        start_drift_sketch_stream,
+    )
+
+    ts = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rng = np.random.default_rng(7)
+
+    def rows(part, shift, n=400):
+        return [
+            (f"c{i}", 16000, int(v), "flac", "t", part, ts)
+            for i, v in enumerate(rng.normal(5000 + shift, 800, n))
+        ]
+
+    baseline_df = spark.createDataFrame(
+        [("p0", float(v)) for v in rng.normal(5000, 800, 800)],
+        "partition string, dur_ms double",
+    )
+    baseline = make_baseline(spark, baseline_df, ["dur_ms"])
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rules = [("DRIFT_DUR_MS", "dur_ms", 0.25)]
+
+    _write_batch(spark, in_dir, rows("pX", 0), 0)  # clean arrivals
+    q = start_drift_sketch_stream(
+        spark, in_dir, state, ["dur_ms"], checkpoint_dir=ckpt, trigger_once=True
+    )
+    q.awaitTermination(120)
+    clean = cumulative_drift_violations(spark, state, baseline, rules).collect()
+    assert clean == []
+
+    _write_batch(spark, in_dir, rows("pX", 8000), 1)  # drifted arrivals
+    q = start_drift_sketch_stream(
+        spark, in_dir, state, ["dur_ms"], checkpoint_dir=ckpt, trigger_once=True
+    )
+    q.awaitTermination(120)
+    sketches = spark.read.parquet(f"{state}/drift_sketches")
+    assert sketches.select("batch_id").distinct().count() == 2  # truly incremental
+    out = cumulative_drift_violations(spark, state, baseline, rules).collect()
+    assert {r["partition"] for r in out} == {"pX"}
+    assert out[0]["rule_id"] == "DRIFT_DUR_MS" and "w1=" in out[0]["observed"]
