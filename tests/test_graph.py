@@ -55,3 +55,12 @@ def test_triangle_plus_tail_converges_to_min(spark):
     pairs = _pairs(spark, [(7, 8), (8, 9), (9, 7), (9, 2)])
     out = connected_components(pairs).collect()
     assert {r["component"] for r in out} == {2}
+
+
+def test_cc_plan_no_nested_loop(spark):
+    """Label propagation is equi-joins end to end — a CartesianProduct /
+    BroadcastNestedLoopJoin anywhere would be O(nodes x edges) at scale."""
+    out = connected_components(_pairs(spark, [(1, 2), (2, 3), (10, 11)]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
