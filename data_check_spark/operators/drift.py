@@ -282,6 +282,13 @@ def categorical_drift_violations(
     rule's job, not drift's). Violation row per drifted partition:
     (rule_id, NULL clip_id, partition, "col tv_bp=N").
 
+    Categories MISSING from a partition still contribute their baseline
+    share to the distance — computed analytically
+    (``Σ_missing base_bp = all_base_bp − Σ_present base_bp``) rather than
+    by materializing the |partitions| × |categories| grid, so the working
+    set stays at the OBSERVED (partition, category) pairs even for
+    high-cardinality columns.
+
     ``min_rows``: partitions with fewer non-null rows are SKIPPED — the
     share estimate's sampling noise is ~``10000*sqrt(p(1-p)/n)`` bp per
     category, so below ~100 rows a 2500 bp threshold fires on noise (a
@@ -294,36 +301,33 @@ def categorical_drift_violations(
         df.filter(F.col(column).isNotNull())
         .groupBy(F.col(partition_col).alias("partition"), F.col(column).alias("_cat"))
         .agg(F.count(F.lit(1)).alias("n_pc"))
-        # the grid + window stages below reference this tiny count table
-        # three times; materialize it once (lazy) so the input is scanned
+        # the baseline and share stages below reference this tiny count
+        # table twice; materialize it once (lazy) so the input is scanned
         # exactly once regardless of how many consumers follow
         .localCheckpoint(eager=False)
     )
-    # Full (partition x category) grid so a category MISSING from a
-    # partition still contributes its baseline share to the distance —
-    # built from the aggregated counts (|partitions| x |categories| rows),
-    # never from the data.
-    grid = (
-        counts.select("partition").distinct()
-        .crossJoin(counts.select("_cat").distinct())
-        .join(counts, ["partition", "_cat"], "left")
-        .fillna(0, subset=["n_pc"])
+    # Baseline share per category (+ the sum over ALL categories, used to
+    # credit categories missing from a partition) — a ≤|categories|-row frame.
+    base = (
+        counts.groupBy("_cat").agg(F.sum("n_pc").alias("n_c"))
+        .select(
+            "_cat",
+            F.expr("(n_c * 10000) div sum(n_c) over ()").alias("base_bp"),
+            F.expr("sum((n_c * 10000) div (sum(n_c) over ())) over ()").alias("all_base_bp"),
+        )
     )
-    shares = grid.select(
-        "partition",
-        F.sum("n_pc").over(Window.partitionBy("partition")).alias("n_p"),
-        F.sum("n_pc").over(Window.partitionBy("_cat")).alias("n_c"),
-        F.sum("n_pc").over(Window.partitionBy()).alias("n"),
-        "n_pc",
-    ).select(
-        "partition",
-        "n_p",
-        F.abs(
-            F.expr("(n_pc * 10000) div n_p") - F.expr("(n_c * 10000) div n")
-        ).alias("_diff_bp"),
+    shares = (
+        counts.withColumn("n_p", F.sum("n_pc").over(Window.partitionBy("partition")))
+        .join(F.broadcast(base), "_cat")
+        .select(
+            "partition", "n_p", "base_bp", "all_base_bp",
+            F.abs(F.expr("(n_pc * 10000) div n_p") - F.col("base_bp")).alias("_diff_bp"),
+        )
     )
+    # Σ_missing base_bp = all_base_bp − Σ_present base_bp, folded into the
+    # same aggregation that sums the present-category differences.
     tv = shares.groupBy("partition").agg(
-        F.expr("sum(_diff_bp) div 2").alias("tv_bp"),
+        F.expr("(sum(_diff_bp) + max(all_base_bp) - sum(base_bp)) div 2").alias("tv_bp"),
         F.max("n_p").alias("_n_p"),
     )
     return tv.filter(
