@@ -307,15 +307,16 @@ def categorical_drift_violations(
         .localCheckpoint(eager=False)
     )
     # Baseline share per category (+ the sum over ALL categories, used to
-    # credit categories missing from a partition) — a ≤|categories|-row frame.
-    base = (
-        counts.groupBy("_cat").agg(F.sum("n_pc").alias("n_c"))
-        .select(
-            "_cat",
-            F.expr("(n_c * 10000) div sum(n_c) over ()").alias("base_bp"),
-            F.expr("sum((n_c * 10000) div (sum(n_c) over ())) over ()").alias("all_base_bp"),
-        )
+    # credit categories missing from a partition) — a ≤|categories|-row
+    # frame. Totals attach via 1-row broadcast aggregates rather than
+    # unpartitioned windows, keeping every exchange in the plan keyed.
+    cat_totals = counts.groupBy("_cat").agg(F.sum("n_pc").alias("n_c"))
+    grand = cat_totals.agg(F.sum("n_c").alias("_n"))
+    base_shares = cat_totals.crossJoin(F.broadcast(grand)).select(
+        "_cat", F.expr("(n_c * 10000) div _n").alias("base_bp")
     )
+    all_base = base_shares.agg(F.sum("base_bp").alias("all_base_bp"))
+    base = base_shares.crossJoin(F.broadcast(all_base))
     shares = (
         counts.withColumn("n_p", F.sum("n_pc").over(Window.partitionBy("partition")))
         .join(F.broadcast(base), "_cat")

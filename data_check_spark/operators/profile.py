@@ -256,9 +256,12 @@ def categorical_drift(df: DataFrame, cat_col: str, group_col: str) -> DataFrame:
     The categorical sibling of ``quantile_drift``: for an audio corpus this
     is "has partition X's codec mix shifted against the table baseline".
     The only pass over the data is a single ``groupBy(group, cat).count()``
-    (map-side partials, one shuffle of (group, cat) keys); group totals,
-    category baselines and the grand total are window sums over that tiny
-    aggregated frame — never a second scan.
+    (map-side partials, one shuffle of (group, cat) keys). Group totals
+    stay a keyed window over that aggregated frame, but the per-category
+    baseline and the grand total come from a ≤|categories|-row aggregate
+    broadcast-joined back — no unpartitioned window, so nothing ever
+    funnels the groups × categories frame through a single partition
+    (matters when group = 10^5 table partitions).
 
     Shares are integer basis points (``n*10000 div total``, truncating on
     non-negative counts) so every value is engine-exact; ``diff_bp`` is the
@@ -271,20 +274,19 @@ def categorical_drift(df: DataFrame, cat_col: str, group_col: str) -> DataFrame:
             F.col(group_col).alias("group_value"), F.col(cat_col).alias("category")
         )
         .agg(F.count(F.lit(1)).alias("n_gc"))
-        # tiny sufficient statistic, consumed by several window branches —
-        # materialize once so the fact table is scanned exactly once
+        # tiny sufficient statistic, consumed by several downstream
+        # branches — materialize once so the fact table is scanned once
         .localCheckpoint(eager=False)
     )
-    w_g = Window.partitionBy("group_value")
-    w_c = Window.partitionBy("category")
-    w_all = Window.partitionBy()
-    out = counts.select(
-        "group_value",
-        "category",
-        "n_gc",
-        F.sum("n_gc").over(w_g).alias("n_g"),
-        F.sum("n_gc").over(w_c).alias("n_c"),
-        F.sum("n_gc").over(w_all).alias("n"),
+    cat_totals = counts.groupBy("category").agg(F.sum("n_gc").alias("n_c"))
+    grand_total = cat_totals.agg(F.sum("n_c").alias("n"))
+    out = (
+        counts.withColumn(
+            "n_g", F.sum("n_gc").over(Window.partitionBy("group_value"))
+        )
+        .join(F.broadcast(cat_totals), "category")
+        .crossJoin(F.broadcast(grand_total))
+        .select("group_value", "category", "n_gc", "n_g", "n_c", "n")
     )
     share = F.expr("(n_gc * 10000) div n_g")
     base = F.expr("(n_c * 10000) div n")

@@ -186,3 +186,44 @@ def test_resume_through_reliable_cache(spark, tmp_path):
     }
     want = dup_vals(full)
     assert want and dup_vals(r2) == want
+
+
+def test_resume_prunes_partitions_at_scan(spark, tmp_path):
+    """Resume must prune completed partitions at the SOURCE — the partition
+    filter reaches the file scan (PartitionFilters) and files of done
+    partitions are never listed, so a resumed run over 10^12 rows pays I/O
+    only for the remaining partitions, not a rescan + post-filter."""
+    from data_check_spark.checkpoint import prune_completed
+
+    table = str(tmp_path / "clips_parted")
+    spark.createDataFrame(
+        [(f"c{i:03d}", f"p{i % 8:04d}") for i in range(64)],
+        "clip_id string, partition string",
+    ).write.partitionBy("partition").parquet(table)
+
+    done = [f"p{i:04d}" for i in range(6)]  # 6 of 8 partitions already done
+    pruned = prune_completed(spark.read.parquet(table), done)
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "NOT partition" in plan
+
+    # physical evidence: the executed scan reads 2 of the 8 partition dirs
+    # (inputFiles() reflects the unfiltered relation, so probe the scan's
+    # own numPartitions metric after the action instead)
+    pruned.collect()
+    ep = pruned._jdf.queryExecution().executedPlan()
+    try:  # unwrap AdaptiveSparkPlanExec when AQE kicks in
+        ep = ep.executedPlan()
+    except Exception:
+        pass
+    leaves = ep.collectLeaves()
+    scans = [leaves.apply(i) for i in range(leaves.length())]
+    metrics = {}
+    it = scans[0].metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2().value()
+    assert metrics["numPartitions"] == 2
+    assert {r["partition"] for r in pruned.select("partition").distinct().collect()} == {
+        "p0006", "p0007",
+    }
