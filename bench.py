@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "numeric_quantiles_lineitem",
     "quantile_drift_lineitem",
     "categorical_drift_orders",
+    "rate_drift_orders",
+    "volume_drift_orders",
     "events_hourly_rolling",
     "stratified_sample_documents",
     "rolling_hash_documents",

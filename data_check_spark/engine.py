@@ -51,6 +51,8 @@ from data_check_spark.operators.audio import (
 from data_check_spark.operators.drift import (
     categorical_drift_violations,
     drift_violations,
+    rate_drift_violations,
+    volume_drift_violations,
 )
 from data_check_spark.operators.referential import (
     anti_join_violations,
@@ -133,6 +135,17 @@ def _dispatch_set_rule(
             clips, rule.rule_id, rule.column or "codec",
             threshold_bp=p.get("threshold_bp", 2500),
             min_rows=p.get("min_rows", 100), partition_col=partition_col,
+        )
+    if rule.kind == "rate_drift":
+        return rate_drift_violations(
+            clips, rule.rule_id, p["predicate"],
+            threshold_bp=p.get("threshold_bp", 500),
+            min_rows=p.get("min_rows", 100), partition_col=partition_col,
+        )
+    if rule.kind == "volume_drift":
+        return volume_drift_violations(
+            clips, rule.rule_id,
+            threshold_bp=p.get("threshold_bp", 5000), partition_col=partition_col,
         )
     if rule.kind == "audio_decode":
         if SNR_COL in clips.columns:  # precomputed in the single wide pass
@@ -397,10 +410,13 @@ def run_validation(
     for rule in catalog.set_oriented:
         if rule.kind == "drift" or rule.rule_id in fused_ids:
             continue
-        # cat_drift is global-grain too: its baseline is the CURRENT table
-        # mix, which a resume run must compute over all partitions, not just
-        # the remaining ones.
-        global_grain = rule.kind in ("unique", "aggregate_unique", "cat_drift") or (
+        # cat_drift / rate_drift / volume_drift are global-grain too: their
+        # baseline is the CURRENT table (mix / rate / mean size), which a
+        # resume run must compute over all partitions, not just the
+        # remaining ones.
+        global_grain = rule.kind in (
+            "unique", "aggregate_unique", "cat_drift", "rate_drift", "volume_drift"
+        ) or (
             rule.kind == "referential" and rule.params.get("mode") == "orphan"
         )
         dups = None if rule.gate else shared_dups.get(rule.column or "clip_id")
@@ -410,7 +426,7 @@ def run_validation(
                 # Full-table key scan (column-pruned; never touches bytes).
                 v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
                                        shared_dups=dups, run_ts=run_ts)
-                if rule.kind in ("unique", "cat_drift"):
+                if rule.kind in ("unique", "cat_drift", "rate_drift", "volume_drift"):
                     # Partition-attributed output: rows in completed
                     # partitions were already reported by the run that
                     # checkpointed them.

@@ -339,3 +339,83 @@ def categorical_drift_violations(
         F.col("partition"),
         F.concat(F.lit(f"{column} tv_bp="), F.col("tv_bp").cast("string")).alias("observed"),
     )
+
+
+def rate_drift_violations(
+    df: DataFrame,
+    rule_id: str,
+    predicate: str,
+    *,
+    threshold_bp: int = 500,
+    min_rows: int = 100,
+    partition_col: str = "partition",
+) -> DataFrame:
+    """Partition-grain PREDICATE-RATE drift vs the whole-table rate.
+
+    Monitors the per-partition rate at which a boolean SQL predicate holds
+    (``transcript IS NULL``, blank clip_id, ``dur_ms = 0`` ...) against the
+    table-wide rate — the null/blank-rate sibling of the codec-mix check:
+    a partition where 40% of transcripts are suddenly missing drifts even
+    though every individual null is also (correctly) a NOT_NULL violation.
+
+    ONE pass over the data: ``groupBy(partition).agg(count, count_if)`` —
+    map-side partials, the shuffle moves two counts per partition; the
+    baseline is a 1-row broadcast aggregate of those counts (never a
+    second scan, no unpartitioned window). Rates are truncating integer
+    basis points, engine-exact. A NULL predicate counts as not-holding.
+
+    ``min_rows`` skips partitions whose rate estimate is sampling noise
+    (same rationale as :func:`categorical_drift_violations`).
+    """
+    from data_check_spark.operators.profile import predicate_rate_by_group
+
+    scored = predicate_rate_by_group(df, predicate, partition_col).withColumnRenamed(
+        "group_value", "partition"
+    )
+    return scored.filter(
+        (F.col("diff_bp") > threshold_bp) & (F.col("n_g") >= min_rows)
+    ).select(
+        F.lit(rule_id).alias("rule_id"),
+        F.lit(None).cast("string").alias("clip_id"),
+        F.col("partition"),
+        F.concat(
+            F.lit("rate_bp="), F.col("rate_bp").cast("string"),
+            F.lit(" base_bp="), F.col("base_bp").cast("string"),
+        ).alias("observed"),
+    )
+
+
+def volume_drift_violations(
+    df: DataFrame,
+    rule_id: str,
+    *,
+    threshold_bp: int = 5000,
+    partition_col: str = "partition",
+) -> DataFrame:
+    """Partition-grain VOLUME drift: row count vs the uniform expectation.
+
+    A partition that suddenly carries half (or 3x) the rows it should is a
+    pipeline failure upstream of any per-row rule — the classic "yesterday's
+    ingest job died at 2am" signal. Deviation is measured against the mean
+    partition size in signed basis points, integer-exact:
+    ``dev_bp = (n_p * G * 10000) div n − 10000`` (G partitions, n rows).
+
+    ONE ``groupBy(partition).count()`` pass (map-side partials, the shuffle
+    moves one count per partition); the (n, G) baseline is a 1-row
+    broadcast aggregate. No min_rows guard — an undersized partition is
+    exactly what this rule exists to catch.
+    """
+    from data_check_spark.operators.profile import group_volume_deviation
+
+    scored = group_volume_deviation(df, partition_col).withColumnRenamed(
+        "group_value", "partition"
+    )
+    return scored.filter(F.abs(F.col("dev_bp")) > threshold_bp).select(
+        F.lit(rule_id).alias("rule_id"),
+        F.lit(None).cast("string").alias("clip_id"),
+        F.col("partition"),
+        F.concat(
+            F.lit("rows="), F.col("n_g").cast("string"),
+            F.lit(" dev_bp="), F.col("dev_bp").cast("string"),
+        ).alias("observed"),
+    )

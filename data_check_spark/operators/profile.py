@@ -296,3 +296,56 @@ def categorical_drift(df: DataFrame, cat_col: str, group_col: str) -> DataFrame:
         .withColumn("diff_bp", F.abs(F.col("share_bp") - F.col("base_bp")))
         .select("group_value", "category", "n_gc", "share_bp", "base_bp", "diff_bp")
     )
+
+
+def predicate_rate_by_group(df: DataFrame, predicate: str, group_col: str) -> DataFrame:
+    """Per-group rate of a boolean SQL predicate vs the whole-table rate.
+
+    The sufficient statistic for null/blank/error-rate monitoring: ONE
+    ``groupBy(group).agg(count, count_if)`` pass (map-side partials, two
+    counts per group on the shuffle); the table baseline attaches as a
+    1-row broadcast aggregate. Rates are truncating integer basis points
+    (engine-exact); a NULL predicate counts as not-holding.
+
+    Columns: ``group_value, n_g, k_g, rate_bp, base_bp, diff_bp``.
+    :func:`data_check_spark.operators.drift.rate_drift_violations` is the
+    thresholded rule form of this frame.
+    """
+    flag = F.coalesce(F.expr(predicate), F.lit(False)).cast("int")
+    per = df.groupBy(F.col(group_col).alias("group_value")).agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum(flag).alias("k_g")
+    )
+    total = per.agg(F.sum("n_g").alias("_n"), F.sum("k_g").alias("_k"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "group_value",
+            "n_g",
+            "k_g",
+            F.expr("(k_g * 10000) div n_g").alias("rate_bp"),
+            F.expr("(_k * 10000) div _n").alias("base_bp"),
+        )
+        .withColumn("diff_bp", F.abs(F.col("rate_bp") - F.col("base_bp")))
+    )
+
+
+def group_volume_deviation(df: DataFrame, group_col: str) -> DataFrame:
+    """Per-group row count vs the uniform expectation (mean group size).
+
+    ONE ``groupBy(group).count()`` pass; the (total, #groups) baseline is a
+    1-row broadcast aggregate. ``dev_bp`` is signed, integer-exact:
+    ``(n_g * G * 10000) div n − 10000``.
+
+    Columns: ``group_value, n_g, dev_bp``.
+    :func:`data_check_spark.operators.drift.volume_drift_violations` is the
+    thresholded rule form of this frame.
+    """
+    per = df.groupBy(F.col(group_col).alias("group_value")).agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    total = per.agg(F.sum("n_g").alias("_n"), F.count(F.lit(1)).alias("_g"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "group_value",
+        "n_g",
+        (F.expr("(n_g * _g * 10000) div _n") - F.lit(10000)).alias("dev_bp"),
+    )

@@ -1407,3 +1407,59 @@ def categorical_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_drift(
         _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
     ).orderBy("group_value", "category")
+
+
+_RATE_DRIFT_SQL = """
+WITH per AS (
+    SELECT o_orderstatus AS group_value,
+           count(*) AS n_g,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS k_g
+    FROM orders
+    GROUP BY 1
+),
+tot AS (SELECT sum(n_g) AS n, sum(k_g) AS k FROM per)
+SELECT group_value, n_g, k_g,
+       (k_g * 10000) // n_g AS rate_bp,
+       (k * 10000) // n AS base_bp,
+       abs((k_g * 10000) // n_g - (k * 10000) // n) AS diff_bp
+FROM per, tot
+ORDER BY group_value
+"""
+
+
+@register("rate_drift_orders", _RATE_DRIFT_SQL)
+def rate_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status rate of a boolean predicate (urgent-priority share) vs the
+    table rate — the null/blank/error-rate drift family (engine rule kind
+    ``rate_drift``). One counts-only groupBy pass; 1-row broadcast baseline."""
+    from data_check_spark.operators.profile import predicate_rate_by_group
+
+    return predicate_rate_by_group(
+        _t(spark, sf_dir, "orders"), "o_orderpriority = '1-URGENT'", "o_orderstatus"
+    ).orderBy("group_value")
+
+
+_VOLUME_DRIFT_SQL = """
+WITH per AS (
+    SELECT o_orderstatus AS group_value, count(*) AS n_g
+    FROM orders
+    GROUP BY 1
+),
+tot AS (SELECT sum(n_g) AS n, count(*) AS g FROM per)
+SELECT group_value, n_g,
+       (n_g * g * 10000) // n - 10000 AS dev_bp
+FROM per, tot
+ORDER BY group_value
+"""
+
+
+@register("volume_drift_orders", _VOLUME_DRIFT_SQL)
+def volume_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status row count vs the mean group size, signed basis points —
+    the ingest-volume anomaly family (engine rule kind ``volume_drift``).
+    One groupBy(count) pass; 1-row broadcast baseline."""
+    from data_check_spark.operators.profile import group_volume_deviation
+
+    return group_volume_deviation(
+        _t(spark, sf_dir, "orders"), "o_orderstatus"
+    ).orderBy("group_value")

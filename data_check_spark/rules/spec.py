@@ -46,6 +46,11 @@ Set-oriented kinds (dispatched to operators, not the projection):
 - ``drift``               — t-digest distribution drift vs baseline snapshot
 - ``cat_drift``           — categorical-mix drift (per-partition
                             total-variation distance vs the table mix)
+- ``rate_drift``          — predicate-rate drift (per-partition rate of a
+                            boolean SQL predicate — null/blank rate, error
+                            rate — vs the whole-table rate, basis points)
+- ``volume_drift``        — per-partition row count vs the uniform
+                            expectation (mean partition size, basis points)
 - ``audio_decode``        — decoded-PCM SNR>=30dB allclose (pandas UDF)
 - ``transcript_match``    — byte-equality vs transcript dimension
 """
@@ -74,6 +79,8 @@ SET_KINDS = {
     "referential",
     "drift",
     "cat_drift",
+    "rate_drift",
+    "volume_drift",
     "audio_decode",
     "transcript_match",
 }

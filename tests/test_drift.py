@@ -165,3 +165,89 @@ def test_engine_codec_mix_drift_on_planted_partitions(spark):
     res = run_validation(spark, clips, {}, catalog, run_ts="2026-01-01 00:00:00")
     got = {(r["rule_id"], r["partition"]) for r in res.violations.collect()}
     assert got == {("CODEC_MIX_DRIFT", p) for p in sorted(datagen.CODEC_MIX_PARTITIONS)}
+
+
+def test_rate_drift_flags_null_surge_partition(spark):
+    """p_bad: 50% null transcripts; others ~5% — only p_bad drifts."""
+    from data_check_spark.operators.drift import rate_drift_violations
+
+    rows = []
+    for p in ("p0", "p1"):
+        for i in range(100):
+            rows.append((p, None if i < 5 else "text"))
+    rows += [("p_bad", None if i < 50 else "text") for i in range(100)]
+    df = spark.createDataFrame(rows, "partition string, transcript string")
+    out = rate_drift_violations(
+        df, "NULL_RATE", "transcript IS NULL", threshold_bp=2000, min_rows=50
+    ).collect()
+    assert {r["partition"] for r in out} == {"p_bad"}
+    r = out[0]
+    assert r["rule_id"] == "NULL_RATE" and r["clip_id"] is None
+    # 50/100 → 5000 bp vs table 60/300 → 2000 bp
+    assert r["observed"] == "rate_bp=5000 base_bp=2000"
+
+
+def test_rate_drift_min_rows_and_null_predicate(spark):
+    from data_check_spark.operators.drift import rate_drift_violations
+
+    # same skew but only 20 rows in the bad partition → skipped
+    rows = [(f"p{i % 2}", "text") for i in range(200)]
+    rows += [("p_tiny", None)] * 20
+    df = spark.createDataFrame(rows, "partition string, transcript string")
+    out = rate_drift_violations(
+        df, "NULL_RATE", "transcript IS NULL", threshold_bp=2000, min_rows=50
+    )
+    assert out.collect() == []
+    # NULL-valued predicate counts as not-holding, not as a null count
+    out2 = rate_drift_violations(
+        df, "R", "length(transcript) > 100", threshold_bp=1, min_rows=1
+    )
+    assert out2.count() == 0
+
+
+def test_volume_drift_flags_oversized_partition(spark):
+    """Sizes 100/100/100/500: only the 500 exceeds ±50% of the mean (200);
+    the 100s sit exactly at −5000 bp (strict > keeps them quiet)."""
+    from data_check_spark.operators.drift import volume_drift_violations
+
+    rows = [(f"p{i % 3}", i) for i in range(300)] + [("p_big", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "partition string, x int")
+    out = volume_drift_violations(df, "VOL", threshold_bp=5000).collect()
+    assert {r["partition"] for r in out} == {"p_big"}
+    assert out[0]["observed"] == "rows=500 dev_bp=15000"
+    # tighter threshold: the undersized partitions flag too (dev −5000)
+    out2 = volume_drift_violations(df, "VOL", threshold_bp=4000)
+    assert {r["partition"] for r in out2.collect()} == {"p0", "p1", "p2", "p_big"}
+
+
+def test_engine_rate_and_volume_drift_kinds(spark):
+    """Engine dispatch: both kinds run from a catalog and respect the
+    violation contract (rule_id, NULL clip_id, partition, observed)."""
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    def mk(part, n, nulls):
+        return [
+            (f"c_{part}_{i}", None, 16000, 100, "flac",
+             None if i < nulls else "text", part)
+            for i in range(n)
+        ]
+
+    # p0..p3 normal; p_null: same size, null surge; p_big: 4x rows, normal
+    rows = [r for p in range(4) for r in mk(f"p{p}", 200, 10)]
+    rows += mk("p_null", 200, 100) + mk("p_big", 800, 40)
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+        "transcript string, partition string",
+    )
+    catalog = RuleCatalog([
+        Rule("NULL_RATE_DRIFT", "rate_drift", "transcript",
+             {"predicate": "transcript IS NULL", "threshold_bp": 2000, "min_rows": 100}),
+        Rule("VOLUME_DRIFT", "volume_drift", None, {"threshold_bp": 5000}),
+    ])
+    res = run_validation(spark, clips, {}, catalog, run_ts="2026-01-01 00:00:00")
+    got = {(r["rule_id"], r["partition"]) for r in res.violations.collect()}
+    # table null rate 1000 bp: p_null at 5000 bp is the only rate outlier;
+    # mean partition size 300: p_big at +16666 bp is the only volume outlier
+    assert got == {("NULL_RATE_DRIFT", "p_null"), ("VOLUME_DRIFT", "p_big")}
