@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "categorical_drift_orders",
     "rate_drift_orders",
     "volume_drift_orders",
+    "quarantine_clean_orders",
     "events_hourly_rolling",
     "stratified_sample_documents",
     "rolling_hash_documents",

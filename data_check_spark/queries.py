@@ -783,6 +783,36 @@ def sorted_date_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rep.sort_numeric_coerced(v, "clip_id").limit(100)
 
 
+@register(
+    "quarantine_clean_orders",
+    f"""
+    WITH v AS ({_ORDERS_RULES_SQL})
+    SELECT o_orderkey, o_orderstatus,
+           cast((SELECT count(*) FROM orders
+                 WHERE cast(o_orderkey AS varchar) IN (SELECT clip_id FROM v))
+                AS BIGINT) AS n_quarantined
+    FROM orders
+    WHERE cast(o_orderkey AS varchar) NOT IN (SELECT clip_id FROM v)
+    ORDER BY o_orderkey
+    """,
+)
+def quarantine_clean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine split: the CLEAN remainder after routing every row flagged
+    by the row-rule pack to quarantine (reporting.quarantine_split — one
+    distinct + semi/anti hash joins; broadcast under AQE when the violator
+    set is small). n_quarantined is carried as a column so the oracle also
+    value-checks the quarantined-side cardinality."""
+    orders = _t(spark, sf_dir, "orders")
+    v = row_rules_orders(spark, sf_dir)
+    clean, quarantined = _rep.quarantine_split(orders, v, "o_orderkey")
+    n_q = quarantined.count()  # O(1) driver scalar for the contract column
+    return (
+        clean.select("o_orderkey", "o_orderstatus")
+        .withColumn("n_quarantined", F.lit(n_q).cast("long"))
+        .orderBy("o_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 8. Beyond-reference analytics: rollup aggregation and brute-force
 #    embedding near-duplicate pairs (the LSH path is the scale route; this

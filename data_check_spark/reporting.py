@@ -95,3 +95,34 @@ def summary_df(violations: DataFrame, *, series_col: str = "series") -> DataFram
     key = series_col if series_col in violations.columns else "rule_id"
     per_key = violations.groupBy(key).agg(F.count(F.lit(1)).alias("n")).orderBy(key)
     return per_key
+
+
+def quarantine_split(
+    df: DataFrame,
+    violations: DataFrame,
+    id_col: str,
+    *,
+    rule_ids: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split the input into (clean, quarantined) by violation membership.
+
+    The standard downstream of a validation run: rows flagged by any
+    row-grain rule are routed to a quarantine table for repair while the
+    clean remainder flows on — the reference's users do this by hand from
+    the exported CSV; here it is one distinct + two hash joins on the key
+    (semi for quarantined, anti for clean), so Catalyst/AQE pick broadcast
+    when the violator set is small and the input is scanned twice at most.
+
+    Partition-grain violation rows (``clip_id IS NULL`` — drift, volume)
+    quarantine nothing: they indict a partition, not a row; act on them
+    via the verdicts table. ``rule_ids`` optionally limits which rules
+    quarantine (e.g. exclude warning-severity rules).
+    """
+    bad = violations.filter(F.col("clip_id").isNotNull())
+    if rule_ids is not None:
+        bad = bad.filter(F.col("rule_id").isin(rule_ids))
+    keys = bad.select(F.col("clip_id").alias("_qkey")).distinct()
+    cond = F.col(id_col).cast("string") == F.col("_qkey")
+    quarantined = df.join(keys, cond, "left_semi")
+    clean = df.join(keys, cond, "left_anti")
+    return clean, quarantined

@@ -241,3 +241,24 @@ def test_xlsx_duplicate_headers_uniquified(spark, tmp_path):
     path = str(tmp_path / "dup_headers.xlsx")
     _write_minimal_xlsx(path, ["検索文字", "検索文字"], [["kw1", "ignored"]])
     assert read_keyword_column(spark, path, "検索文字") == ["kw1"]
+
+
+def test_quarantine_split(spark):
+    from data_check_spark.reporting import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id int, val string"
+    )
+    v = spark.createDataFrame(
+        [("R1", "2", "p0", "x"), ("R2", "2", "p0", "y"),   # double-flagged row
+         ("R1", "4", "p1", "z"),
+         ("DRIFT", None, "p1", "w1=0.5")],                  # partition-grain: no row
+        "rule_id string, clip_id string, partition string, observed string",
+    )
+    clean, quarantined = quarantine_split(df, v, "id")
+    assert sorted(r["id"] for r in clean.collect()) == [1, 3]
+    assert sorted(r["id"] for r in quarantined.collect()) == [2, 4]
+    # rule_ids filter: only R2 quarantines → row 4 stays clean
+    clean2, q2 = quarantine_split(df, v, "id", rule_ids=["R2"])
+    assert sorted(r["id"] for r in clean2.collect()) == [1, 3, 4]
+    assert [r["id"] for r in q2.collect()] == [2]
