@@ -311,20 +311,45 @@ def run_validation(
     # RULE_ERROR_<id> row and the rest of the catalog still runs.
     parts: list[DataFrame] = []
     compiled = []
+    candidates: list[tuple[Rule, list]] = []
     for r in catalog.row_local:
         try:
             for pat in [r.params.get("pattern"), *(r.params.get("any_of") or [])]:
                 if pat is not None:  # JVM regex compiles lazily at first eval
                     spark._jvm.java.util.regex.Pattern.compile(pat)
-            rule_compiled = compile_rule_many(r, run_ts)
-            for c in rule_compiled:
-                # analysis-only probe: resolves columns/types, runs no job
-                prepared.select(c.predicate.cast("boolean"), c.observed).schema
-            compiled.extend(rule_compiled)
+            candidates.append((r, compile_rule_many(r, run_ts)))
         except Exception as e:  # noqa: BLE001 — degrade, don't die
             synthetic.append(
                 (f"RULE_ERROR_{r.rule_id}", "N/A", None, str(e).splitlines()[0][:200])
             )
+    # analysis-only probe (resolves columns/types, runs no job): ONE batched
+    # analysis on the healthy path; only when something is broken fall back
+    # to per-rule probes to attribute the failure — a per-rule .schema costs
+    # a py4j analysis round-trip each, which adds up across the catalog.
+    try:
+        if candidates:
+            prepared.select(
+                *[
+                    e
+                    for i, (_, rc) in enumerate(candidates)
+                    for j, c in enumerate(rc)
+                    for e in (
+                        c.predicate.cast("boolean").alias(f"_p{i}_{j}"),
+                        c.observed.alias(f"_o{i}_{j}"),
+                    )
+                ]
+            ).schema
+        compiled = [c for _, rc in candidates for c in rc]
+    except Exception:  # noqa: BLE001 — bisect to the broken rule(s)
+        for r, rule_compiled in candidates:
+            try:
+                for c in rule_compiled:
+                    prepared.select(c.predicate.cast("boolean"), c.observed).schema
+                compiled.extend(rule_compiled)
+            except Exception as e:  # noqa: BLE001 — degrade, don't die
+                synthetic.append(
+                    (f"RULE_ERROR_{r.rule_id}", "N/A", None, str(e).splitlines()[0][:200])
+                )
     if compiled:
         parts.append(apply_row_rules(prepared, compiled, partition_col=partition_col))
 
