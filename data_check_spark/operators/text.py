@@ -175,6 +175,71 @@ def curation_pipeline(
     )
 
 
+def repetition_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals, computed per row with zero shuffle.
+
+    - ``n_bigrams``           — total word bigrams (n_tokens − 1)
+    - ``top_bigram_count``    — occurrences of the most frequent bigram
+    - ``top_bigram_frac_q4``  — that count / n_bigrams, quantized to 1e-4
+    - ``dup_token_frac_q4``   — (n_tokens − n_distinct) / n_tokens, q4
+
+    The top-bigram count is the max run length in the SORTED bigram array,
+    found with one ``aggregate`` fold over a (prev, run, best) struct —
+    O(n log n) per row, all JVM higher-order functions. A groupBy-count
+    formulation would shuffle every bigram of every document; this never
+    leaves the row, which is the difference between a narrow projection
+    and a corpus-sized exchange at 100 TB.
+    """
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    bigrams = F.when(n_tokens < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_tokens - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    # Max run of equal adjacent elements in the sorted array == max bigram
+    # multiplicity. Initial prev="" never matches a real bigram (tokens from
+    # \s+ split of non-blank text are non-empty).
+    top_count = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_bigrams = F.greatest(n_tokens - 1, F.lit(0)).cast("long")
+    n_distinct = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        n_bigrams.alias("n_bigrams"),
+        top_count.alias("top_bigram_count"),
+        F.when(
+            n_bigrams > 0,
+            F.floor(top_count.cast("double") / n_bigrams.cast("double") * 10000.0 + 0.5),
+        ).otherwise(F.lit(0)).cast("long").alias("top_bigram_frac_q4"),
+        F.when(
+            n_tokens > 0,
+            F.floor(
+                (n_tokens - n_distinct).cast("double") / n_tokens.cast("double") * 10000.0
+                + 0.5
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("dup_token_frac_q4"),
+    )
+
+
 def fingerprints(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Engine-portable content fingerprint (md5 of UTF-8 text)."""
     return df.select(

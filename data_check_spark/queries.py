@@ -1493,3 +1493,165 @@ def volume_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_volume_deviation(
         _t(spark, sf_dir, "orders"), "o_orderstatus"
     ).orderBy("group_value")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline hygiene: PII scan/redaction, repetition signals,
+# benchmark decontamination (operators/pii.py, text.py, decontam.py).
+# ---------------------------------------------------------------------------
+
+# Deterministic PII augmentation: the synthetic corpus carries no PII, so the
+# query plants class instances derived from doc_id — identically expressible
+# on both engines — and the operator must find exactly those.
+_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN ' contact user' || cast(doc_id AS varchar) || '@example.com now'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN ' call 555-' || lpad(cast(doc_id % 1000 AS varchar), 3, '0') || '-0199'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0
+                  THEN ' host 10.0.' || cast(doc_id % 256 AS varchar) || '.1'
+                  ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
+FROM aug
+"""
+
+
+def _pii_augment(df: DataFrame) -> DataFrame:
+    """Plant doc_id-derived PII instances (email / phone / IPv4)."""
+    d = F.col("doc_id")
+    return df.select(
+        d.alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((d % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register("pii_scan_documents", _PII_SQL)
+def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (operators/pii.py): pure regexp_count /
+    regexp_replace projection, no shuffle; output ships count + redacted-text
+    fingerprint, never the text. Reference analog: the forbidden-keyword scan
+    family (SURVEY §2.3 forbidden-substring, dekispart keyword checks)."""
+    from data_check_spark.operators.pii import pii_scan
+
+    aug = _pii_augment(_t(spark, sf_dir, "documents"))
+    out = pii_scan(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long"),
+        F.col("n_phone").cast("long"),
+        F.col("n_ip").cast("long"),
+        "redacted_fp",
+    )
+
+
+_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::varchar[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct, toks
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+  FROM base, unnest(range(1, n_tokens)) t(i)
+  WHERE n_tokens >= 2
+),
+top AS (
+  SELECT doc_id, max(c) AS top_bigram_count
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       cast(greatest(b.n_tokens - 1, 0) AS bigint) AS n_bigrams,
+       cast(coalesce(t.top_bigram_count, 0) AS bigint) AS top_bigram_count,
+       cast(CASE WHEN b.n_tokens >= 2
+                 THEN floor(cast(t.top_bigram_count AS double)
+                            / cast(b.n_tokens - 1 AS double) * 10000.0 + 0.5)
+                 ELSE 0 END AS bigint) AS top_bigram_frac_q4,
+       cast(CASE WHEN b.n_tokens > 0
+                 THEN floor(cast(b.n_tokens - b.n_distinct AS double)
+                            / cast(b.n_tokens AS double) * 10000.0 + 0.5)
+                 ELSE 0 END AS bigint) AS dup_token_frac_q4
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+@register("repetition_stats_documents", _REPETITION_SQL)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (operators/text.py
+    ``repetition_stats``): top-bigram multiplicity via a per-row sorted-array
+    fold — zero shuffle, where the naive groupBy-per-bigram would exchange
+    the whole corpus."""
+    return _text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_DECONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::varchar[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+  FROM toks, unnest(range(1, len(toks) - 2)) t(i)
+  WHERE len(toks) >= 4
+),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+SELECT g.doc_id, count(*) AS n_shared_ngrams
+FROM grams g JOIN eval_g e USING (g)
+WHERE g.doc_id % 50 <> 0
+GROUP BY g.doc_id
+"""
+
+
+@register("decontamination_documents", _DECONTAM_SQL)
+def decontamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): training docs
+    sharing any word 4-gram with the eval subset (doc_id % 50 == 0 stands in
+    for the benchmark table). Eval n-gram set is broadcast — the training
+    corpus is never shuffled; plan-asserted in tests/test_decontam_pii.py."""
+    from data_check_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, eval_df, n=4)
