@@ -71,6 +71,37 @@ SHINGLE_K = 8
 NUM_PERM = 64
 LSH_BANDS = 16  # 16 bands x 4 rows
 
+# Engine-portable hash mode: xxhash64 (the default leaf hash) exists only on
+# the JVM, so queries using it cannot be value-checked by the DuckDB oracle.
+# ``portable=True`` swaps ONLY the leaf hash for a 60-bit md5 prefix plus
+# affine permutations mod a Mersenne prime — every downstream stage (banding,
+# bucket capping, candidate pairing, signature-agreement estimation) is
+# byte-identical, so the oracle exercises the full LSH pipeline. md5 is ~3x
+# slower than xxhash64 per shingle; production callers keep the default.
+PORTABLE_PRIME = 2_147_483_647  # 2^31 - 1: a*h + b stays inside signed 64
+
+
+def portable_perm_table(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (a_p, b_p), inlined
+    verbatim into the DuckDB oracle SQL — no RNG anywhere."""
+    out = []
+    for p in range(num_perm):
+        a = (2654435761 * (p + 1)) % PORTABLE_PRIME
+        b = (40503 * (p + 1) * (p + 1) + 17) % PORTABLE_PRIME
+        out.append((a or 1, b))
+    return out
+
+
+def _portable_hash60(col: Column) -> Column:
+    """First 60 bits of md5(utf8) as a non-negative long; DuckDB analog is
+    cast(('0x' || substr(md5(s), 1, 15)) AS bigint)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def _affine(a: int, b: int):
+    """Closure factory (HOF lambdas must be unary — arity is inspected)."""
+    return lambda h: (h * a + b) % PORTABLE_PRIME
+
 
 def _shingles_expr(text_col: str, k: int) -> Column:
     """Distinct k-char shingles as array<string> (JVM higher-order fns)."""
@@ -88,14 +119,29 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = SHINGLE_K,
     num_perm: int = NUM_PERM,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, signature array<long>[num_perm]) — fully JVM-side MinHash."""
     sh = _shingles_expr(text_col, k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, p))),
+    if not portable:
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda p: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, p))),
+        )
+        return df.select(F.col(id_col), sig.alias("signature"))
+    # Portable mode: hash each shingle ONCE (md5 is the expensive leaf), then
+    # apply the affine permutations to the cached base-hash array.
+    base = df.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: _portable_hash60(s) % PORTABLE_PRIME).alias("_hs"),
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_hs"), _affine(a, b)))
+            for a, b in portable_perm_table(num_perm)
+        ]
+    )
+    return base.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -108,26 +154,36 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     threshold: float = 0.5,
     max_bucket: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
     Candidate generation: band-hash buckets; verification: fraction of
     agreeing minhashes (unbiased Jaccard estimate) — signatures only.
+
+    ``portable=True`` (oracle mode) additionally changes the OUTPUT contract
+    to integer columns (``n_agree``, ``est_q4``): %.4f-formatted fractions of
+    64 hit exact decimal-rounding ties (k ≡ 2 mod 4), where Java HALF_UP and
+    C half-even disagree — integer quantization is tie-free (CLAUDE.md).
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col, k=k, num_perm=num_perm)
+
+    def _band_hash(b: Column) -> Column:
+        sl = F.slice(F.col("signature"), b * rows + 1, rows)
+        if portable:  # grouping key as a plain joined string — engine-neutral
+            return F.concat_ws(",", F.transform(sl, lambda v: v.cast("string")))
+        return F.xxhash64(sl.cast("string"))
+
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, k=k, num_perm=num_perm, portable=portable
+    )
     banded = sigs.select(
         F.col(id_col).alias("_id"),
         F.col("signature"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice(F.col("signature"), b * rows + 1, rows).cast("string")).alias(
-                        "bh"
-                    ),
-                ),
+                lambda b: F.struct(b.alias("band"), _band_hash(b).alias("bh")),
             )
         ).alias("bb"),
     ).select("_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -162,15 +218,28 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(num_perm))
+    n_agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
     )
+    if portable:
+        # est_q4 = round(n_agree / num_perm * 1e4); exact for power-of-2
+        # num_perm (the division is by 2^k, so the double is exact).
+        return (
+            pairs.withColumn("n_agree", n_agree.cast("long"))
+            .filter(F.col("n_agree").cast("double") / num_perm >= threshold)
+            .select(
+                "id_a",
+                "id_b",
+                "n_agree",
+                F.floor((F.col("n_agree") * 10000 + F.lit(num_perm // 2)) / F.lit(num_perm))
+                .cast("long")
+                .alias("est_q4"),
+            )
+        )
+    est = n_agree.cast("double") / F.lit(float(num_perm))
     return (
         pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
@@ -184,14 +253,21 @@ def minhash_lsh_pairs(
 
 
 def simhash_64(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", portable: bool = False
 ) -> DataFrame:
     """(id, simhash long): 64-bit SimHash over whitespace tokens.
 
     Token→hash is JVM (`xxhash64`); the per-doc bit vote runs as ONE
-    vectorized pandas UDF over array<long> (numpy bit unpacking)."""
+    vectorized pandas UDF over array<long> (numpy bit unpacking).
+
+    ``portable=True`` swaps the token hash for the 60-bit md5 prefix (DuckDB
+    oracle parity). Bits 60-63 of every hash are then 0, so those simhash
+    bits always vote negative and land 0 — identical in both engines."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if portable:
+        hashes = F.transform(toks, lambda t: _portable_hash60(t))
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     @F.pandas_udf("long")
     def vote(hs: pd.Series) -> pd.Series:
@@ -219,6 +295,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 256,
+    portable: bool = False,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via chunk blocking.
 
@@ -232,7 +309,7 @@ def simhash_near_pairs(
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     # Contiguous chunk boundaries; widths differ by at most 1 bit.
     bounds = [(c * 64 // n_chunks, (c + 1) * 64 // n_chunks) for c in range(n_chunks)]
-    sh = simhash_64(df, id_col=id_col, text_col=text_col)
+    sh = simhash_64(df, id_col=id_col, text_col=text_col, portable=portable)
     chunked = sh.select(
         F.col(id_col).alias("_id"),
         "simhash",
@@ -282,7 +359,7 @@ def simhash_near_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (
         pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

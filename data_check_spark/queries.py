@@ -658,20 +658,124 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.cosine_topk(emb, queries_df, k=10)
 
 
-# --- rows-only (xxhash64-based signatures have no DuckDB equivalent) --------
+# --- MinHash / SimHash in engine-portable hash mode (oracle-checked) --------
+# The production leaf hash is xxhash64 (JVM-only); these queries run the
+# IDENTICAL pipeline (shingling, banding, bucket caps, pairing, estimation)
+# with portable=True, whose md5-prefix hash + affine permutations DuckDB
+# evaluates verbatim — so the oracle value-checks the whole LSH machinery,
+# not a toy. Constants below are inlined from portable_perm_table().
 
 
-@register("minhash_near_dup_documents")
+def _minhash_oracle_sql(
+    *, k: int = 8, num_perm: int = 64, bands: int = 16, threshold: float = 0.3,
+    max_bucket: int = 64,
+) -> str:
+    p = _dedup.PORTABLE_PRIME
+    rows = num_perm // bands
+    sig_items = ",\n    ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))"
+        for a, b in _dedup.portable_perm_table(num_perm)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(text) < {k} THEN text ELSE substr(text, i::int, {k}) END AS s
+  FROM documents,
+       unnest(CASE WHEN len(text) < {k} THEN [1]
+                   ELSE range(1, len(text) - {k} + 2) END) t(i)
+),
+hl AS (
+  SELECT doc_id,
+         list(cast(('0x' || substr(md5(s), 1, 15)) AS bigint) % {p}) AS hs
+  FROM sh GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, [
+    {sig_items}
+  ] AS sig FROM hl
+),
+bk AS (
+  SELECT doc_id, b, array_to_string(sig[b*{rows}+1 : b*{rows}+{rows}], ',') AS bkey
+  FROM sigs, unnest(range(0, {bands})) t(b)
+),
+buckets AS (
+  SELECT list_sort(list(doc_id))[1:{max_bucket}] AS m
+  FROM bk GROUP BY b, bkey HAVING count(*) > 1
+),
+cand AS (
+  SELECT DISTINCT x AS id_a, y AS id_b
+  FROM buckets, unnest(m) t1(x), unnest(m) t2(y) WHERE x < y
+),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         cast(len(list_filter(range(1, {num_perm + 1}),
+                              i -> sa.sig[i::int] = sb.sig[i::int])) AS bigint) AS n_agree
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, n_agree,
+       cast(floor((n_agree * 10000 + {num_perm // 2}) / {num_perm}.0) AS bigint) AS est_q4
+FROM agree
+WHERE cast(n_agree AS double) / {num_perm} >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_oracle_sql(*, max_hamming: int = 6, max_bucket: int = 256) -> str:
+    n_chunks = max_hamming + 1
+    bounds = [(c * 64 // n_chunks, (c + 1) * 64 // n_chunks) for c in range(n_chunks)]
+    chunk_rows = ", ".join(
+        f"({c}, {lo}, {(1 << (hi - lo)) - 1})" for c, (lo, hi) in enumerate(bounds)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, cast(('0x' || substr(md5(t), 1, 15)) AS bigint) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, b, 2 * sum((h >> b::int) & 1) - count(*) AS v
+  FROM h, unnest(range(0, 60)) tb(b)
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         cast(coalesce(sum(CASE WHEN v > 0 THEN (1::bigint << b::int) END), 0) AS bigint) AS simhash
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, (simhash >> lo) & mask AS ck, c
+  FROM sh, (VALUES {chunk_rows}) cb(c, lo, mask)
+),
+buckets AS (
+  SELECT list_sort(list(doc_id))[1:{max_bucket}] AS m
+  FROM chunks GROUP BY c, ck HAVING count(*) > 1
+),
+cand AS (
+  SELECT DISTINCT x AS id_a, y AS id_b
+  FROM buckets, unnest(m) t1(x), unnest(m) t2(y) WHERE x < y
+)
+SELECT c.id_a, c.id_b, cast(bit_count(xor(a.simhash, b.simhash)) AS integer) AS hamming
+FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+@register("minhash_near_dup_documents", _minhash_oracle_sql())
 def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(
-        _docs_parallel(spark, sf_dir), threshold=0.3
+        _docs_parallel(spark, sf_dir), threshold=0.3, portable=True
     ).orderBy("id_a", "id_b")
 
 
-@register("simhash_near_dup_documents")
+@register("simhash_near_dup_documents", _simhash_oracle_sql())
 def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_near_pairs(
-        _docs_parallel(spark, sf_dir), max_hamming=6
+        _docs_parallel(spark, sf_dir), max_hamming=6, portable=True
     ).orderBy("id_a", "id_b")
 
 

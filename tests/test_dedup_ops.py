@@ -73,6 +73,30 @@ def test_simhash_near_pairs(docs):
     assert pairs.get((1, 2)) == 0
 
 
+def test_minhash_portable_mode(docs):
+    """Portable (md5 + affine perms) mode: same pipeline, engine-neutral
+    hash and integer output contract (n_agree / est_q4)."""
+    sigs = {s["doc_id"]: s["signature"]
+            for s in minhash_signatures(docs, portable=True).collect()}
+    assert all(len(s) == 64 for s in sigs.values())
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    pairs = {(p["id_a"], p["id_b"]): (p["n_agree"], p["est_q4"])
+             for p in minhash_lsh_pairs(docs, threshold=0.5, portable=True).collect()}
+    assert pairs[(1, 2)] == (64, 10000)
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert not any({a, b} == {4, 5} for a, b in pairs)
+
+
+def test_simhash_portable_mode(docs):
+    sh = {r["doc_id"]: r["simhash"]
+          for r in simhash_64(docs, portable=True).collect()}
+    assert sh[1] == sh[2]
+    assert all(0 <= v < (1 << 60) for v in sh.values())  # top 4 bits unset
+    pairs = {(p["id_a"], p["id_b"]): p["hamming"]
+             for p in simhash_near_pairs(docs, max_hamming=10, portable=True).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
 def test_ngram_jaccard(docs):
     pairs = {(p["id_a"], p["id_b"]): float(p["jaccard"])
              for p in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
