@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_check_spark.operators.text import fingerprints
@@ -387,75 +387,111 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct k-shingles for pairs sharing ≥1 RARE shingle.
 
-    Plan: explode distinct shingles → drop shingles with document frequency
-    > ``max_df`` (stop-shingle removal, standard for inverted-index Jaccard)
-    → self-join the pruned index for candidate pairs → exact Jaccard per
-    candidate via ``array_intersect`` over the FULL shingle sets.
+    Candidate generation (unchanged contract): explode distinct shingles →
+    drop shingles with document frequency > ``max_df`` (stop-shingle removal)
+    → self-join the pruned inverted index. The posting-list cap bounds the
+    self-join at Σ min(df, max_df)² instead of Σ df².
 
-    The posting-list cap bounds the self-join at Σ min(df, max_df)² instead
-    of Σ df² — one boilerplate shingle shared by 10^6 docs would otherwise
-    produce 10^12 candidate pairs. Jaccard values stay exact (common
-    shingles still count in the intersection/union); only pairs whose EVERY
-    shared shingle is boilerplate-frequent are skipped, which at
-    ``threshold`` ≥ 0.5 is not a near-duplicate signal."""
+    Verification (count-based, no per-pair set arrays): the exact
+    intersection size splits as |A∩B| = shared_rare + shared_common.
+    ``shared_rare`` falls out of the SAME index self-join as a groupBy count
+    (free — it replaces the dropDuplicates). ``shared_common`` comes from
+    per-doc BITMAPS over the global common-shingle dictionary:
+    popcount(bm_A & bm_B). Set sizes |A|,|B| are rare+common per-doc counts.
+    Jaccard = I / (|A| + |B| − I), exact — no estimate, no rescore pass.
+
+    Why bitmaps: the naive verify join ships each candidate pair two
+    ~|set|-element arrays (measured 15s for 2.2M candidates at sf0.1); the
+    bitmap is ceil(C/64) longs where C = #distinct common shingles. C is
+    bounded: Σ df ≤ total shingle instances, so #shingles with df > max_df
+    ≤ instances/max_df. At cluster scale set ``max_df`` as a corpus
+    FRACTION (boilerplate = "appears in > x% of docs") and the dictionary
+    stays ≤ avg_set_size/x entries regardless of corpus size.
+
+    One tiny driver action (count of the aggregated df frame, ~|dictionary|
+    rows) fixes the bitmap width at plan-build time."""
     sh = df.select(F.col(id_col).alias("_id"), F.explode(_shingles_expr(text_col, k)).alias("s"))
-    rare = (
+    dfs = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("s")
+        .localCheckpoint(eager=True)  # ≤ #distinct shingles rows; reused 3×
     )
-    sh_rare = sh.join(rare, "s")
-    a = sh_rare.alias("a")
-    b = sh_rare.alias("b")
-    survivors = (
+    commons = (
+        dfs.filter(F.col("_df") > max_df)
+        .select(
+            "s",
+            # Unpartitioned window is intentional: this frame is the common-
+            # shingle dictionary, bounded at instances/max_df rows (see
+            # docstring), so the single-partition row_number is O(dictionary).
+            (F.row_number().over(Window.orderBy(F.desc("_df"), F.col("s"))) - 1).alias("cid"),
+        )
+    )
+    n_common = commons.count()
+    width = (n_common + 63) // 64
+
+    rare_idx = sh.join(dfs.filter(F.col("_df") <= max_df).select("s"), "s")
+    a = rare_idx.alias("a")
+    b = rare_idx.alias("b")
+    pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates()
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_c_rare"))
     )
-    # Stage 2 prefilter: Jaccard over 64-bit shingle HASHES (sorted long
-    # arrays intersect ~2.5x faster than 16-char strings), kept with 0.05
-    # slack. A qualifying pair (true jac >= t) can only be dropped here if
-    # hash collisions shift its estimate by > 0.05 — that needs ~0.05*|union|
-    # simultaneous 64-bit collisions inside ONE pair (p < 1e-100), so the
-    # final stage-3 string-exact rescore sees every real pair. The hash
-    # arrays come from a second column-pruned projection of the text —
-    # measured CHEAPER than regrouping the exploded index (collect_list of
-    # 1.35M hashes shuffled: 20s vs 11s at sf0.1), and at cluster scale the
-    # index self-join above already shuffles ~k× the text volume, so one
-    # extra pruned text scan is not the bottleneck.
-    hsets = df.select(
-        F.col(id_col).alias("_id"),
-        F.sort_array(
-            F.transform(_shingles_expr(text_col, k), lambda s: F.xxhash64(s))
-        ).alias("_hh"),
-    )
-    ha = hsets.select(F.col("_id").alias("id_a"), F.col("_hh").alias("_ha"))
-    hb = hsets.select(F.col("_id").alias("id_b"), F.col("_hh").alias("_hb"))
-    h_inter = F.size(F.array_intersect(F.col("_ha"), F.col("_hb")))
-    h_jac = h_inter.cast("double") / (
-        F.size(F.col("_ha")) + F.size(F.col("_hb")) - h_inter
-    ).cast("double")
-    near = (
-        survivors.join(ha, "id_a").join(hb, "id_b")
-        .filter(h_jac >= threshold - 0.05)
-        .select("id_a", "id_b")
-    )
-    # Stage 3: exact rescore on the ORIGINAL shingle strings (oracle-exact).
-    # Deliberately a plain projection of df: a semi-join down to survivor
-    # ids would make this subtree re-execute the whole prefilter pipeline
-    # (the id set depends on `near`) — measured 2x slower than shingling
-    # every doc and letting the join drop non-survivors.
-    sets = df.select(F.col(id_col).alias("_id"), _shingles_expr(text_col, k).alias("_sh"))
-    sa = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    sb = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
-    n_inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
-    jac = n_inter.cast("double") / (
-        F.size(F.col("_sha")) + F.size(F.col("_shb")) - n_inter
-    ).cast("double")
+    rare_cnt = rare_idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_rare"))
+
+    if n_common == 0:
+        sides = rare_cnt.select("_id", F.col("_n_rare").alias("_sz"))
+        pa = sides.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+        pb = sides.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+        inter = F.col("_c_rare")
+        scored = pairs.join(pa, "id_a").join(pb, "id_b")
+    else:
+        # (doc, cid) rows → per-word OR-fold → fixed-width bitmap array.
+        cidx = sh.join(F.broadcast(commons), "s").select(
+            "_id",
+            (F.col("cid") / 64).cast("int").alias("_w"),
+            # F.shiftleft needs a literal numBits (CLAUDE.md) — SQL form
+            # accepts a column expression.
+            F.expr("shiftleft(cast(1 as bigint), cast(cid % 64 as int))").alias("_bit"),
+        )
+        words = cidx.groupBy("_id", "_w").agg(
+            F.bit_or("_bit").alias("_word"), F.count(F.lit(1)).alias("_n")
+        )
+        bitmaps = words.groupBy("_id").agg(
+            F.map_from_entries(F.collect_list(F.struct("_w", "_word"))).alias("_m"),
+            F.sum("_n").alias("_n_common"),
+        ).select(
+            "_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(width - 1)),
+                lambda w: F.coalesce(F.element_at(F.col("_m"), w), F.lit(0).cast("long")),
+            ).alias("_bm"),
+            "_n_common",
+        )
+        sides = (
+            rare_cnt.join(bitmaps, "_id", "full")
+            .select(
+                "_id",
+                (F.coalesce(F.col("_n_rare"), F.lit(0)) + F.coalesce(F.col("_n_common"), F.lit(0))).alias("_sz"),
+                F.coalesce(
+                    F.col("_bm"),
+                    F.array_repeat(F.lit(0).cast("long"), width),
+                ).alias("_bm"),
+            )
+        )
+        pa = sides.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), F.col("_bm").alias("_bma"))
+        pb = sides.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), F.col("_bm").alias("_bmb"))
+        c_common = F.aggregate(
+            F.zip_with(F.col("_bma"), F.col("_bmb"), lambda x, y: F.bit_count(x.bitwiseAND(y))),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        inter = F.col("_c_rare") + c_common
+        scored = pairs.join(pa, "id_a").join(pb, "id_b")
+
+    jac = inter.cast("double") / (F.col("_sza") + F.col("_szb") - inter).cast("double")
     return (
-        near.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        scored.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.format_string("%.4f", F.col("jaccard")).alias("jaccard"))
     )

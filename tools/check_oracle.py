@@ -41,8 +41,13 @@ def main():
     import __spark_entry__ as entry_mod
     from data_check_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+    only = set(args)
     spark = get_spark("oracle_check", master="local[8]")
     con = duckdb.connect()
     for t in TABLES:
