@@ -125,6 +125,7 @@ def lsh_near_dup_pairs(
     n_planes: int = 8,
     multiprobe: int = MULTIPROBE_FLIPS,
     max_bucket: int = 256,
+    portable_dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via LSH buckets + EXACT cosine re-rank (scale path).
 
@@ -133,9 +134,18 @@ def lsh_near_dup_pairs(
     carries (id, signature, vector) — no all-pairs join appears in the plan,
     and degenerate buckets are capped like the MinHash route. Approximate in
     recall (pairs never co-bucketed are missed), exact in the reported
-    cosine values."""
+    cosine values.
+
+    ``portable_dim`` (oracle mode, analogous to the MinHash ``portable``
+    flag): swaps only the SIGNATURE to the integer-exact portable variant
+    (:func:`portable_lsh_signature`) so the DuckDB oracle can evaluate the
+    whole pipeline — bucketing, multiprobe, caps, pairing, exact re-rank —
+    verbatim. Bucket machinery and reported cosines are unchanged."""
     v = df.select(F.col(id_col).alias("_id"), _vec_d(vec_col).alias("_v"))
-    sig = lsh_signature(F.col("_v"), n_planes)
+    if portable_dim is not None:
+        sig = portable_lsh_signature(F.col("_v"), n_planes, portable_dim)
+    else:
+        sig = lsh_signature(F.col("_v"), n_planes)
     probes = F.array_distinct(
         F.array(
             sig,
@@ -259,6 +269,53 @@ def ivf_ann_topk(
 def _plane_weight(plane: Column, dim_idx: Column) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1)."""
     return (F.pmod(F.xxhash64(plane, dim_idx, F.lit("plane")), F.lit(2000)) - 1000) / 1000.0
+
+
+# --- engine-portable signature (oracle mode) --------------------------------
+# The default signature hashes per (plane, dim) with xxhash64, which DuckDB
+# cannot evaluate. The portable variant is integer-exact end to end: the
+# vector is quantized to longs (floor(x*SCALE + 0.5) — identical on any
+# IEEE-754 engine), plane weights are a CONSTANT md5-derived integer table
+# inlined as literals into both the Spark plan and the oracle SQL, and the
+# sign test is a pure int64 dot product — no float summation-order hazard.
+QUANT_SCALE = 1_000_000  # |x|<~2000 keeps 64-dim dot products inside int64
+
+
+def portable_plane_table(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic integer plane weights in [-1000, 1000), shared verbatim
+    by the Spark expression and the DuckDB oracle SQL (no RNG anywhere)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{i}:plane".encode()).hexdigest()[:15], 16) % 2000 - 1000
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def portable_lsh_signature(vec: Column, n_planes: int, dim: int) -> Column:
+    """Integer-exact n-bit hyperplane signature (oracle-portable).
+
+    ``vec`` must have exactly ``dim`` elements (zip_with null-pads
+    otherwise and the sign test would be wrong, not just different)."""
+    weights = portable_plane_table(n_planes, dim)
+    xq = F.transform(
+        vec, lambda x: F.floor(x * F.lit(float(QUANT_SCALE)) + F.lit(0.5)).cast("long")
+    )
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        wp = F.array(*[F.lit(w).cast("long") for w in weights[p]])
+        dot = F.aggregate(
+            F.zip_with(xq, wp, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
 
 
 def lsh_signature(vec: Column, n_planes: int = N_PLANES, *, plane_offset: int = 0) -> Column:

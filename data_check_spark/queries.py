@@ -977,12 +977,62 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.exact_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
-@register("lsh_embedding_near_dup")
+def _lsh_embedding_oracle_sql(
+    *, n_planes: int = 8, multiprobe: int = 4, max_bucket: int = 256,
+    threshold: float = 0.3, dim: int = 64,
+) -> str:
+    """DuckDB mirror of lsh_near_dup_pairs(portable_dim=dim): integer-exact
+    signatures from the SAME inlined md5-derived weight table, identical
+    multiprobe/bucket-cap/pairing, exact cosine re-rank."""
+    w = _sim.portable_plane_table(n_planes, dim)
+    scale = _sim.QUANT_SCALE
+    bit_terms = "\n    + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(range(1, {dim + 1}), "
+        f"i -> xq[i::int] * ([{','.join(map(str, w[p]))}])[i::int]), 'sum') > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    probe_list = ", ".join(["sig"] + [f"xor(sig, {1 << p})" for p in range(multiprobe)])
+    return f"""
+WITH xqv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> cast(floor(x * {scale} + 0.5) AS bigint)) AS xq
+  FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, {bit_terms} AS sig FROM xqv
+),
+bk AS (
+  SELECT vec_id, unnest(list_distinct([{probe_list}])) AS bucket FROM sigs
+),
+buckets AS (
+  SELECT list_sort(list(vec_id))[1:{max_bucket}] AS m
+  FROM bk GROUP BY bucket HAVING count(*) > 1
+),
+cand AS (
+  SELECT DISTINCT x AS id_a, y AS id_b
+  FROM buckets, unnest(m) t1(x), unnest(m) t2(y) WHERE x < y
+)
+SELECT c.id_a, c.id_b,
+       printf('%.4f', list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[])) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+@register("lsh_embedding_near_dup", _lsh_embedding_oracle_sql())
 def lsh_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale route for embedding near-dup: LSH buckets + exact cosine
-    re-rank (no all-pairs join in the plan — asserted in test_plans)."""
+    re-rank (no all-pairs join in the plan — asserted in test_plans).
+    Portable integer-exact signatures so the oracle checks the full
+    pipeline (testdata embeddings are 64-dim)."""
     return _sim.lsh_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, portable_dim=64
     ).orderBy("id_a", "id_b")
 
 

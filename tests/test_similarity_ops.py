@@ -194,3 +194,42 @@ def test_ivf_full_probe_equals_exact(spark):
     ivf = {(r["q_id"], r["rank"], r["vec_id"], r["cosine"])
            for r in ivf_ann_topk(emb, q, k=10, n_lists=4, n_probe=4).collect()}
     assert ivf == exact
+
+
+def test_portable_signature_matches_independent_recompute(spark, vectors):
+    """Spark's portable (integer-exact) LSH signature equals a from-scratch
+    hashlib+numpy recomputation — the invariant the DuckDB oracle relies on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.similarity import (
+        QUANT_SCALE,
+        portable_lsh_signature,
+        portable_plane_table,
+    )
+
+    df, rows = vectors
+    n_planes = 8
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id",
+            portable_lsh_signature(
+                F.col("embedding").cast("array<double>"), n_planes, DIM
+            ).alias("sig"),
+        ).collect()
+    }
+    weights = portable_plane_table(n_planes, DIM)
+    # Independent weight derivation (not via the helper's arithmetic).
+    for p in (0, n_planes - 1):
+        for i in (0, DIM - 1):
+            h = int(hashlib.md5(f"{p}:{i}:plane".encode()).hexdigest()[:15], 16)
+            assert weights[p][i] == h % 2000 - 1000
+    for vid, vec in rows:
+        xq = [math.floor(x * QUANT_SCALE + 0.5) for x in vec]
+        sig = 0
+        for p in range(n_planes):
+            if sum(a * w for a, w in zip(xq, weights[p])) > 0:
+                sig |= 1 << p
+        assert got[vid] == sig, vid
