@@ -295,12 +295,16 @@ def portable_plane_table(n_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
-def portable_lsh_signature(vec: Column, n_planes: int, dim: int) -> Column:
+def portable_lsh_signature(
+    vec: Column, n_planes: int, dim: int, *, plane_offset: int = 0
+) -> Column:
     """Integer-exact n-bit hyperplane signature (oracle-portable).
 
     ``vec`` must have exactly ``dim`` elements (zip_with null-pads
-    otherwise and the sign test would be wrong, not just different)."""
-    weights = portable_plane_table(n_planes, dim)
+    otherwise and the sign test would be wrong, not just different).
+    ``plane_offset`` selects an independent plane family, as in
+    :func:`lsh_signature` (multi-table LSH uses offsets t*n_planes)."""
+    weights = portable_plane_table(plane_offset + n_planes, dim)[plane_offset:]
     xq = F.transform(
         vec, lambda x: F.floor(x * F.lit(float(QUANT_SCALE)) + F.lit(0.5)).cast("long")
     )
@@ -351,6 +355,7 @@ def lsh_ann_topk(
     n_planes: int = N_PLANES,
     multiprobe: int = MULTIPROBE_FLIPS,
     n_tables: int = 1,
+    portable_dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: LSH bucket candidates → exact cosine re-rank.
 
@@ -359,13 +364,23 @@ def lsh_ann_topk(
     (independent plane families — candidate recall is 1-(1-p)^T for
     per-table hit rate p, the standard multi-table LSH amplification).
     Shorter signatures + more tables = higher recall on weakly-similar
-    corpora; longer signatures = tighter buckets for near-identical ones."""
+    corpora; longer signatures = tighter buckets for near-identical ones.
+
+    ``portable_dim`` (oracle mode): integer-exact signatures the DuckDB
+    oracle evaluates verbatim — see :func:`portable_lsh_signature`."""
+    def _one_sig(vec: Column, t: int) -> Column:
+        if portable_dim is not None:
+            return portable_lsh_signature(
+                vec, n_planes, portable_dim, plane_offset=t * n_planes
+            )
+        return lsh_signature(vec, n_planes, plane_offset=t * n_planes)
+
     def _sigs(vec: Column) -> Column:
         return F.array(
             *[
                 F.struct(
                     F.lit(t).alias("_table"),
-                    lsh_signature(vec, n_planes, plane_offset=t * n_planes).alias("_sig"),
+                    _one_sig(vec, t).alias("_sig"),
                 )
                 for t in range(n_tables)
             ]

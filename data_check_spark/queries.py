@@ -779,7 +779,64 @@ def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("lsh_ann_embeddings")
+def _lsh_ann_oracle_sql(
+    *, k: int = 10, n_planes: int = 4, multiprobe: int = 4, n_tables: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of lsh_ann_topk(portable_dim=dim): per-table integer-
+    exact signatures (same inlined weight table), query-side multiprobe,
+    exact cosine re-rank + row_number top-k."""
+    w = _sim.portable_plane_table(n_tables * n_planes, dim)
+    scale = _sim.QUANT_SCALE
+
+    def _sig(t: int) -> str:
+        return "\n      + ".join(
+            f"(CASE WHEN list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> xq[i::int] * ([{','.join(map(str, w[t * n_planes + p]))}])[i::int]), 'sum') > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    sig_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, {_sig(t)} AS sig FROM xqv" for t in range(n_tables)
+    )
+    probe_list = ", ".join(["sig"] + [f"xor(sig, {1 << p})" for p in range(multiprobe)])
+    return f"""
+WITH xqv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> cast(floor(x * {scale} + 0.5) AS bigint)) AS xq
+  FROM embeddings
+),
+sigs AS (
+{sig_union}
+),
+probes AS (
+  SELECT vec_id AS qid, tbl, unnest(list_distinct([{probe_list}])) AS sig
+  FROM sigs WHERE vec_id < 3
+),
+cand AS (
+  SELECT DISTINCT p.qid, s.vec_id AS vid
+  FROM sigs s JOIN probes p ON s.tbl = p.tbl AND s.sig = p.sig
+  WHERE s.vec_id <> p.qid
+),
+scored AS (
+  SELECT c.qid, c.vid,
+         list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.qid
+  JOIN embeddings v ON v.vec_id = c.vid
+)
+SELECT qid AS q_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rank,
+       vid AS vec_id, printf('%.4f', sim) AS cosine
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
+@register("lsh_ann_embeddings", _lsh_ann_oracle_sql())
 def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
@@ -787,9 +844,10 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Recall-tuned for this corpus (weakly-similar random vectors): short
     # 4-bit signatures x 4 tables + multiprobe -> measured recall@10 >= 0.9
-    # vs cosine_topk (tests/test_similarity_ops.py harness).
+    # vs cosine_topk (tests/test_similarity_ops.py harness). Portable
+    # integer-exact signatures so the oracle checks the full pipeline.
     return _sim.lsh_ann_topk(
-        emb, queries_df, k=10, n_planes=4, multiprobe=4, n_tables=4
+        emb, queries_df, k=10, n_planes=4, multiprobe=4, n_tables=4, portable_dim=64
     ).orderBy("q_id", "rank")
 
 
