@@ -121,20 +121,20 @@ def minhash_signatures(
     num_perm: int = NUM_PERM,
     portable: bool = False,
 ) -> DataFrame:
-    """(id, signature array<long>[num_perm]) — fully JVM-side MinHash."""
+    """(id, signature array<long>[num_perm]) — fully JVM-side MinHash.
+
+    Both modes hash each shingle ONCE and derive the num_perm minima from
+    affine permutations of the cached base-hash array (the standard
+    universal-hashing MinHash family). The alternative — one full string
+    hash per (shingle, permutation) — costs num_perm string passes and
+    measured ~15x slower at num_perm=64. ``portable`` only swaps the leaf:
+    xxhash64 (fast, JVM-only) vs md5 prefix (DuckDB-evaluable)."""
     sh = _shingles_expr(text_col, k)
-    if not portable:
-        sig = F.transform(
-            F.sequence(F.lit(0), F.lit(num_perm - 1)),
-            lambda p: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, p))),
-        )
-        return df.select(F.col(id_col), sig.alias("signature"))
-    # Portable mode: hash each shingle ONCE (md5 is the expensive leaf), then
-    # apply the affine permutations to the cached base-hash array.
-    base = df.select(
-        F.col(id_col),
-        F.transform(sh, lambda s: _portable_hash60(s) % PORTABLE_PRIME).alias("_hs"),
-    )
+    if portable:
+        leaf = F.transform(sh, lambda s: _portable_hash60(s) % PORTABLE_PRIME)
+    else:
+        leaf = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(PORTABLE_PRIME)))
+    base = df.select(F.col(id_col), leaf.alias("_hs"))
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("_hs"), _affine(a, b)))
