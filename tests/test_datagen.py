@@ -62,3 +62,33 @@ def test_rows_for_sf():
     assert rows_for_sf(0.001) == 10_000
     assert rows_for_sf(0.1) == 1_000_000
     assert rows_for_sf(0.0000001) == 1000  # floor
+
+
+def test_docs_df_deterministic_with_planted_dups(spark):
+    """docs_df: pure-hash generation — identical under re-generation and
+    repartitioning, with the planted exact/near duplicate structure."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark.datagen import DOC_BUCKETS, docs_df
+
+    n = 4000
+    a = docs_df(spark, n)
+    b = docs_df(spark, n).repartition(7)
+    assert a.count() == n
+    # Identical content regardless of partitioning / regeneration.
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert a.filter(F.col("text").isNull() | (F.length("text") < 10)).count() == 0
+    # Exact-duplicate bucket: rows sharing text with another row, roughly
+    # the planted per-mille rate (pool rows themselves add a little).
+    dup_rows = (
+        a.groupBy("text").count().filter("count > 1").agg(F.sum("count")).first()[0]
+    )
+    lo, hi = DOC_BUCKETS["exact_dup"]
+    planted = n * (hi - lo) / 10000
+    assert planted * 0.7 <= dup_rows <= planted * 2.5
+    # Near-dup bucket rows start with the swap marker and differ from every
+    # pool text only in that first word.
+    near = a.filter(F.col("text").startswith("wSWAP ")).count()
+    lo_n, hi_n = DOC_BUCKETS["near_dup"]
+    planted_n = n * (hi_n - lo_n) / 10000
+    assert planted_n * 0.5 <= near <= planted_n * 2.0
