@@ -181,3 +181,43 @@ def test_simhash_blocking_complete_vs_brute_force(spark):
            for r in simhash_near_pairs(docs, max_hamming=3, max_bucket=100_000).collect()}
     assert want <= got, f"missed pairs: {sorted(want - got)[:10]}"
     assert got == want  # and nothing beyond the radius
+
+
+def test_minhash_recall_on_planted_docs_corpus(spark):
+    """On the docs_df synthetic corpus, MinHash-LSH must recover every
+    planted exact-duplicate pair and nearly all planted near-dup pairs
+    (one word swapped out of 20-100) — pins the default hash family's
+    recall, not just its estimate accuracy."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark.datagen import docs_df
+
+    docs = docs_df(spark, 3000)
+    found = {
+        (p["id_a"], p["id_b"])
+        for p in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # Ground truth from the generator: group by text for exact dups; near
+    # dups pair a wSWAP row with the pool row sharing its tail.
+    rows = docs.collect()
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    exact_pairs = set()
+    for ids in by_text.values():
+        ids = sorted(ids)
+        exact_pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+    tail_to_ids = {}
+    for r in rows:
+        head, _, tail = r["text"].partition(" ")
+        tail_to_ids.setdefault(tail, []).append((r["doc_id"], head))
+    near_pairs = set()
+    for entries in tail_to_ids.values():
+        swaps = [i for i, h in entries if h == "wSWAP"]
+        bases = [i for i, h in entries if h != "wSWAP"]
+        near_pairs.update(tuple(sorted((s, b))) for s in swaps for b in bases)
+    near_pairs -= exact_pairs
+    assert exact_pairs and near_pairs  # the corpus really plants both kinds
+    assert exact_pairs <= found
+    near_recall = len(near_pairs & found) / len(near_pairs)
+    assert near_recall >= 0.9, near_recall
