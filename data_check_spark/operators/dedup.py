@@ -489,11 +489,17 @@ def ngram_jaccard_pairs(
         inter = F.col("_c_rare") + c_common
         scored = pairs.join(pa, "id_a").join(pb, "id_b")
 
-    jac = inter.cast("double") / (F.col("_sza") + F.col("_szb") - inter).cast("double")
+    union = (F.col("_sza") + F.col("_szb") - inter).cast("double")
+    jac = inter.cast("double") / union
+    # Output contract: integer-quantized jac_q4 = round_half_up(jac * 10000),
+    # computed as floor((I*20000 + U) / (2U)) — exact in any engine. A
+    # %.4f-formatted double would hit decimal-halfway ties here (jaccard is a
+    # ratio of small integers, e.g. 17/32 = 0.53125) where Java HALF_UP and C
+    # half-even disagree (CLAUDE.md).
+    jac_q4 = F.floor((inter.cast("double") * 20000 + union) / (2 * union)).cast("long")
     return (
-        scored.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.format_string("%.4f", F.col("jaccard")).alias("jaccard"))
+        scored.filter(jac >= threshold)
+        .select("id_a", "id_b", jac_q4.alias("jac_q4"))
     )
 
 

@@ -574,8 +574,8 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT c.id_a, c.id_b,
-       printf('%.4f', cast(i.n_inter AS double)
-                      / cast(sa.n + sb.n - i.n_inter AS double)) AS jaccard
+       cast(floor((i.n_inter * 20000.0 + (sa.n + sb.n - i.n_inter))
+                  / (2.0 * (sa.n + sb.n - i.n_inter))) AS bigint) AS jac_q4
 FROM cand c
 JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
 JOIN sizes sa ON c.id_a = sa.doc_id

@@ -98,7 +98,7 @@ def test_simhash_portable_mode(docs):
 
 
 def test_ngram_jaccard(docs):
-    pairs = {(p["id_a"], p["id_b"]): float(p["jaccard"])
+    pairs = {(p["id_a"], p["id_b"]): p["jac_q4"] / 10000
              for p in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs  # one-word swap keeps most 8-shingles
@@ -128,7 +128,7 @@ def test_ngram_stop_shingle_cap(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_df=16).collect()
-    got = {(p["id_a"], p["id_b"]): float(p["jaccard"]) for p in pairs}
+    got = {(p["id_a"], p["id_b"]): p["jac_q4"] / 10000 for p in pairs}
     # Only the planted pair survives: every other doc pair shares ONLY the
     # boilerplate shingles, which are df-capped out of candidate generation.
     assert set(got) == {(100, 101)}
@@ -137,7 +137,7 @@ def test_ngram_stop_shingle_cap(spark):
         return {t[i:i + 8] for i in range(len(t) - 7)}
     a, b = shingles(rows[-2][1]), shingles(rows[-1][1])
     expected = len(a & b) / len(a | b)
-    assert abs(got[(100, 101)] - expected) < 5e-5
+    assert abs(got[(100, 101)] - expected) <= 5e-5  # q4 rounding half-step
 
 
 def test_stop_shingles_reported(spark):
@@ -154,7 +154,7 @@ def test_minhash_estimate_error_vs_exact_jaccard(spark):
     64-permutation estimate must track the exact n-gram Jaccard closely
     (expected std ~ sqrt(j(1-j)/64) ~ 0.06)."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    exact = {(r["id_a"], r["id_b"]): float(r["jaccard"])
+    exact = {(r["id_a"], r["id_b"]): r["jac_q4"] / 10000
              for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()}
     est = {(r["id_a"], r["id_b"]): float(r["est_jaccard"])
            for r in minhash_lsh_pairs(docs, threshold=0.05).collect()}
