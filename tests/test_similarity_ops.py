@@ -104,11 +104,14 @@ def test_lsh_pairs_subset_of_exact_with_exact_values(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = {(r["id_a"], r["id_b"]): r["cosine"]
              for r in exact_cosine_pairs(emb, threshold=0.3).collect()}
-    lsh = {(r["id_a"], r["id_b"]): r["cosine"]
-           for r in lsh_near_dup_pairs(emb, threshold=0.3).collect()}
-    assert set(lsh) <= set(exact)
-    for pair, cos in lsh.items():
-        assert cos == exact[pair]
+    # Both signature families: default (xxhash64) and portable (the one the
+    # registered lsh_embedding_near_dup query ships).
+    for kwargs in ({}, {"portable_dim": 64}):
+        lsh = {(r["id_a"], r["id_b"]): r["cosine"]
+               for r in lsh_near_dup_pairs(emb, threshold=0.3, **kwargs).collect()}
+        assert set(lsh) <= set(exact), kwargs
+        for pair, cos in lsh.items():
+            assert cos == exact[pair], kwargs
 
 
 def test_lsh_pairs_recall_on_planted_near_dups(spark):
@@ -148,14 +151,16 @@ def test_lsh_ann_recall_at_10_vs_exact(spark):
         "vec_id as q_id", "embedding as q_vec"
     )
     exact = {(r["q_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=10).collect()}
-    approx = {
-        (r["q_id"], r["vec_id"])
-        for r in lsh_ann_topk(
-            emb, q, k=10, n_planes=4, multiprobe=4, n_tables=4
-        ).collect()
-    }
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.9, f"recall@10 {recall}"
+    # Both signature families; portable is what lsh_ann_embeddings ships.
+    for kwargs in ({}, {"portable_dim": 64}):
+        approx = {
+            (r["q_id"], r["vec_id"])
+            for r in lsh_ann_topk(
+                emb, q, k=10, n_planes=4, multiprobe=4, n_tables=4, **kwargs
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"recall@10 {recall} {kwargs}"
 
 
 def test_ivf_ann_recall_at_10_vs_exact(spark):

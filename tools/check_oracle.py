@@ -45,8 +45,17 @@ def main():
     sf_dir = "/root/testdata/sf0.01"
     if "--sf-dir" in args:
         i = args.index("--sf-dir")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_oracle.py [--sf-dir DIR] [query ...]")
         sf_dir = args[i + 1]
         del args[i : i + 2]
+    eq = [a for a in args if a.startswith("--sf-dir=")]
+    if eq:
+        sf_dir = eq[-1].split("=", 1)[1]
+        args = [a for a in args if not a.startswith("--sf-dir=")]
+    unknown_flags = [a for a in args if a.startswith("-")]
+    if unknown_flags:
+        sys.exit(f"unknown flags: {unknown_flags}")
     only = set(args)
     spark = get_spark("oracle_check", master="local[8]")
     con = duckdb.connect()

@@ -33,11 +33,24 @@ sys.path.insert(0, REPO)
 GEN_PARTITIONS = 64
 
 
+def _datagen_fingerprint() -> str:
+    import hashlib
+
+    src = os.path.join(REPO, "data_check_spark", "datagen.py")
+    with open(src, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
 def docs_cache(rows: int) -> str:
     root = os.path.join(REPO, ".bench_cache", f"docs_{rows}")
     marker = os.path.join(root, "_DONE")
+    # Marker carries a datagen.py fingerprint so editing the generator
+    # invalidates the cached corpus instead of silently benchmarking stale data.
+    stamp = f"{rows}:{_datagen_fingerprint()}"
     if os.path.exists(marker):
-        return root
+        with open(marker) as f:
+            if f.read().strip() == stamp:
+                return root
     from data_check_spark.datagen import docs_df
     from data_check_spark.session import get_spark
 
@@ -47,7 +60,7 @@ def docs_cache(rows: int) -> str:
     )
     spark.stop()
     with open(marker, "w") as f:
-        f.write(str(rows))
+        f.write(stamp)
     return root
 
 
@@ -142,6 +155,13 @@ def main() -> None:
         f"Result counts identical at every parallelism level: {counts_match}",
         f"(curation_kept/exact_dup_rows/minhash_pairs/simhash_pairs = "
         f"{'/'.join(str(v) for v in rn['counts'].values())}).",
+        "",
+        "Variance note: below ~60k docs the 4N job is only seconds long and",
+        "the serial per-query planning overhead plus host noise dominates the",
+        "efficiency measurement (a 30k run once measured 0.66 with identical",
+        "result counts). Use --rows >= 60000 and, as with the clip harness,",
+        "treat scaling conclusions as best-of-N, never a single short run",
+        "(CLAUDE.md).",
         "",
         f"Recorded {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}; "
         "harness: tools/docs_scaling_bench.py.",
