@@ -36,6 +36,13 @@ def _tokens(text_col: str) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java∩RE2 subset so the
+# DuckDB oracle evaluates it verbatim: contraction suffixes, space-prefixed
+# letter runs, digit runs, and other-symbol runs (whitespace itself is not a
+# token). Both engines use leftmost-first alternation, so match COUNTS agree.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     toks = _tokens(text_col)
     n_tokens = F.size(toks)
@@ -51,6 +58,7 @@ def token_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
         (F.length(F.col(text_col)) - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))).alias(
             "n_punct"
         ),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
     )
 
 

@@ -480,7 +480,10 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN trim(text) = '' THEN 0
                 ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END
                AS n_distinct_tokens,
-           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+               AS n_bpe_tokens
     FROM documents
     """,
 )

@@ -74,3 +74,26 @@ def test_no_python_udfs_in_text_ops(docs):
     for fn in (token_stats, quality_score, lang_id, fingerprints):
         plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, fn.__name__
+
+
+def test_bpe_ish_token_count_matches_python_re(spark):
+    """n_bpe_tokens must equal an independent Python re count of the same
+    pattern (pins the Java∩RE2 subset semantics the oracle relies on)."""
+    import re
+
+    from data_check_spark.operators.text import BPE_ISH_PATTERN, token_stats
+
+    rows = [
+        (1, "The quick brown fox's dog won't re-jump 42 times!"),
+        (2, "hello   world"),
+        (3, ""),
+        (4, "   "),
+        (5, "I'll we've they're it's don't 3.14 foo_bar!!!"),
+        (6, "日本語のテキスト with mixed ASCII 123"),
+        (7, "'s'll'd lone quotes ''"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in token_stats(df).collect()}
+    pat = re.compile(BPE_ISH_PATTERN)
+    for doc_id, text in rows:
+        assert got[doc_id] == len(pat.findall(text)), (doc_id, text)
