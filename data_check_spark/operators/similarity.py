@@ -305,21 +305,35 @@ def portable_lsh_signature(
     ``plane_offset`` selects an independent plane family, as in
     :func:`lsh_signature` (multi-table LSH uses offsets t*n_planes)."""
     weights = portable_plane_table(plane_offset + n_planes, dim)[plane_offset:]
+    # ONE expression tree regardless of n_planes: the whole weight matrix is
+    # a single SQL literal and the per-plane sign bits fold via nested HOFs.
+    # Building per-plane trees with element-wise F.lit() cost one py4j round
+    # trip per weight — measured ~8s of driver time for the 4-table ANN
+    # query's 16x64 weights; this form builds in milliseconds and computes
+    # the identical value (the oracle checks it).
+    planes = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{w}L" for w in row) + ")" for row in weights
+        ) + ")"
+    )
+    powers = F.expr("array(" + ",".join(f"{1 << p}L" for p in range(n_planes)) + ")")
     xq = F.transform(
         vec, lambda x: F.floor(x * F.lit(float(QUANT_SCALE)) + F.lit(0.5)).cast("long")
     )
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        wp = F.array(*[F.lit(w).cast("long") for w in weights[p]])
+
+    def _bit(wp: Column, pw: Column) -> Column:
         dot = F.aggregate(
             F.zip_with(xq, wp, lambda a, b: a * b),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-        sig = sig.bitwiseOR(
-            F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return sig
+        return F.when(dot > 0, pw).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(
+        F.zip_with(planes, powers, _bit),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def lsh_signature(vec: Column, n_planes: int = N_PLANES, *, plane_offset: int = 0) -> Column:
