@@ -13,20 +13,10 @@ rescan completed partitions.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_check_spark.schemas import CHECKPOINT_SCHEMA
-
-ICEBERG_AVAILABLE = False
-try:  # pragma: no cover - sandbox has no Iceberg jars
-    import importlib.util
-
-    ICEBERG_AVAILABLE = importlib.util.find_spec("pyiceberg") is not None
-except Exception:
-    pass
 
 
 def write_checkpoint(verdicts: DataFrame, checkpoint_dir: str, run_id: str) -> None:
@@ -58,21 +48,29 @@ def mark_failed(spark: SparkSession, checkpoint_dir: str, partition: str, run_id
 
 
 def read_checkpoint(spark: SparkSession, checkpoint_dir: str) -> DataFrame | None:
-    if not os.path.isdir(checkpoint_dir):
-        return None
+    """None = no checkpoint yet (first run). A driver-local isdir() probe
+    would wrongly report hdfs://-/s3a://-style dirs as missing on a cluster,
+    so existence is decided by the read itself: only the missing-path
+    AnalysisException maps to None — a corrupt/unreadable checkpoint raises
+    instead of silently resuming everything."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(CHECKPOINT_SCHEMA).parquet(checkpoint_dir)
-    except Exception:
+    except AnalysisException:
         return None
 
 
 def completed_partitions(spark: SparkSession, checkpoint_dir: str) -> list[str]:
-    """Partitions whose LATEST checkpoint row says done."""
+    """Partitions whose LATEST checkpoint row says done (NULL partition rows
+    are never treated as done — a NULL in an IN-list makes the resume
+    filter three-valued and would drop every row)."""
     cp = read_checkpoint(spark, checkpoint_dir)
     if cp is None:
         return []
     latest = (
-        cp.groupBy("partition")
+        cp.filter(F.col("partition").isNotNull())
+        .groupBy("partition")
         .agg(F.max_by("status", F.col("completed_at")).alias("status"))
         .filter(F.col("status") == "done")
     )
@@ -80,7 +78,12 @@ def completed_partitions(spark: SparkSession, checkpoint_dir: str) -> list[str]:
 
 
 def prune_completed(df: DataFrame, done: list[str], partition_col: str = "partition") -> DataFrame:
-    """Partition filter → Iceberg/parquet partition pruning on resume."""
+    """Partition filter → Iceberg/parquet partition pruning on resume.
+
+    NULL-partition rows are always kept: ``~isin`` is three-valued (NULL in,
+    NULL out), so without the isNull() arm those rows would silently vanish
+    from every resumed run."""
     if not done:
         return df
-    return df.filter(~F.col(partition_col).isin(done))
+    col = F.col(partition_col)
+    return df.filter(~col.isin(done) | col.isNull())

@@ -160,9 +160,16 @@ def _dispatch_set_rule(
             gate=gate, partition_col=partition_col,
         )
     if rule.kind == "transcript_match":
+        # Mirror the fused path exactly (fused_dim_checks call below): the
+        # join key is params["dim_key"] on BOTH sides and the compared fact
+        # column is rule.column — a standalone dispatch (e.g. any resume run,
+        # where fusion is disabled) must not fall back to the operator's
+        # defaults for them.
         return transcript_match_violations(
             clips, dims[p["dim"]], rule.rule_id,
-            fact_key=p.get("dim_key", "clip_id"), ref_text=p.get("ref_column", "transcript_ref"),
+            fact_key=p.get("dim_key", "clip_id"), dim_key=p.get("dim_key", "clip_id"),
+            fact_text=rule.column or "transcript",
+            ref_text=p.get("ref_column", "transcript_ref"),
             partition_col=partition_col,
         )
     raise ValueError(f"unhandled set rule kind {rule.kind!r}")
@@ -454,8 +461,11 @@ def run_validation(
                 if rule.kind in ("unique", "cat_drift", "rate_drift", "volume_drift"):
                     # Partition-attributed output: rows in completed
                     # partitions were already reported by the run that
-                    # checkpointed them.
-                    v = v.filter(~F.col("partition").isin(done))
+                    # checkpointed them. Keep NULL-partition rows — ~isin is
+                    # three-valued and would silently drop them.
+                    v = v.filter(
+                        ~F.col("partition").isin(done) | F.col("partition").isNull()
+                    )
                 parts.append(v)
             else:
                 parts.append(_dispatch_set_rule(rule, prepared, dims, partition_col=partition_col,
@@ -471,6 +481,14 @@ def run_validation(
             spark.createDataFrame(synthetic, "rule_id string, clip_id string, partition string, observed string")
         )
 
+    if not parts:
+        # Legal but empty catalog (no rules, no synthetic rows): an empty
+        # violations frame, not a reduce() over an empty iterable.
+        parts.append(
+            spark.createDataFrame(
+                [], "rule_id string, clip_id string, partition string, observed string"
+            )
+        )
     # localCheckpoint (lazy) rather than persist: a persisted plan compiles
     # non-adaptively (no runtime broadcast conversion) and measured 5x
     # slower; the checkpoint materializes through the normal AQE path on the
@@ -506,7 +524,8 @@ def run_validation(
         )
     )
     _t = time.monotonic()
-    verdicts = verdicts.persist()
+    # Same AQE-preserving materialization rule as the violations frame.
+    verdicts = verdicts.localCheckpoint(eager=False)
     rows_scanned = verdicts.agg(F.sum("rows_scanned")).collect()[0][0] or 0
     _mark("rule_plans_and_verdicts", _t)
     wall_ms = int((time.monotonic() - t0) * 1000)

@@ -122,14 +122,45 @@ def make_baseline(
     partition_col: str = "partition",
 ) -> DataFrame:
     """Baseline snapshot table (BASELINE_STATS_SCHEMA): per-partition digests
-    for each column + one __global__ row, computed from a clean reference run."""
-    parts = [partition_digests(df, c, partition_col=partition_col) for c in columns]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    for each column + one __global__ row, computed from a clean reference run.
+
+    ONE multi-column chunk pass over the reference table serves both levels
+    (per-column passes would scan the table 2N times for N columns): the
+    chunk frame is checkpointed (sketch rows only — tiny) and the
+    per-partition merge AND the per-column treeAggregate globals all reduce
+    over it, never rescanning the data — digest merging is associative."""
+    chunks = chunk_digests(df, columns, partition_col=partition_col).localCheckpoint(
+        eager=False
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        digs = [td.deserialize(b) for b in pdf["tdigest"]]
+        merged = td.merge(digs, td.DEFAULT_MAX_CENTROIDS)
+        return pd.DataFrame(
+            [(pdf["partition"].iloc[0], pdf["column_name"].iloc[0],
+              td.serialize(merged), int(pdf["n"].sum()))],
+            columns=["partition", "column_name", "tdigest", "n"],
+        )
+
+    out = chunks.groupBy("partition", "column_name").applyInPandas(
+        merge_group, schema=_CHUNK_SCHEMA
+    )
+
+    def seq(acc, row):
+        d, n = acc
+        return (
+            td.merge([d, td.deserialize(bytes(row["tdigest"]))], td.DEFAULT_MAX_CENTROIDS),
+            n + int(row["n"]),
+        )
+
+    def comb(a, b):
+        return td.merge([a[0], b[0]], td.DEFAULT_MAX_CENTROIDS), a[1] + b[1]
+
     globals_rows = []
     for c in columns:
-        g, n = global_digest(df, c, partition_col=partition_col)
+        rows = chunks.filter(F.col("column_name") == c).select("tdigest", "n").rdd
+        zero = (td.TDigest(np.empty(0), np.empty(0)), 0)
+        g, n = rows.treeAggregate(zero, seq, comb, depth=2)
         globals_rows.append((GLOBAL_KEY, c, td.serialize(g), n))
     gdf = spark.createDataFrame(globals_rows, _CHUNK_SCHEMA)
     return out.unionByName(gdf)
@@ -150,7 +181,10 @@ def drift_violations_multi(
     A partition flags when the normalized Wasserstein-1 distance to its
     baseline exceeds the rule threshold (module docstring explains why W1
     and not quantile distance)."""
-    columns = [c for _, c, *_ in rules]
+    # Dedupe: two rules may monitor the same column (warn + error tiers);
+    # a duplicate column in the sketch-pass select would produce duplicate
+    # pandas labels and crash inside the executor.
+    columns = list(dict.fromkeys(c for _, c, *_ in rules))
     chunks = chunk_digests(df, columns, partition_col=partition_col)
     return score_chunk_digests(chunks, baseline, rules)
 
@@ -167,8 +201,7 @@ def score_chunk_digests(
     engine), or micro-batch sketch rows appended over days by a stream
     (streaming/incremental.py::cumulative_drift_violations) — without ever
     rescanning the underlying data."""
-    columns = [c for _, c, *_ in rules]
-    by_col = {c: (rid, thr) for rid, c, thr in rules}
+    columns = list(dict.fromkeys(c for _, c, *_ in rules))
     chunks = chunks.filter(F.col("column_name").isin(columns))
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -220,19 +253,20 @@ def score_chunk_digests(
     scored = joined.mapInPandas(
         score, schema="partition string, column_name string, w1 double"
     )
-    rid = F.lit(None).cast("string")
-    thr = F.lit(None).cast("double")
-    for c, (r_id, r_thr) in by_col.items():
-        rid = F.when(F.col("column_name") == c, F.lit(r_id)).otherwise(rid)
-        thr = F.when(F.col("column_name") == c, F.lit(float(r_thr))).otherwise(thr)
+    # One output row per (partition, rule): a broadcast join against the
+    # tiny rules frame lets SEVERAL rules (e.g. warn + error thresholds)
+    # monitor the same column — a per-column when-chain would be last-wins.
+    rules_df = scored.sparkSession.createDataFrame(
+        [(r_id, c, float(r_thr)) for r_id, c, r_thr in rules],
+        "rule_id string, column_name string, _thr double",
+    )
     # NaN compares greater than any number in Spark SQL, so a sketch-less or
     # all-null partition (NaN w1) stays fail-closed → flagged.
     return (
-        scored.withColumn("_rid", rid)
-        .withColumn("_thr", thr)
+        scored.join(F.broadcast(rules_df), "column_name")
         .filter(F.col("w1").isNull() | (F.col("w1") > F.col("_thr")))
         .select(
-            F.col("_rid").alias("rule_id"),
+            F.col("rule_id"),
             F.lit(None).cast("string").alias("clip_id"),
             F.col("partition"),
             F.concat(

@@ -251,3 +251,23 @@ def test_engine_rate_and_volume_drift_kinds(spark):
     # table null rate 1000 bp: p_null at 5000 bp is the only rate outlier;
     # mean partition size 300: p_big at +16666 bp is the only volume outlier
     assert got == {("NULL_RATE_DRIFT", "p_null"), ("VOLUME_DRIFT", "p_big")}
+
+
+def test_two_drift_rules_same_column(spark):
+    """Warn + error tiers can monitor ONE column: the sketch pass must not
+    crash on the duplicate column and BOTH rules must score independently
+    (the old per-column map was last-wins)."""
+    from data_check_spark.operators.drift import drift_violations_multi
+
+    clean = _table(spark)
+    baseline = make_baseline(spark, clean, ["dur_ms"])
+    current = _table(spark, shift_parts={"p2"})
+    out = drift_violations_multi(
+        current, baseline,
+        [("DRIFT_WARN", "dur_ms", 0.25), ("DRIFT_ERR", "dur_ms", 1e9)],
+    ).collect()
+    by_rule = {}
+    for r in out:
+        by_rule.setdefault(r["rule_id"], set()).add(r["partition"])
+    assert by_rule.get("DRIFT_WARN") == {"p2"}  # low threshold fires
+    assert "DRIFT_ERR" not in by_rule           # huge threshold never fires

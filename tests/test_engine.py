@@ -207,3 +207,58 @@ def test_broken_rule_degrades_to_violation_row(spark):
     assert "X_NEGATIVE" in rules  # healthy rule still ran
     assert {"RULE_ERROR_BAD_COLUMN", "RULE_ERROR_BAD_REGEX",
             "RULE_ERROR_BAD_DIM_KEY"} <= rules
+
+
+def test_transcript_match_standalone_honors_column_and_key(spark):
+    """A lone transcript_match rule (not fused — no sibling referential rule)
+    must compare rule.column joined on params['dim_key'], exactly like the
+    fused path, not the operator defaults ('transcript' / 'clip_id')."""
+    df = spark.createDataFrame(
+        [("t1", "hello", "p"), ("t2", "world", "p")],
+        "tid string, subtitle string, partition string",
+    )
+    dim = spark.createDataFrame(
+        [("t1", "hello"), ("t2", "CHANGED")], "tid string, transcript_ref string"
+    )
+    cat = RuleCatalog([
+        Rule("SUB_MATCH", "transcript_match", "subtitle", {"dim": "d", "dim_key": "tid"}),
+    ])
+    res = run_validation(spark, df, {"d": dim}, cat, run_ts="2026-01-01 00:00:00")
+    rows = res.violations.filter("rule_id = 'SUB_MATCH'").collect()
+    assert [r["clip_id"] for r in rows] == ["t2"]
+    assert not res.violations.filter("rule_id LIKE 'RULE_ERROR%'").collect()
+
+
+def test_null_partition_rows_survive_resume_prune(spark):
+    """~isin() is three-valued: NULL-partition rows must survive pruning and
+    a NULL-partition checkpoint row must never enter the done list (it would
+    make the IN-list filter drop EVERY row of a resumed run)."""
+    import data_check_spark.checkpoint as cp
+
+    df = spark.createDataFrame(
+        [("a", "p0"), ("b", None)], "clip_id string, partition string"
+    )
+    kept = cp.prune_completed(df, ["p0"])
+    assert [r["clip_id"] for r in kept.collect()] == ["b"]
+
+    ckdir = tempfile.mkdtemp()
+    try:
+        vt = spark.createDataFrame(
+            [(None, True, 1, 0, 5), ("p0", True, 1, 0, 5)],
+            "partition string, passed boolean, rows_scanned long, "
+            "violations long, wall_time_ms long",
+        )
+        cp.write_checkpoint(vt, ckdir, "run1")
+        assert cp.completed_partitions(spark, ckdir) == ["p0"]
+    finally:
+        shutil.rmtree(ckdir)
+
+
+def test_empty_catalog_is_legal(spark):
+    """A schema-conforming table with zero rules yields zero violations and
+    all-passing verdicts (not a reduce() over an empty iterable)."""
+    clips = clips_df(spark, 500, with_bytes=False).drop("_gen_id", "_viol")
+    res = run_validation(spark, clips, {}, RuleCatalog([]), run_ts="2026-01-01 00:00:00")
+    assert res.violations.count() == 0
+    assert res.verdicts.filter("NOT passed").count() == 0
+    assert res.rows_scanned == 500
