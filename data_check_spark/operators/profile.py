@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 from pyspark.sql.types import (
     ByteType,
     DateType,
@@ -100,7 +99,12 @@ def column_profile(
         col = F.col(c)
         aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"{c}!nulls"))
         if isinstance(dt, StringType):
-            blank = F.count(F.when(col.isNotNull() & (F.trim(col) == ""), 1))
+            # Engine-wide blank convention (functions/blank.py): any \s run
+            # plus full-width U+3000 — F.trim() strips ASCII space only and
+            # would undercount vs every blank-gated rule.
+            from data_check_spark.functions.blank import is_blank
+
+            blank = F.count(F.when(col.isNotNull() & is_blank(col), 1))
         else:
             blank = F.first(F.lit(None).cast("long"))
         aggs.append(blank.alias(f"{c}!blank"))
@@ -246,7 +250,12 @@ def quantile_drift(
         ]
     )
     out = joined.select(F.explode(rows).alias("r")).select("r.*")
-    drift_bp = F.expr("(abs(q_scaled - base_scaled) * 10000) div base_scaled")
+    # greatest(abs(base),1): a zero baseline quantile would make drift_bp
+    # NULL (and a negative one would flip its sign), so threshold filters
+    # downstream would silently never fire.
+    drift_bp = F.expr(
+        "(abs(q_scaled - base_scaled) * 10000) div greatest(abs(base_scaled), 1)"
+    )
     return out.withColumn("drift_bp", drift_bp)
 
 
@@ -280,11 +289,16 @@ def categorical_drift(df: DataFrame, cat_col: str, group_col: str) -> DataFrame:
     )
     cat_totals = counts.groupBy("category").agg(F.sum("n_gc").alias("n_c"))
     grand_total = cat_totals.agg(F.sum("n_c").alias("n"))
+    # FULL groups × categories grid: a category absent from a group must
+    # still contribute its |0 − base| term, or the per-group TV distance
+    # (sum diff_bp / 2 — the docstring contract) understates drift exactly
+    # for vanished categories. The grid is groups × ≤|categories| rows —
+    # the categories side broadcasts; nothing funnels through one partition.
+    groups = counts.groupBy("group_value").agg(F.sum("n_gc").alias("n_g"))
     out = (
-        counts.withColumn(
-            "n_g", F.sum("n_gc").over(Window.partitionBy("group_value"))
-        )
-        .join(F.broadcast(cat_totals), "category")
+        groups.crossJoin(F.broadcast(cat_totals))
+        .join(counts, ["group_value", "category"], "left")
+        .withColumn("n_gc", F.coalesce(F.col("n_gc"), F.lit(0)))
         .crossJoin(F.broadcast(grand_total))
         .select("group_value", "category", "n_gc", "n_g", "n_c", "n")
     )
@@ -344,8 +358,17 @@ def group_volume_deviation(df: DataFrame, group_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_g")
     )
     total = per.agg(F.sum("n_g").alias("_n"), F.count(F.lit(1)).alias("_g"))
+    # Identity floor((A*10000)/n) = floor(A/n)*10000 + floor((A mod n)*10000/n)
+    # with A = n_g*_g keeps every intermediate ≤ A (the naive triple product
+    # n_g*_g*10000 overflows int64 once n_g*_g > 9.2e14 — reachable at the
+    # module's 10^12-row design scale).
     return per.crossJoin(F.broadcast(total)).select(
         "group_value",
         "n_g",
-        (F.expr("(n_g * _g * 10000) div _n") - F.lit(10000)).alias("dev_bp"),
+        (
+            F.expr(
+                "((n_g * _g) div _n) * 10000 + (((n_g * _g) % _n) * 10000) div _n"
+            )
+            - F.lit(10000)
+        ).alias("dev_bp"),
     )

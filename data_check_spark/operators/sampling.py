@@ -36,12 +36,17 @@ def _rate_threshold(rate: float) -> str:
     return format(n, f"0{HEX_WIDTH}x")
 
 
+def _keyed_hash(id_col: str, seed: str) -> Column:
+    # NULL-keyed rows hash as a NUL sentinel rather than propagating NULL
+    # through md5 (a NULL comparison is three-valued and filter() would
+    # silently DROP every null-keyed row — even at rate=1.0).
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit("\u0000"))
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key)), 1, HEX_WIDTH)
+
+
 def sample_mark(id_col: str, rate: float, *, seed: str = "s0") -> Column:
     """Boolean keep-mark: deterministic in (seed, id), kept fraction ≈ rate."""
-    h = F.substring(
-        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, HEX_WIDTH
-    )
-    return h < F.lit(_rate_threshold(rate))
+    return _keyed_hash(id_col, seed) < F.lit(_rate_threshold(rate))
 
 
 def deterministic_sample(
@@ -66,9 +71,7 @@ def stratified_sample(
     so the plan stays a single map-side filter with a small CASE — no join
     against a rates table, no shuffle.
     """
-    h = F.substring(
-        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, HEX_WIDTH
-    )
+    h = _keyed_hash(id_col, seed)
     threshold: Column | None = None
     for stratum, rate in sorted(rates.items()):
         lit = F.lit(_rate_threshold(rate))

@@ -1392,7 +1392,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _profile_col_sql(col: str, render: str, blank: str | None) -> str:
     nb = (
-        f"count(*) FILTER (WHERE {col} IS NOT NULL AND trim({col}) = '')"
+        # Mirrors functions/blank.py is_blank: any \\s run plus full-width
+        # U+3000 (trim() would be ASCII-space only).
+        f"count(*) FILTER (WHERE {col} IS NOT NULL AND "
+        f"regexp_replace({col}, '[\\s　]+', '', 'g') = '')"
         if blank == "string"
         else "CAST(NULL AS BIGINT)"
     )
@@ -1537,7 +1540,7 @@ SELECT g2.l_returnflag AS group_value, CAST(p.percentile AS DOUBLE) AS percentil
        CAST(g2.qs[p.i]*4 AS BIGINT) AS q_scaled,
        CAST(b.bqs[p.i]*4 AS BIGINT) AS base_scaled,
        (abs(CAST(g2.qs[p.i]*4 AS BIGINT) - CAST(b.bqs[p.i]*4 AS BIGINT)) * 10000)
-           // CAST(b.bqs[p.i]*4 AS BIGINT) AS drift_bp
+           // greatest(abs(CAST(b.bqs[p.i]*4 AS BIGINT)), 1) AS drift_bp
 FROM g2, b, (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) p(i, percentile)
 ORDER BY group_value, percentile
 """
@@ -1626,12 +1629,16 @@ WITH c AS (
     WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
     GROUP BY 1, 2
 ),
+g AS (SELECT group_value, sum(n_gc) AS n_g FROM c GROUP BY 1),
+cat AS (SELECT category, sum(n_gc) AS n_c FROM c GROUP BY 1),
+tot AS (SELECT sum(n_gc) AS n FROM c),
 e AS (
-    SELECT group_value, category, n_gc,
-           sum(n_gc) OVER (PARTITION BY group_value) AS n_g,
-           sum(n_gc) OVER (PARTITION BY category) AS n_c,
-           sum(n_gc) OVER () AS n
-    FROM c
+    -- FULL groups x categories grid: a vanished category still contributes
+    -- its |0 - base| term to the per-group TV distance.
+    SELECT g.group_value, cat.category, coalesce(c.n_gc, 0) AS n_gc,
+           g.n_g, cat.n_c, tot.n
+    FROM g CROSS JOIN cat CROSS JOIN tot
+    LEFT JOIN c ON c.group_value = g.group_value AND c.category = cat.category
 )
 SELECT group_value, category, n_gc,
        (n_gc * 10000) // n_g AS share_bp,

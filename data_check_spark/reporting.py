@@ -48,8 +48,14 @@ def filter_violations(
 def sort_numeric_coerced(df: DataFrame, column: str, ascending: bool = True) -> DataFrame:
     """Two-key sort: numeric value of ``column`` (non-numeric → NULL → last),
     then the raw string — the reference's pd.to_numeric(errors='coerce')
-    sort (data_check.py:1147-1159)."""
-    num = F.expr(f"try_cast(cast(`{column}` as string) as double)")
+    sort (data_check.py:1147-1159). The literal strings 'NaN'/'Infinity'
+    cast to non-finite doubles in Spark; pandas to_numeric treats them as
+    numbers too, but their sort position differs between engines (Spark
+    orders NaN before NULLs and first under desc) — map non-finite parses
+    to NULL so they group with the other coercion failures, as the
+    reference UI displays them."""
+    raw = F.expr(f"try_cast(cast(`{column}` as string) as double)")
+    num = F.when(F.isnan(raw) | (F.abs(raw) == float("inf")), F.lit(None)).otherwise(raw)
     key1 = num.asc_nulls_last() if ascending else num.desc_nulls_last()
     key2 = F.col(column).asc() if ascending else F.col(column).desc()
     return df.orderBy(key1, key2)
@@ -73,6 +79,14 @@ def export_csv(df: DataFrame, path: str, *, single_file: bool = True) -> None:
     Excel opens Japanese text correctly). Spark's csv writer has no BOM
     option; for the single-file export path we coalesce(1) and prepend the
     BOM to the part file."""
+    if single_file and "://" in path and not path.startswith("file:"):
+        # The BOM prepend below runs on the driver's local filesystem; on
+        # hdfs://-/s3a:// it would silently no-op and deliver a BOM-less
+        # file — the one thing this function exists to guarantee.
+        raise ValueError(
+            f"single_file BOM export requires a local path, got {path!r}; "
+            "use single_file=False (no BOM) or export locally and upload"
+        )
     writer = (df.coalesce(1) if single_file else df).write.mode("overwrite").option(
         "header", "true"
     ).option("encoding", "UTF-8")
@@ -82,19 +96,39 @@ def export_csv(df: DataFrame, path: str, *, single_file: bool = True) -> None:
         import os
 
         for part in glob.glob(os.path.join(path, "part-*.csv")):
-            with open(part, "rb") as f:
-                data = f.read()
-            if not data.startswith(b"\xef\xbb\xbf"):
-                with open(part, "wb") as f:
-                    f.write(b"\xef\xbb\xbf" + data)
+            tmp = part + ".bom"
+            with open(part, "rb") as src:
+                head = src.read(3)
+                if head == b"\xef\xbb\xbf":
+                    continue
+                # Stream in chunks — the export can be bigger than driver RAM.
+                with open(tmp, "wb") as dst:
+                    dst.write(b"\xef\xbb\xbf")
+                    dst.write(head)
+                    while chunk := src.read(1 << 20):
+                        dst.write(chunk)
+            os.replace(tmp, part)
 
 
 def summary_df(violations: DataFrame, *, series_col: str = "series") -> DataFrame:
-    """Per-series counts + top-5 rules, as a DataFrame (reference:
-    data_check.py:1186-1215 value_counts / nlargest)."""
+    """Per-key violation counts ordered by key (reference value_counts,
+    data_check.py:1186-1215). The top-5-rules view lives in
+    ``engine.ValidationResult.summary()``; use :func:`top_rules` for the
+    DataFrame form."""
     key = series_col if series_col in violations.columns else "rule_id"
     per_key = violations.groupBy(key).agg(F.count(F.lit(1)).alias("n")).orderBy(key)
     return per_key
+
+
+def top_rules(violations: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k rules by violation count (reference nlargest; count desc,
+    rule_id asc tie-break)."""
+    return (
+        violations.groupBy("rule_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("rule_id"))
+        .limit(k)
+    )
 
 
 def quarantine_split(

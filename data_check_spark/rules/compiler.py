@@ -213,12 +213,16 @@ def apply_row_rules(
     *,
     id_col: str = "clip_id",
     partition_col: str | None = "partition",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Evaluate ALL compiled rules in one projection pass.
 
-    Returns the violations DataFrame (rule_id, clip_id, partition, observed).
-    ``id_col``/``partition_col`` are parameterized so the same engine runs on
-    any fact table (the DuckDB oracle harness uses TPC-H tables).
+    Returns the violations DataFrame (rule_id, clip_id, partition, observed
+    [, *extra_cols]). ``id_col``/``partition_col`` are parameterized so the
+    same engine runs on any fact table (the DuckDB oracle harness uses TPC-H
+    tables); ``extra_cols`` carries pass-through columns such as the event
+    timestamp for streaming windowed monitors — the streaming path reuses
+    THIS projection rather than forking the hit-array logic.
     """
     if not compiled:
         raise ValueError("no compiled rules")
@@ -236,10 +240,12 @@ def apply_row_rules(
     hits = F.filter(F.array(*hit_structs), lambda x: x.isNotNull())
 
     part = F.col(partition_col) if partition_col else F.lit(None).cast("string")
+    extras = list(extra_cols or [])
     return (
         df.select(
             F.col(id_col).cast("string").alias("clip_id"),
             part.alias("partition"),
+            *extras,
             F.explode(hits).alias("v"),
         )
         .select(
@@ -247,5 +253,6 @@ def apply_row_rules(
             "clip_id",
             "partition",
             F.col("v.observed").alias("observed"),
+            *extras,
         )
     )

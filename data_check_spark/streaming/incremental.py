@@ -79,33 +79,14 @@ def streaming_violations_with_ts(
     partition_col: str = "partition",
     ts_col: str = "event_ts",
 ) -> DataFrame:
-    """Violations + event timestamp, for windowed monitoring."""
-    from data_check_spark.rules.compiler import CompiledRule  # noqa: F401
-
+    """Violations + event timestamp, for windowed monitoring — the SAME
+    compiler projection as batch (``extra_cols`` threads the timestamp
+    through; no forked hit-array logic to keep in sync)."""
     compiled = compile_row_rules(catalog.row_local, run_ts)
-    hit_structs = [
-        F.when(
-            c.predicate,
-            F.struct(F.lit(c.rule_id).alias("rule_id"), c.observed.alias("observed")),
-        )
-        for c in compiled
-    ]
-    hits = F.filter(F.array(*hit_structs), lambda x: x.isNotNull())
-    return (
-        stream.select(
-            F.col("clip_id").cast("string").alias("clip_id"),
-            F.col(partition_col).alias("partition"),
-            F.col(ts_col).alias("event_ts"),
-            F.explode(hits).alias("v"),
-        )
-        .select(
-            F.col("v.rule_id").alias("rule_id"),
-            "clip_id",
-            "partition",
-            F.col("v.observed").alias("observed"),
-            "event_ts",
-        )
+    out = apply_row_rules(
+        stream, compiled, partition_col=partition_col, extra_cols=[ts_col]
     )
+    return out.withColumnRenamed(ts_col, "event_ts") if ts_col != "event_ts" else out
 
 
 def violation_rate_monitor(
@@ -159,9 +140,16 @@ def start_microbatch_validation(
             spark, batch_df, dims, catalog,
             run_ts=run_ts, partition_col=partition_col, cache_input=False,
         )
+        # Idempotent under foreachBatch's at-least-once replay: dynamic
+        # partition overwrite replaces ONLY this batch_id's directory, so a
+        # batch re-run after a crash-before-commit rewrites its own rows
+        # instead of appending a duplicate copy.
         (
             res.violations.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(f"{output_dir}/violations")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/violations")
         )
 
     stream = stream_clips(spark, input_dir)
@@ -258,10 +246,17 @@ def start_drift_sketch_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Idempotent replay (same pattern as the violations sink): a
+        # re-delivered batch overwrites its own batch_id partition — an
+        # APPENDED duplicate would be merged twice by
+        # cumulative_drift_violations and double-weight this batch's data.
         (
             chunk_digests(batch_df, columns, partition_col=partition_col)
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(f"{state_dir}/drift_sketches")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{state_dir}/drift_sketches")
         )
 
     stream = stream_clips(spark, input_dir)
