@@ -64,15 +64,14 @@ def prepare_clips(df: DataFrame, *, cap_ms: int = 100, with_snr: bool = True) ->
                 if b is None:
                     continue
                 byte_len[i] = len(b)
-                if not with_snr:
-                    continue
                 sr, dur = srs[i], durs[i]
-                if pd.isna(sr) or pd.isna(dur) or len(b) % 2 != 0:
+                if pd.isna(sr) or len(b) % 2 != 0:
                     continue
                 decoded = np.frombuffer(b, dtype=np.int16)
-                ref = synth_wave(cids[i], int(sr), int(dur), cap_ms)
-                val = snr_db(ref, decoded)
-                snr[i] = val if np.isfinite(val) else (1e9 if val > 0 else -1e9)
+                # Cheap per-row features are computed whenever the payload
+                # decodes — NOT gated on with_snr: the clipping/silence/
+                # frequency rules must still see them in a catalog that has
+                # no (expensive) SNR rule.
                 cr, rms, est = audio_features(decoded, int(sr))
                 clip_ratio[i] = cr
                 rms_arr[i] = rms if np.isfinite(rms) else -200.0
@@ -80,6 +79,11 @@ def prepare_clips(df: DataFrame, *, cap_ms: int = 100, with_snr: bool = True) ->
                 nyquist = int(sr) / 2.0
                 if decoded.size and expected > 0 and expected < nyquist:
                     freq_err[i] = abs(est - expected) / expected
+                if not with_snr or pd.isna(dur):
+                    continue
+                ref = synth_wave(cids[i], int(sr), int(dur), cap_ms)
+                val = snr_db(ref, decoded)
+                snr[i] = val if np.isfinite(val) else (1e9 if val > 0 else -1e9)
             out = pdf[keep].copy()
             out["byte_len"] = byte_len
             out[SNR_COL] = snr
@@ -110,7 +114,13 @@ def snr_column_violations(
             F.lit(rule_id).alias("rule_id"),
             F.col(id_col).cast("string").alias("clip_id"),
             part.alias("partition"),
-            F.concat(F.lit("snr_db="), F.round(F.col(snr_col), 2).cast("string")).alias("observed"),
+            # %.2f (not a default double→string cast — CLAUDE.md) and a
+            # null-safe coalesce: concat(NULL) would null out the whole
+            # observed string for undecodable rows.
+            F.concat(
+                F.lit("snr_db="),
+                F.coalesce(F.format_string("%.2f", F.col(snr_col)), F.lit("null")),
+            ).alias("observed"),
         )
     )
 
@@ -163,7 +173,10 @@ def audio_snr_violations(
             F.lit(rule_id).alias("rule_id"),
             "clip_id",
             "partition",
-            F.concat(F.lit("snr_db="), F.round(F.col("_snr"), 2).cast("string")).alias("observed"),
+            F.concat(
+                F.lit("snr_db="),
+                F.coalesce(F.format_string("%.2f", F.col("_snr")), F.lit("null")),
+            ).alias("observed"),
         )
     )
 
@@ -183,8 +196,10 @@ def transcript_match_violations(
     """Byte-equality of the clip transcript vs the reference transcript dim.
 
     Missing dim rows are NOT flagged here (that's the referential rule);
-    this rule fires only where both sides exist and bytes differ. The
-    comparison is on UTF-8 encodings, making byte-equality explicit.
+    this rule fires for joined rows whose UTF-8 encodings differ, with a
+    NULL on either side comparing as the empty string (the engine-wide
+    blank coercion) — so NULL vs '' is equal, NULL vs 'text' fires.
+    Null-presence itself is the not_null family's job.
     """
     dim = transcripts.select(F.col(dim_key).alias("_dk"), F.col(ref_text).alias("_ref"))
     if dim_rows is not None and dim_rows <= 5_000_000:

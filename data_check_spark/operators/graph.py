@@ -69,6 +69,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("_nbr"))
         )
+        # Each round's eager checkpoint supersedes the previous one; the old
+        # round's blocks are freed by the ContextCleaner once the Python
+        # reference drops (the `labels =` reassignment below) — PySpark has
+        # no direct unpersist handle for localCheckpoint block storage, so
+        # peak storage is O(rounds-before-GC) label frames, each just
+        # (node, label) pairs — far smaller than the pair set itself.
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(

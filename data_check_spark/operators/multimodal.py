@@ -159,9 +159,15 @@ def frame_sample_plan(
     of each planned frame goes through ``extract_features``."""
     dur = F.coalesce(F.element_at(F.col("meta"), "dur_ms").cast("long"), F.lit(0))
     n = F.least(F.floor(dur / F.lit(every_ms)) + 1, F.lit(max_frames))
+    # Guard n >= 1: sequence(0, -1) DESCENDS (Spark defaults step -1 when
+    # stop < start), so bad metadata (negative dur_ms) would plan bogus
+    # negative-timestamp frames instead of zero frames.
+    idxs = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
     return media.filter(F.col("media_type") == "video").select(
         "media_id",
-        F.posexplode(F.transform(F.sequence(F.lit(0), n - 1), lambda i: i * every_ms)).alias(
+        F.posexplode(F.transform(idxs, lambda i: i * every_ms)).alias(
             "frame_idx", "ts_ms"
         ),
     )

@@ -107,7 +107,10 @@ def cdf(d: TDigest, xs: np.ndarray) -> np.ndarray:
         return np.full(xs.shape, np.nan)
     total = d.total_weight
     if d.means.size == 1:
-        return np.where(xs < d.means[0], 0.0, 1.0)
+        # Same conventions as the interpolated branch: NaN propagates, and
+        # x at the sole centroid mean sits at the midpoint (0.5), not 1.0.
+        out = np.where(xs < d.means[0], 0.0, np.where(xs > d.means[0], 1.0, 0.5))
+        return np.where(np.isnan(xs), np.nan, out)
     cum = np.cumsum(d.weights) - d.weights / 2.0
     return np.interp(xs, d.means, cum, left=0.0, right=total) / total
 

@@ -69,10 +69,18 @@ def compile_rule(rule: Rule, run_ts: str | None = None) -> CompiledRule:
     elif rule.kind == "format":
         # Blank-exempt by default: blankness is its own rule family
         # (reference: CHK_0005 gates on non-blank, dekispart.py:165-201).
+        # FULL match per the spec ("value must fully match pattern"):
+        # rlike() is a find, so unanchored patterns would silently accept
+        # values that merely CONTAIN a match. Wrapping an already-anchored
+        # pattern is a no-op (inner ^/$ still match at the ends).
         pattern = p["pattern"]
-        pred = is_present(rule.column) & ~col.cast("string").rlike(pattern)
+        pred = is_present(rule.column) & ~col.cast("string").rlike(f"^(?:{pattern})$")
 
     elif rule.kind == "forbidden_substring":
+        if not p["any_of"]:
+            # rlike('') matches EVERY string — an empty list would flag
+            # 100% of present rows instead of being a config error.
+            raise ValueError(f"forbidden_substring rule {rule.rule_id} needs a non-empty any_of")
         target = norm_text(rule.column) if p.get("normalize") else col.cast("string")
         alternation = "|".join(p["any_of"])
         pred = is_present(rule.column) & target.rlike(alternation)
@@ -110,6 +118,8 @@ def compile_rule(rule: Rule, run_ts: str | None = None) -> CompiledRule:
             conds.append(ln < F.lit(p["min"]))
         if "max" in p:
             conds.append(ln > F.lit(p["max"]))
+        if not conds:
+            raise ValueError(f"length rule {rule.rule_id} needs exact, min and/or max")
         pred = conds[0]
         for c in conds[1:]:
             pred = pred | c
@@ -148,8 +158,11 @@ def _compile_date_parse(rule: Rule, run_ts: str | None) -> list[CompiledRule]:
     p = rule.params
     col_sql = f"`{rule.column}`"
     fmt = p.get("format")
+    # '' doubling: a format containing an apostrophe (datetime-literal
+    # quoting, e.g. yyyy-MM-dd''T''HH) must survive the SQL string literal.
+    fmt_sql = f"'{fmt.replace(chr(39), chr(39) * 2)}'" if fmt else None
     parsed_sql = (
-        f"try_to_timestamp({col_sql}, '{fmt}')" if fmt else f"try_to_timestamp({col_sql})"
+        f"try_to_timestamp({col_sql}, {fmt_sql})" if fmt else f"try_to_timestamp({col_sql})"
     )
     parsed = F.expr(parsed_sql)
     gate = gate_condition(rule.gate, run_ts, rule.rule_id) if rule.gate else None

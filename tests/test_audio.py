@@ -109,3 +109,19 @@ def test_prepare_clips_audio_features(spark):
     # clean sine at amplitude 0.5 sits near -9 dBFS
     lv = [r["rms_db"] for r in clean]
     assert -12.0 < float(np.median(lv)) < -6.0
+
+
+def test_features_computed_without_snr_rule(spark):
+    """clip_ratio/rms_db/freq_err_ratio must be present even when the
+    catalog has no audio_decode rule (with_snr=False) — the clipping/
+    silence/frequency rules depend on them."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark.datagen import clips_df
+    from data_check_spark.operators.audio import prepare_clips
+
+    clips = clips_df(spark, 500, with_bytes=True).drop("_gen_id", "_viol")
+    out = prepare_clips(clips, with_snr=False)
+    row = out.filter(F.col("clip_ratio").isNotNull()).limit(1).collect()
+    assert row, "no features computed in the with_snr=False pass"
+    assert out.filter(F.col("_snr_db").isNotNull()).count() == 0  # SNR stays off

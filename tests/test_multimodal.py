@@ -122,3 +122,21 @@ def test_non_wav_riff_goes_to_no_decoder_seam(spark):
     )
     r = extract_features(df, decode_stub=False).collect()[0]
     assert not r["ok"] and "no decoder" in r["error"]
+
+
+def test_frame_plan_bad_duration_plans_zero_frames(spark):
+    """Negative/garbage dur_ms metadata must plan ZERO frames — Spark's
+    sequence(0, -1) otherwise descends and emits negative timestamps."""
+    from data_check_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        [("m1", "video", None, {"dur_ms": "-500"}),
+         ("m2", "video", None, {"dur_ms": "2500"})],
+        "media_id string, media_type string, payload binary, meta map<string,string>",
+    )
+    rows = frame_sample_plan(media).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    assert "m1" not in by_id
+    assert sorted(by_id["m2"]) == [(0, 0), (1, 1000), (2, 2000)]

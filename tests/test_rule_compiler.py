@@ -261,3 +261,35 @@ def test_date_parse_rule_id_override_and_gate(spark):
                 gate="active")
     out = apply_row_rules(df, compile_row_rules([rule]), partition_col=None).collect()
     assert [(r["rule_id"], r["clip_id"]) for r in out] == [("D2_BADDATE", "a")]
+
+
+def test_format_is_full_match(spark):
+    """spec: 'value must fully match pattern' — a value merely CONTAINING a
+    match must still violate (rlike alone is a find, not a match)."""
+    from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+    from data_check_spark.rules.spec import Rule
+
+    df = spark.createDataFrame(
+        [("ok", "clip_0123456789abcdef", "p"),
+         ("bad", "xx clip_0123456789abcdef yy", "p")],
+        "clip_id string, val string, partition string",
+    )
+    rules = compile_row_rules([
+        Rule("FMT", "format", "val", {"pattern": r"clip_[0-9a-f]{16}"}),
+    ])
+    got = {r["clip_id"] for r in apply_row_rules(df, rules).collect()}
+    assert got == {"bad"}
+
+
+def test_misconfigured_rules_raise(spark):
+    """Empty any_of / empty length params are config errors, not silent
+    flag-everything or IndexError."""
+    import pytest
+
+    from data_check_spark.rules.compiler import compile_rule
+    from data_check_spark.rules.spec import Rule
+
+    with pytest.raises(ValueError, match="any_of"):
+        compile_rule(Rule("F1", "forbidden_substring", "c", {"any_of": []}))
+    with pytest.raises(ValueError, match="length rule"):
+        compile_rule(Rule("L1", "length", "c", {}))
