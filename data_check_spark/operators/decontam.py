@@ -25,11 +25,13 @@ from pyspark.sql import functions as F
 
 
 def word_tokens(text_col: str) -> Column:
-    """Whitespace tokens of trimmed text (empty → empty array)."""
-    t = F.trim(F.col(text_col))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    """Whitespace tokens of trimmed text (empty → empty array) — the SAME
+    tokenizer as token_stats/repetition_stats (operators/text.py), so the
+    decontamination n-grams can never silently diverge from the token
+    statistics computed over the same corpus."""
+    from data_check_spark.operators.text import _tokens
+
+    return _tokens(text_col)
 
 
 def word_ngrams(text_col: str, n: int) -> Column:
@@ -51,7 +53,6 @@ def decontaminate(
     n: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
-    eval_id_col: str | None = None,
     eval_text_col: str | None = None,
 ) -> DataFrame:
     """Per-training-doc contamination report.
@@ -62,7 +63,6 @@ def decontaminate(
     anti-join to drop contaminated docs; the absent-row convention keeps
     the result proportional to contamination, not corpus size).
     """
-    eid = eval_id_col or id_col
     etext = eval_text_col or text_col
     eval_grams = (
         eval_df.select(F.explode(word_ngrams(etext, n)).alias("g")).distinct()

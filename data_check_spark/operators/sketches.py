@@ -47,8 +47,11 @@ def partition_sketches(
 
 
 def merge_sketches(sketches: DataFrame, *, sketch_col: str = "sketch") -> int:
-    """Union previously-persisted sketches into one global estimate."""
+    """Union previously-persisted sketches into one global estimate.
+
+    Zero sketch rows (empty/filtered state table) estimate 0 distinct —
+    hll_union_agg returns NULL there, which would TypeError on int()."""
     row = sketches.agg(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("n")
     ).collect()[0]
-    return int(row["n"])
+    return int(row["n"]) if row["n"] is not None else 0

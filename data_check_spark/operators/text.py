@@ -171,14 +171,19 @@ def curation_pipeline(
         ).alias("quality_q4"),
         _predicted_lang().alias("predicted_lang"),
     )
+    # Quality/length filters run BEFORE the dedup window so rejected rows
+    # never enter the corpus-wide fingerprint exchange. Semantically
+    # identical to filtering after: exact duplicates share the text, hence
+    # the same quality_q4/n_tokens — a fingerprint group passes or fails as
+    # a whole, so the first-wins winner is unchanged.
     w = Window.partitionBy("fingerprint").orderBy(id_col)
     return (
-        s2.withColumn("_rn", F.row_number().over(w))
-        .filter(
-            (F.col("_rn") == 1)
-            & (F.col("quality_q4") >= min_quality_q4)
+        s2.filter(
+            (F.col("quality_q4") >= min_quality_q4)
             & (F.col("n_tokens") >= min_tokens)
         )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
         .select(id_col, "fingerprint", "quality_q4", "predicted_lang", "n_tokens")
     )
 

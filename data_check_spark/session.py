@@ -56,16 +56,27 @@ def get_spark(
     ``shuffle_partitions`` defaults to the local core count so small-scale
     runs don't over-parallelize; cluster runs override via --conf.
     """
+    # Builder options beat spark-submit's --master/--conf, so a submitted
+    # master (yarn/k8s) must NOT be overridden by the local default, and
+    # submitted --conf values must win over this module's defaults.
+    from pyspark import SparkConf
+
+    submit_conf = dict(SparkConf().getAll())
+    submitted_master = submit_conf.get("spark.master")
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
-    if shuffle_partitions is None:
+        if submitted_master:
+            master = submitted_master
+        else:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            master = f"local[{cpus}]"
+    if shuffle_partitions is None and "spark.sql.shuffle.partitions" not in submit_conf:
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
         shuffle_partitions = 32 if inner == "*" else max(int(inner), 4)
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_BASE_CONF)
-    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if master.startswith("local"):
         mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         conf.setdefault("spark.driver.memory", mem)
@@ -82,6 +93,10 @@ def get_spark(
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
+        # A spark-submit --conf for the same key wins over this module's
+        # defaults (explicit extra_conf still overrides).
+        if k in submit_conf and k not in (extra_conf or {}):
+            continue
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

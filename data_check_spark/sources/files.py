@@ -30,18 +30,27 @@ class MissingColumnsError(ValueError):
 def sniff_encoding(path: str, encodings=DEFAULT_ENCODINGS) -> str:
     """Pick the first encoding that cleanly decodes a head sample.
 
-    For a directory (partitioned dataset), probes the first data file."""
+    For a directory (partitioned dataset), probes the first data FILE,
+    descending into partition subdirectories (year=.../) as needed."""
+    import codecs
+
     probe = path
-    if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            if not name.startswith((".", "_")):
-                probe = os.path.join(path, name)
-                break
+    while os.path.isdir(probe):
+        entries = [
+            n for n in sorted(os.listdir(probe)) if not n.startswith((".", "_"))
+        ]
+        if not entries:
+            raise FileNotFoundError(f"{path}: no data files to probe")
+        probe = os.path.join(probe, entries[0])
     with open(probe, "rb") as f:
         head = f.read(_PROBE_BYTES)
     for enc in encodings:
+        # Incremental decode with final=False: the fixed-size probe can cut
+        # a multibyte character in half, and a plain decode() would wrongly
+        # reject the TRUE encoding on 'incomplete multibyte sequence'.
+        dec = codecs.getincrementaldecoder(enc)()
         try:
-            head.decode(enc)
+            dec.decode(head, False)
             return enc
         except UnicodeDecodeError:
             continue
@@ -102,6 +111,10 @@ def read_keyword_column(
             raise MissingColumnsError(path, [column])
     elif path.endswith(".parquet") or os.path.isdir(path):
         df = spark.read.parquet(path)
+        if column not in df.columns:
+            # Same refusal contract as the csv/xlsx branches — callers catch
+            # MissingColumnsError, not a raw AnalysisException.
+            raise MissingColumnsError(path, [column])
     else:
         df = read_csv_with_fallback(spark, path, required_columns=[column], **kwargs)
     from pyspark.sql import functions as F

@@ -34,16 +34,32 @@ def _col_index(cell_ref: str) -> int:
     return idx - 1
 
 
+def _rich_text(el) -> str:
+    """Concatenate the display text of an <si>/<is> element.
+
+    Only plain <t> children and <t> inside run (<r>) children count —
+    NOT descendants of <rPh> (phonetic ruby runs): Excel stores furigana
+    alongside Japanese text typed via IME, and a blind ``iter('t')`` would
+    silently corrupt 株式 into 株式カブシキ (openpyxl skips rPh the same way).
+    """
+    parts = []
+    t = el.find(f"{_NS}t")
+    if t is not None:
+        parts.append(t.text or "")
+    for r in el.findall(f"{_NS}r"):
+        rt = r.find(f"{_NS}t")
+        if rt is not None:
+            parts.append(rt.text or "")
+    return "".join(parts)
+
+
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     try:
         data = zf.read("xl/sharedStrings.xml")
     except KeyError:
         return []
     root = ET.fromstring(data)
-    out = []
-    for si in root.findall(f"{_NS}si"):
-        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
-    return out
+    return [_rich_text(si) for si in root.findall(f"{_NS}si")]
 
 
 def _sheet_path(zf: zipfile.ZipFile, sheet: str | None) -> str:
@@ -86,11 +102,7 @@ def read_xlsx_rows(path: str, sheet: str | None = None) -> list[list[str | None]
                     cells[idx] = strings[int(v.text)] if v is not None else None
                 elif ctype == "inlineStr":
                     is_el = c.find(f"{_NS}is")
-                    cells[idx] = (
-                        "".join(t.text or "" for t in is_el.iter(f"{_NS}t"))
-                        if is_el is not None
-                        else None
-                    )
+                    cells[idx] = _rich_text(is_el) if is_el is not None else None
                 else:  # n / str / b — take the raw value text
                     v = c.find(f"{_NS}v")
                     cells[idx] = v.text if v is not None else None
@@ -103,7 +115,12 @@ def read_xlsx_df(spark, path: str, sheet: str | None = None):
     rows = read_xlsx_rows(path, sheet)
     if not rows:
         raise ValueError(f"{path}: empty sheet")
-    header = [h if h is not None else f"_c{i}" for i, h in enumerate(rows[0])]
+    # Width = widest row, not the header: Excel omits trailing empty header
+    # cells, and clamping to the header width would silently drop data
+    # columns. Unheadered columns get generated _cN names.
+    width_all = max(len(r) for r in rows)
+    head_row = rows[0] + [None] * (width_all - len(rows[0]))
+    header = [h if h is not None else f"_c{i}" for i, h in enumerate(head_row)]
     # Uniquify repeated header names (exported sheets repeat them routinely):
     # the first occurrence keeps the bare name, later ones gain _2, _3 … so
     # downstream F.col(name) never hits AMBIGUOUS_REFERENCE.
