@@ -13,7 +13,6 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 CLIP_ROWS = {"0.001": 1000, "0.01": 4000, "0.1": 20000}
 
@@ -35,9 +34,10 @@ def _clip_validation(spark: SparkSession, n_rows: int):
         spark, datagen.clips_df(spark, n_rows, with_bytes=False).drop("_gen_id", "_viol"),
         ["dur_ms", "sr_hz"],
     )
+    # codec whitelist is a value_in_set rule (CODEC_SET) in the catalog, not a
+    # dim-driven referential check — no codec_whitelist dim to wire here.
     dims = {
         "transcripts": datagen.transcripts_df(spark, n_rows),
-        "codec_whitelist": datagen.codec_whitelist_df(spark),
         "baseline_stats": baseline,
     }
     from data_check_spark.rules.catalog_audio import audio_catalog
@@ -67,12 +67,10 @@ def _clips_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _clips_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_check_spark.reporting import top_rules
+
     result = _clip_validation(spark, CLIP_ROWS.get(_sf_of(sf_dir), 4000))
-    return (
-        result.violations.groupBy("rule_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("rule_id"))
-    )
+    return top_rules(result.violations, k=None)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -107,9 +107,12 @@ def clips_df(spark: SparkSession, n_rows: int, *, with_bytes: bool = True, bytes
 
     # --- clip_id with planted malformations
     base_id = F.concat(F.lit("clip_"), _hx("clip"))
+    # Independent 'dpool' seed (NOT 'viol': 50 | 10000 would collapse the pool
+    # to the 25 reachable v values) and F.lower so pool ids 10-15 ('a'-'f')
+    # stay CLIP_ID_FORMAT-clean — dup fixtures must exercise only uniqueness.
     dup_pool = F.concat(
         F.lit("clip_"),
-        F.lpad(F.conv(F.pmod(F.xxhash64(F.col("id"), F.lit("viol")), F.lit(50)).cast("string"), 10, 16), 16, "0"),
+        F.lpad(F.lower(F.conv(F.pmod(F.xxhash64(F.col("id"), F.lit("dpool")), F.lit(50)).cast("string"), 10, 16)), 16, "0"),
     )
     clip_id = (
         F.when(_in(v, "dup_group"), dup_pool)
@@ -201,6 +204,10 @@ def attach_pcm_bytes(df: DataFrame, cap_ms: int = 100) -> DataFrame:
     """Add the binary PCM column via mapInPandas (Arrow-batched numpy)."""
     from data_check_spark.functions.pcm import synth_wave
 
+    lo_c, hi_c = BUCKETS["bytes_corrupt"]
+    lo_t, hi_t = BUCKETS["bytes_trunc"]
+    lo_e, hi_e = BUCKETS["bytes_empty"]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             waves = [
@@ -213,9 +220,6 @@ def attach_pcm_bytes(df: DataFrame, cap_ms: int = 100) -> DataFrame:
             ]
             payloads = []
             for w, viol in zip(waves, pdf["_viol"].to_numpy()):
-                lo_c, hi_c = BUCKETS["bytes_corrupt"]
-                lo_t, hi_t = BUCKETS["bytes_trunc"]
-                lo_e, hi_e = BUCKETS["bytes_empty"]
                 if lo_e <= viol < hi_e:
                     payloads.append(b"")
                 elif lo_t <= viol < hi_t:
@@ -290,11 +294,10 @@ DOC_BUCKETS = {
 
 def _doc_words(id_expr, *, min_words: int = 20, span: int = 80):
     """Hash-chosen pseudo-word sequence for one document id expression."""
-    vocab = F.array(
-        *[
-            F.lit(f"w{(i * 2654435761) % 0xFFFF:04x}")
-            for i in range(DOC_VOCAB_SIZE)
-        ]
+    # ONE SQL array literal, not 512 F.lit py4j round trips (see CLAUDE.md:
+    # the portable LSH weight matrix went 7.9s -> 0.8s with this change).
+    vocab = F.expr(
+        "array(" + ",".join(f"'w{(i * 2654435761) % 0xFFFF:04x}'" for i in range(DOC_VOCAB_SIZE)) + ")"
     )
     n_words = (F.pmod(F.xxhash64(id_expr, F.lit("nw")), F.lit(span)) + min_words).cast("int")
     return F.transform(

@@ -266,11 +266,9 @@ def summary_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ORDER BY n DESC, rule_id LIMIT 5",
 )
 def top5_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = row_rules_orders(spark, sf_dir)
-    return (
-        v.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("rule_id")).limit(5)
-    )
+    from data_check_spark.reporting import top_rules
+
+    return top_rules(row_rules_orders(spark, sf_dir), k=5)
 
 
 @register(
@@ -1287,7 +1285,12 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
         "last_orderkey",
-        F.format_string("%.2f", F.col("_p")).alias("last_price"),
+        # NULL-guard: Java's Formatter prints NULL as the literal "null"
+        # (truncated to "nu" by %.2f) while DuckDB printf yields SQL NULL —
+        # unmatched as-of left rows must stay NULL in both engines.
+        F.when(
+            F.col("_p").isNotNull(), F.format_string("%.2f", F.col("_p"))
+        ).alias("last_price"),
     )
 
 

@@ -120,15 +120,15 @@ def summary_df(violations: DataFrame, *, series_col: str = "series") -> DataFram
     return per_key
 
 
-def top_rules(violations: DataFrame, k: int = 5) -> DataFrame:
+def top_rules(violations: DataFrame, k: int | None = 5) -> DataFrame:
     """Top-k rules by violation count (reference nlargest; count desc,
-    rule_id asc tie-break)."""
-    return (
+    rule_id asc tie-break). ``k=None`` returns the full ranked summary."""
+    ranked = (
         violations.groupBy("rule_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("rule_id"))
-        .limit(k)
     )
+    return ranked if k is None else ranked.limit(k)
 
 
 def quarantine_split(

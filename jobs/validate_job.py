@@ -83,8 +83,17 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         reliable_cache=args.reliable_cache,
     )
-    res.violations.write.mode("overwrite").parquet(f"{args.output_dir}/violations")
-    res.verdicts.write.mode("overwrite").parquet(f"{args.output_dir}/verdicts")
+    # Partitioned-by-run append: a resumed relaunch into the same output dir
+    # adds its (partial) results under a new run_id instead of clobbering the
+    # completed partitions written by the earlier attempt.
+    from pyspark.sql import functions as F
+
+    (res.violations.withColumn("run_id", F.lit(res.run_id))
+        .write.mode("append").partitionBy("run_id")
+        .parquet(f"{args.output_dir}/violations"))
+    (res.verdicts.withColumn("run_id", F.lit(res.run_id))
+        .write.mode("append").partitionBy("run_id")
+        .parquet(f"{args.output_dir}/verdicts"))
     summary = res.summary()
     print(json.dumps({
         "run_id": res.run_id,

@@ -32,6 +32,24 @@ def test_planted_violation_classes_present(spark):
     df.unpersist()
 
 
+def test_dup_pool_ids_are_format_clean(spark):
+    """Duplicate-cluster fixtures must exercise ONLY uniqueness rules: pool
+    ids stay CLIP_ID_FORMAT-valid (lowercase hex) and draw from the full
+    50-value pool, independent of the violation-bucket hash."""
+    from data_check_spark.datagen import BUCKETS
+
+    lo, hi = BUCKETS["dup_group"]
+    pool = (
+        clips_df(spark, 100_000, with_bytes=False)
+        .filter((F.col("_viol") >= lo) & (F.col("_viol") < hi))
+        .select("clip_id")
+    )
+    bad = pool.filter(~F.col("clip_id").rlike("^clip_[0-9a-f]{16}$")).count()
+    assert bad == 0
+    # full pool reachable (not collapsed onto the 25 bucket values)
+    assert pool.distinct().count() == 50
+
+
 def test_skewed_partitions(spark):
     counts = {
         r["partition"]: r["n"]

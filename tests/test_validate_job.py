@@ -31,7 +31,8 @@ def test_validate_job_end_to_end(spark, tmp_path, capsys):
     assert summary["rows_scanned"] == 500
     assert not summary["schema_problems"]
     v = spark.read.parquet(f"{out}/violations")
-    assert v.columns == ["rule_id", "clip_id", "partition", "observed"]
+    # contract columns + the run_id partition column (appended last on read)
+    assert v.columns == ["rule_id", "clip_id", "partition", "observed", "run_id"]
     assert v.count() == summary["total_violations"]
     verd = spark.read.parquet(f"{out}/verdicts")
     assert {"partition", "passed", "rows_scanned", "violations", "wall_time_ms"} <= set(verd.columns)
@@ -39,3 +40,14 @@ def test_validate_job_end_to_end(spark, tmp_path, capsys):
     from data_check_spark.checkpoint import completed_partitions
 
     assert len(completed_partitions(spark, ckpt)) == verd.count()
+
+    # a relaunch APPENDS under a new run_id instead of clobbering run 1
+    rc = validate_job.main([
+        "--input", clips, "--transcripts", tr,
+        "--output-dir", out,
+        "--run-ts", "2026-01-01 00:00:00",
+    ])
+    assert rc == 0
+    v2 = spark.read.parquet(f"{out}/violations")
+    assert v2.select("run_id").distinct().count() == 2
+    assert v2.count() == 2 * summary["total_violations"]
