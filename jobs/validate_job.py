@@ -18,6 +18,11 @@ Writes ``<output>/violations`` + ``<output>/verdicts`` (parquet, partitioned
 by run) and appends the per-partition checkpoint table; prints a one-line
 JSON summary to stdout. ``--resume`` anti-joins partitions already marked
 complete in the checkpoint (engine.run_validation resume path).
+
+Sizing note: JVM heap cannot be set after launch, so pass ``--driver-memory``
+(local smoke runs: 16g to match the library session) / ``--executor-memory``
+on the spark-submit line — session.py's in-process defaults only apply when
+the library itself builds the JVM.
 """
 
 from __future__ import annotations
@@ -41,23 +46,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="fault-tolerant wide-pass checkpoint (HDFS/S3) "
                          "instead of executor-local blocks; survives "
                          "executor loss on long cluster runs")
+    ap.add_argument("--cap-ms", type=int, default=100,
+                    help="PCM decode cap for the default audio catalog's "
+                         "byte-length/SNR rules; must match how the table's "
+                         "bytes were produced (ignored with --rules)")
     ap.add_argument("--run-ts", default=None, help="pinned run timestamp (UTC)")
     ap.add_argument("--partition-col", default="partition")
     args = ap.parse_args(argv)
 
-    from pyspark.sql import SparkSession
-
     from data_check_spark.engine import run_validation
     from data_check_spark.rules.spec import load_catalog
+    from data_check_spark.session import get_spark
 
-    # spark-submit provides master/conf; default local for direct runs.
-    # Session timezone pinned to UTC so checkpoint timestamps and date rules
-    # are cluster-timezone-independent (resume ordering relies on it).
-    spark = (
-        SparkSession.builder.appName("data_check_validate")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
+    # get_spark defers to spark-submit's --master/--conf when present and
+    # otherwise applies the tuned local defaults (AQE, Arrow batching, UTC
+    # session timezone — checkpoint resume ordering relies on UTC).
+    spark = get_spark(app_name="data_check_validate")
     spark.sparkContext.setLogLevel("WARN")
 
     clips = spark.read.parquet(args.input)
@@ -72,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         from data_check_spark.rules.catalog_audio import audio_catalog
 
-        catalog = audio_catalog()
+        catalog = audio_catalog(bytes_cap_ms=args.cap_ms)
 
     t0 = time.monotonic()
     res = run_validation(

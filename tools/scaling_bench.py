@@ -111,8 +111,18 @@ def main() -> None:
         "harness: tools/docs_scaling_bench.py.",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # Preserve hand-authored sections below the marker (variance history,
+    # spark-submit launch evidence) — the tool owns only the measured table.
+    marker = "<!-- manual sections below: preserved by tools/scaling_bench.py -->"
+    manual = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if marker in prev:
+            manual = prev[prev.index(marker):]
+    lines += ["", manual or marker]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines).rstrip() + "\n")
     print(json.dumps({
         f"t{n}_sec": rn["value"], f"t{n4}_sec": rn4["value"],
         "clips_per_sec_n": thr_n, "clips_per_sec_4n": thr_n4,
