@@ -78,8 +78,19 @@ def clip_cache_dir(n_rows: int) -> str:
     return os.path.join(REPO, ".bench_cache", f"clips_{n_rows}")
 
 
+def _datagen_fingerprint() -> str:
+    import hashlib
+
+    src = os.path.join(REPO, "data_check_spark", "datagen.py")
+    with open(src, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
 def ensure_clip_cache(spark, n_rows: int) -> str:
-    """Generate (once) the synthetic clip table + dims as parquet."""
+    """Generate (once) the synthetic clip table + dims as parquet.
+
+    The marker embeds a datagen.py fingerprint so generator edits invalidate
+    the cache instead of silently benchmarking stale data."""
     from pyspark.sql import functions as F
 
     from data_check_spark import datagen
@@ -87,8 +98,11 @@ def ensure_clip_cache(spark, n_rows: int) -> str:
 
     root = clip_cache_dir(n_rows)
     marker = os.path.join(root, "_DONE")
+    stamp = f"{n_rows}:{BYTES_CAP_MS}:{GEN_PARTITIONS}:{_datagen_fingerprint()}"
     if os.path.exists(marker):
-        return root
+        with open(marker) as f:
+            if f.read().strip() == stamp:
+                return root
     clips = (
         datagen.clips_df(spark, n_rows, with_bytes=True, bytes_cap_ms=BYTES_CAP_MS)
         .drop("_gen_id", "_viol")
@@ -103,7 +117,7 @@ def ensure_clip_cache(spark, n_rows: int) -> str:
         f"{root}/baseline_stats"
     )
     with open(marker, "w") as f:
-        f.write(str(n_rows))
+        f.write(stamp)
     return root
 
 
@@ -138,17 +152,29 @@ def run_clip_validation(spark, root: str) -> dict:
         "transcripts": spark.read.parquet(f"{root}/transcripts"),
         "baseline_stats": spark.read.parquet(f"{root}/baseline_stats"),
     }
+    from pyspark.sql import functions as F
+
     t0 = time.monotonic()
     res = run_validation(
         spark, clips, dims, audio_catalog(bytes_cap_ms=BYTES_CAP_MS),
         run_ts="2026-01-01 00:00:00",
     )
-    n_viol = res.violations.count()
+    # ONE action materializes the result: count + an order-insensitive
+    # multiset hash of the violation rows, so parallelism-level comparisons
+    # (tools/scaling_bench.py) check the actual violation SET, not just its
+    # size. Decimal sum: ~2^20 64-bit terms can overflow long under ANSI.
+    agg = res.violations.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64("rule_id", "clip_id", "partition", "observed").cast("decimal(38,0)")
+        ).alias("h"),
+    ).first()
     wall = time.monotonic() - t0
     return {
         "wall_sec": wall,
         "rows": res.rows_scanned,
-        "violations": n_viol,
+        "violations": agg["n"],
+        "violations_hash": str(agg["h"]),
         "clips_per_sec": res.rows_scanned / wall if wall > 0 else 0.0,
     }
 
@@ -177,10 +203,16 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
         from data_check_spark.queries import QUERIES
 
+        # Best-of-N per query (CLAUDE.md: never single-run on this host —
+        # round-over-round comparisons of single runs are machine noise).
+        q_reps = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
         for name in BENCH_QUERIES:
-            t0 = time.monotonic()
-            QUERIES[name](spark, sf_dir).count()
-            query_secs[name] = round(time.monotonic() - t0, 3)
+            best = float("inf")
+            for _ in range(q_reps):
+                t0 = time.monotonic()
+                QUERIES[name](spark, sf_dir).count()
+                best = min(best, time.monotonic() - t0)
+            query_secs[name] = round(best, 3)
     query_secs["clip_validation_full"] = round(headline["wall_sec"], 3)
 
     out = {
@@ -192,6 +224,7 @@ def main() -> None:
         "clips_per_sec": round(headline["clips_per_sec"], 1),
         "clip_rows": headline["rows"],
         "violations": headline["violations"],
+        "violations_hash": headline["violations_hash"],
         "all_runs_sec": [round(r["wall_sec"], 3) for r in runs],
         "cpus": cpus,
     }

@@ -57,8 +57,10 @@ def read_checkpoint(spark: SparkSession, checkpoint_dir: str) -> DataFrame | Non
 
     try:
         return spark.read.schema(CHECKPOINT_SCHEMA).parquet(checkpoint_dir)
-    except AnalysisException:
-        return None
+    except AnalysisException as e:
+        if e.getErrorClass() == "PATH_NOT_FOUND":
+            return None
+        raise  # corrupt/incompatible checkpoint must not look like "first run"
 
 
 def completed_partitions(spark: SparkSession, checkpoint_dir: str) -> list[str]:

@@ -42,6 +42,16 @@ STREAM_CLIPS_SCHEMA = T.StructType(
     ]
 )
 
+# Full-fidelity variant: include the binary PCM column so byte-length and
+# SNR (audio_decode) rules run per micro-batch. The narrow default exists
+# because most monitoring streams don't want to ship audio payloads through
+# the file source; pass this (or your own schema) to run the full catalog.
+STREAM_CLIPS_SCHEMA_WITH_BYTES = T.StructType(
+    STREAM_CLIPS_SCHEMA.fields[:1]
+    + [T.StructField("bytes", T.BinaryType(), True)]
+    + STREAM_CLIPS_SCHEMA.fields[1:]
+)
+
 
 def stream_clips(
     spark: SparkSession,
@@ -120,6 +130,8 @@ def start_microbatch_validation(
     checkpoint_dir: str,
     partition_col: str = "partition",
     trigger_once: bool = False,
+    schema: T.StructType = STREAM_CLIPS_SCHEMA,
+    max_files_per_trigger: int = 16,
 ):
     """Set-oriented rules per micro-batch via ``foreachBatch``.
 
@@ -128,7 +140,12 @@ def start_microbatch_validation(
     as a delta: within-batch duplicates and FK violations surface
     immediately, cross-batch uniqueness goes through the stateful path
     (streaming/stateful.py) or the nightly reconciliation. Violations
-    append to ``<output>/violations`` tagged with the micro-batch id."""
+    append to ``<output>/violations`` tagged with the micro-batch id.
+
+    The default ``schema`` is the narrow monitoring shape WITHOUT the binary
+    column, so audio_decode/byte-length rules are skipped (the engine treats
+    absent ``bytes`` as not-applicable). Pass
+    ``schema=STREAM_CLIPS_SCHEMA_WITH_BYTES`` to validate PCM per batch."""
     from data_check_spark.engine import run_validation
 
     dims = dims or {}
@@ -152,7 +169,9 @@ def start_microbatch_validation(
             .parquet(f"{output_dir}/violations")
         )
 
-    stream = stream_clips(spark, input_dir)
+    stream = stream_clips(
+        spark, input_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
     writer = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
@@ -199,12 +218,16 @@ def start_incremental_validation(
     run_ts: str,
     checkpoint_dir: str,
     trigger_once: bool = False,
+    schema: T.StructType = STREAM_CLIPS_SCHEMA,
+    max_files_per_trigger: int = 16,
 ):
     """End-to-end: stream files → row-local violations → parquet sink.
 
     ``trigger_once`` processes the current backlog and stops (the shape used
     in tests and in incremental nightly catch-up runs)."""
-    stream = stream_clips(spark, input_dir)
+    stream = stream_clips(
+        spark, input_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
     viol = streaming_violations_with_ts(stream, catalog, run_ts=run_ts)
     writer = (
         viol.writeStream.format("parquet")
@@ -231,6 +254,8 @@ def start_drift_sketch_stream(
     checkpoint_dir: str,
     partition_col: str = "partition",
     trigger_once: bool = False,
+    schema: T.StructType = STREAM_CLIPS_SCHEMA,
+    max_files_per_trigger: int = 16,
 ):
     """Accumulate per-micro-batch t-digest chunk sketches into a tiny
     append-only parquet state table — the streaming leg of the drift rule.
@@ -259,7 +284,9 @@ def start_drift_sketch_stream(
             .parquet(f"{state_dir}/drift_sketches")
         )
 
-    stream = stream_clips(spark, input_dir)
+    stream = stream_clips(
+        spark, input_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
     writer = (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -277,6 +277,52 @@ def test_microbatch_set_rules_via_foreachbatch(spark, tmp_path):
     assert set(r["batch_id"] for r in v.select("batch_id").collect()) == {0}
 
 
+def test_microbatch_bytes_schema_runs_audio_rules(spark, tmp_path):
+    """The narrow default stream schema skips audio rules (no bytes column);
+    STREAM_CLIPS_SCHEMA_WITH_BYTES runs the PCM checks per micro-batch."""
+    import datetime as dt
+
+    from data_check_spark.functions.pcm import synth_wave
+    from data_check_spark.streaming.incremental import (
+        STREAM_CLIPS_SCHEMA_WITH_BYTES,
+        start_microbatch_validation,
+    )
+
+    ts = dt.datetime(2026, 1, 1)
+    in_dir = str(tmp_path / "in")
+    good = bytes(synth_wave("c_ok", 16000, 1000, 20).tobytes())
+    df = spark.createDataFrame(
+        [("c_ok", good, 16000, 1000, "flac", "t", "p0", ts),
+         ("c_empty", b"", 16000, 1000, "flac", "t", "p0", ts)],
+        STREAM_CLIPS_SCHEMA_WITH_BYTES,
+    )
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+    catalog = RuleCatalog(
+        [Rule("B_SNR", "audio_decode", "bytes", {"snr_db_min": 30.0, "cap_ms": 20})]
+    )
+
+    # narrow default: audio rule not applicable, no violations written
+    q = start_microbatch_validation(
+        spark, in_dir, str(tmp_path / "out_narrow"), catalog,
+        run_ts="2026-01-01 00:00:00",
+        checkpoint_dir=str(tmp_path / "ck_narrow"), trigger_once=True,
+    )
+    q.awaitTermination(180)
+
+    # full-fidelity schema: empty PCM violates, good wave passes
+    q = start_microbatch_validation(
+        spark, in_dir, str(tmp_path / "out_bytes"), catalog,
+        run_ts="2026-01-01 00:00:00",
+        checkpoint_dir=str(tmp_path / "ck_bytes"), trigger_once=True,
+        schema=STREAM_CLIPS_SCHEMA_WITH_BYTES,
+    )
+    q.awaitTermination(180)
+    v = spark.read.parquet(str(tmp_path / "out_bytes") + "/violations")
+    got = {(r["rule_id"], r["clip_id"]) for r in v.collect()}
+    assert ("B_SNR", "c_empty") in got
+    assert ("B_SNR", "c_ok") not in got
+
+
 def test_cumulative_drift_sketch_stream(spark, tmp_path):
     """Sketch accumulation across micro-batches: a partition that looks
     clean after batch 1 drifts once batch 2's shifted rows merge in —

@@ -64,6 +64,9 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"unknown query names (nothing was checked): {sorted(unknown)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -74,8 +77,9 @@ def main():
         if name not in oracles:
             print(f"{name:34s} rows-only  spark={len(srows)}")
             continue
-        ocols = [d[0] for d in con.execute(oracles[name]).description]
-        orows = con.execute(oracles[name]).fetchall()
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
         sc, sr = norm_rows(scols, [tuple(r) for r in srows])
         oc, orr = norm_rows(ocols, orows)
         status = "OK"

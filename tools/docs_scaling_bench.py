@@ -111,11 +111,15 @@ def main() -> None:
     root = docs_cache(args.rows)
 
     def launch(cpus: int) -> dict:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             "--cpus", str(cpus), "--root", root, "--repeats", str(args.repeats)],
-            capture_output=True, text=True, check=True,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 "--cpus", str(cpus), "--root", root, "--repeats", str(args.repeats)],
+                capture_output=True, text=True, check=True,
+            )
+        except subprocess.CalledProcessError as e:
+            sys.stderr.write(e.stderr or "")  # surface the child traceback
+            raise
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     n, n4 = args.n, args.n * 4

@@ -42,10 +42,16 @@ def run_once(cpus: int, rows: int, repeats: int = 3) -> dict:
         BENCH_REPEATS=str(repeats),
         BENCH_WARMUP_FRAC="0.3",
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, check=True,
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        )
+    except subprocess.CalledProcessError as e:
+        # surface the child's Spark traceback — a swallowed stderr turns a
+        # failed multi-minute evidence run into an undiagnosable exit code
+        sys.stderr.write(e.stderr or "")
+        raise
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -90,8 +96,9 @@ def main() -> None:
         f"**Scaling efficiency N→4N (local[{n}]→local[{n4}]): {efficiency:.2f}**"
         + ("  — meets the ≥0.8 criterion" if efficiency >= 0.8 else "  — below 0.8"),
         "",
-        f"Violation sets identical across all parallelism levels: "
-        f"{len({r['violations'] for r in filter(None, [rn, rn4, rctx])}) == 1}.",
+        f"Violation multisets identical across all parallelism levels "
+        f"(count + order-insensitive xxhash64 row hash): "
+        f"{len({(r['violations'], r.get('violations_hash')) for r in filter(None, [rn, rn4, rctx])}) == 1}.",
         "",
         "Why N=2 vs 4N=8 on this host: each Spark task thread pairs with a",
         "python UDF worker, so local[k] actively uses ~2k of the 32 vCPUs —",
@@ -129,7 +136,9 @@ def main() -> None:
         "efficiency": round(efficiency, 3),
         "context_cores": args.context_cores,
         "context_clips_per_sec": rctx["clips_per_sec"] if rctx else None,
-        "violations_match": len({r["violations"] for r in filter(None, [rn, rn4, rctx])}) == 1,
+        "violations_match": len(
+            {(r["violations"], r.get("violations_hash")) for r in filter(None, [rn, rn4, rctx])}
+        ) == 1,
     }))
 
 
