@@ -21,10 +21,24 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# ONE explicit whitespace set shared by the engine, the DuckDB oracle SQL,
+# and the pandas golden gate: ASCII \s plus NEL, NBSP, OGHAM, the Unicode
+# space separators, LINE/PARA separators, NNBSP, MMSP, and full-width
+# U+3000. Java's and RE2's \s are ASCII-only while Python's is Unicode —
+# an enumerated class keeps all three engines byte-identical on inputs
+# like a transcript that is only a no-break space.
+WHITESPACE_CHARS = (
+    "\t\n\x0b\f\r \u0085\u00a0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+WHITESPACE_CLASS = "[" + WHITESPACE_CHARS + "]"
+
+
 def is_blank(c: Column | str) -> Column:
-    """NULL, empty, or whitespace-only (incl. full-width U+3000)."""
+    """NULL, empty, or whitespace-only (incl. full-width U+3000, NBSP)."""
     col = _col(c)
-    stripped = F.regexp_replace(col.cast("string"), r"[\s　]+", "")
+    stripped = F.regexp_replace(col.cast("string"), WHITESPACE_CLASS + "+", "")
     return col.isNull() | (stripped == F.lit(""))
 
 

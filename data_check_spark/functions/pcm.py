@@ -52,7 +52,9 @@ def audio_features(decoded: np.ndarray, sr_hz: int) -> tuple[float, float, float
     if decoded.size == 0 or sr_hz <= 0:
         return float("nan"), float("nan"), float("nan")
     x = decoded.astype(np.float64)
-    clip_ratio = float(np.mean(np.abs(decoded) >= 32767))
+    # abs on the float copy: int16 abs(-32768) overflows back to -32768,
+    # which would never count full-scale-negative samples as clipped.
+    clip_ratio = float(np.mean(np.abs(x) >= 32767.0))
     rms = float(np.sqrt(np.mean(x * x)))
     rms_db = 20.0 * np.log10(rms / 32767.0) if rms > 0 else float("-inf")
     signs = np.signbit(x)

@@ -1394,11 +1394,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _profile_col_sql(col: str, render: str, blank: str | None) -> str:
+    from data_check_spark.functions.blank import WHITESPACE_CLASS
+
     nb = (
-        # Mirrors functions/blank.py is_blank: any \\s run plus full-width
-        # U+3000 (trim() would be ASCII-space only).
+        # The engine-shared explicit whitespace class (functions/blank.py):
+        # RE2's \\s is ASCII-only, so the set is enumerated identically on
+        # both engines (trim() would be ASCII-space only).
         f"count(*) FILTER (WHERE {col} IS NOT NULL AND "
-        f"regexp_replace({col}, '[\\s　]+', '', 'g') = '')"
+        f"regexp_replace({col}, '{WHITESPACE_CLASS}+', '', 'g') = '')"
         if blank == "string"
         else "CAST(NULL AS BIGINT)"
     )

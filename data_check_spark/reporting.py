@@ -65,11 +65,14 @@ def with_messages(violations: DataFrame, catalog: RuleCatalog) -> DataFrame:
     """Broadcast-join the rule catalog to resolve display messages
     (user message > name > rule id — the reference's override chain)."""
     spark = violations.sparkSession
-    rows = [(r.rule_id, r.message or r.name or r.rule_id, r.severity) for r in catalog]
+    rows = [(r.rule_id, catalog.message_for(r.rule_id), r.severity) for r in catalog]
     msgs = F.broadcast(
         spark.createDataFrame(rows, "rule_id string, message string, severity string")
     )
-    return violations.join(msgs, "rule_id", "left").withColumn(
+    # replace semantics: re-enriching an already-enriched frame is a no-op
+    # rather than an AMBIGUOUS_REFERENCE error
+    base = violations.drop("message", "severity")
+    return base.join(msgs, "rule_id", "left").withColumn(
         "message", F.coalesce(F.col("message"), F.col("rule_id"))
     )
 
@@ -79,7 +82,14 @@ def export_csv(df: DataFrame, path: str, *, single_file: bool = True) -> None:
     Excel opens Japanese text correctly). Spark's csv writer has no BOM
     option; for the single-file export path we coalesce(1) and prepend the
     BOM to the part file."""
-    if single_file and "://" in path and not path.startswith("file:"):
+    import re as _re
+    from urllib.parse import urlparse
+
+    # Scheme detection must catch single-slash URIs too (hdfs:/x is a valid
+    # Hadoop URI): anything with a scheme other than file is not local.
+    m = _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]+:", path)
+    scheme = m.group(0)[:-1].lower() if m else ""
+    if single_file and scheme not in ("", "file"):
         # The BOM prepend below runs on the driver's local filesystem; on
         # hdfs://-/s3a:// it would silently no-op and deliver a BOM-less
         # file — the one thing this function exists to guarantee.
@@ -95,7 +105,9 @@ def export_csv(df: DataFrame, path: str, *, single_file: bool = True) -> None:
         import glob
         import os
 
-        for part in glob.glob(os.path.join(path, "part-*.csv")):
+        # glob needs the OS path, not the file: URI Spark accepted above
+        local_dir = urlparse(path).path if scheme == "file" else path
+        for part in glob.glob(os.path.join(local_dir, "part-*.csv")):
             tmp = part + ".bom"
             with open(part, "rb") as src:
                 head = src.read(3)
@@ -151,12 +163,19 @@ def quarantine_split(
     quarantine nothing: they indict a partition, not a row; act on them
     via the verdicts table. ``rule_ids`` optionally limits which rules
     quarantine (e.g. exclude warning-severity rules).
+
+    Input rows whose ``id_col`` is NULL are ALWAYS quarantined: a keyless
+    row cannot be joined against the violation set, so it can never be
+    certified clean (and a NULL primary key is itself the defect the id
+    rules exist to catch) — routing it downstream as clean would ship the
+    very rows most in need of repair.
     """
     bad = violations.filter(F.col("clip_id").isNotNull())
     if rule_ids is not None:
         bad = bad.filter(F.col("rule_id").isin(rule_ids))
     keys = bad.select(F.col("clip_id").alias("_qkey")).distinct()
     cond = F.col(id_col).cast("string") == F.col("_qkey")
-    quarantined = df.join(keys, cond, "left_semi")
-    clean = df.join(keys, cond, "left_anti")
+    null_id = F.col(id_col).isNull()
+    quarantined = df.join(keys, cond, "left_semi").unionByName(df.filter(null_id))
+    clean = df.join(keys, cond, "left_anti").filter(~null_id)
     return clean, quarantined

@@ -72,17 +72,21 @@ def audio_catalog(
               "observed_expr": "concat('len=', byte_len)"},
              name="payload byte count must match sr_hz x capped duration x 2 (pcm16)"),
         # --- audio quality (features precomputed in the same wide pass) -----
+        # observed scores are integer-quantized (CLAUDE.md: %.Nf on computed
+        # doubles is not engine-portable at representation-boundary ties)
         Rule("AUDIO_CLIPPING", "cross_column", None,
              {"expr": "clip_ratio IS NOT NULL AND clip_ratio > 0.001",
-              "observed_expr": "concat('clip_ratio=', format_string('%.4f', clip_ratio))"},
+              "observed_expr": "concat('clip_ratio_q4=', cast(floor(clip_ratio * 10000 + 0.5) as bigint))"},
              name="decoded audio must not be digitally clipped"),
         Rule("AUDIO_SILENCE", "cross_column", None,
              {"expr": "byte_len > 0 AND rms_db IS NOT NULL AND rms_db < -60.0",
-              "observed_expr": "concat('rms_db=', format_string('%.1f', rms_db))"},
+              # greatest(): all-zero samples give rms_db = -inf, which an
+              # ANSI bigint cast would reject
+              "observed_expr": "concat('rms_db_q1=', cast(floor(greatest(rms_db, -9999.0) * 10 + 0.5) as bigint))"},
              name="non-empty audio must not be silent"),
         Rule("AUDIO_FREQ_MISMATCH", "cross_column", None,
              {"expr": "freq_err_ratio IS NOT NULL AND freq_err_ratio > 0.12",
-              "observed_expr": "concat('freq_err=', format_string('%.3f', freq_err_ratio))"},
+              "observed_expr": "concat('freq_err_q3=', cast(floor(freq_err_ratio * 1000 + 0.5) as bigint))"},
              name="zero-crossing frequency estimate must match the reference tone"),
         # --- set-oriented ----------------------------------------------------
         Rule("CLIP_ID_UNIQUE", "unique", "clip_id",

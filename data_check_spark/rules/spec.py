@@ -91,7 +91,10 @@ class Rule:
     rule_id: str
     kind: str
     column: str | None = None
-    params: dict[str, Any] = field(default_factory=dict)
+    # hash=False: the generated __hash__ would TypeError on the dict field,
+    # making every set()/dict-key use of Rule blow up despite frozen=True.
+    # Equality still includes params.
+    params: dict[str, Any] = field(default_factory=dict, hash=False)
     # SQL boolean expr; rule only applies where gate is TRUE (reference's
     # "active member" gates, e.g. stdKaiyaku==False, dekispart.py:154).
     gate: str | None = None
@@ -112,7 +115,9 @@ class Rule:
             "rule_id": self.rule_id,
             "kind": self.kind,
             "column": self.column,
-            "params": self.params,
+            # copy: the caller mutating the exported dict must not reach
+            # back into this frozen rule's params
+            "params": dict(self.params),
             "gate": self.gate,
             "severity": self.severity,
             "name": self.name,

@@ -104,12 +104,15 @@ def validate_schema(df: DataFrame, expected: T.StructType, *, strict_nullability
     ``COLUMN_MISSING_ERROR`` escalation (reference: dekispart.py:1151-1157).
     """
     problems: list[str] = []
-    actual = {f.name: f for f in df.schema.fields}
+    # case-insensitive name match — Spark resolves columns case-insensitively
+    # under the default spark.sql.caseSensitive=false, so a table with
+    # 'CLIP_ID' works in every query and must pass pre-flight too
+    actual = {f.name.lower(): f for f in df.schema.fields}
     for f in expected.fields:
-        if f.name not in actual:
+        if f.name.lower() not in actual:
             problems.append(f"missing column: {f.name}")
             continue
-        a = actual[f.name]
+        a = actual[f.name.lower()]
         if a.dataType.simpleString() != f.dataType.simpleString():
             problems.append(
                 f"type mismatch on {f.name}: expected {f.dataType.simpleString()}, got {a.dataType.simpleString()}"

@@ -35,7 +35,11 @@ ALLOWED_CODECS = set(datagen.CODECS)
 def _blank(v) -> bool:
     if v is None or (isinstance(v, float) and pd.isna(v)):
         return True
-    return re.sub(r"[\s　]+", "", str(v)) == ""
+    # the engine-shared explicit class, NOT python \s: the reference
+    # implementation must strip exactly the same whitespace set
+    from data_check_spark.functions.blank import WHITESPACE_CLASS
+
+    return re.sub(WHITESPACE_CLASS + "+", "", str(v)) == ""
 
 
 def _audio_metrics(b, cid, sr, dur):
