@@ -40,6 +40,12 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
+    clash = set(values) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"values {sorted(clash)} collide with left columns — alias them "
+            "on the right side first (the output would carry duplicate names)"
+        )
     # The right payload travels as ONE struct: the carry-forward then always
     # reflects a single matched right ROW — a NULL field inside the matched
     # row stays NULL instead of being backfilled per-column from an older
@@ -55,9 +61,14 @@ def asof_join(
         *[F.col(c) for c in lcols],
         F.lit(None).cast(rv_type).alias("_rv"),
     )
-    # Right rows with a NULL timestamp can never match (ts >= NULL is never
-    # true) — drop them so they can't seed the carry.
-    r = right.filter(F.col(right_ts).isNotNull()).select(
+    # Right rows with a NULL timestamp or NULL key can never match under
+    # equality-join semantics (the window's partitionBy would otherwise
+    # group NULL keys TOGETHER and hand NULL-key left rows a payload that a
+    # SQL ASOF JOIN — the oracle — would never produce) — drop both so they
+    # can't seed the carry. NULL-key left rows then keep NULL values.
+    r = right.filter(
+        F.col(right_ts).isNotNull() & F.col(right_key).isNotNull()
+    ).select(
         F.col(right_key).alias("_key"),
         F.col(right_ts).cast("timestamp").alias("_ts"),
         F.lit(0).alias("_src"),

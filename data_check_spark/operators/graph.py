@@ -51,9 +51,13 @@ def connected_components(
 
     Raises ``RuntimeError`` if ``max_iter`` rounds don't reach the fixpoint
     (component labels would be incomplete — fail loudly, never silently)."""
+    # NULL ids can't be graph nodes: a NULL src would adopt its neighbor's
+    # label and emit a phantom (NULL, component) member that inflates
+    # cluster sizes downstream.
+    p = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        p.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(p.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)  # reused every round — cut the upstream plan once
     )

@@ -131,6 +131,22 @@ def column_profile(
     return wide.select(*head, F.explode(per_col).alias("p")).select(*head, "p.*")
 
 
+def _require_dyadic(percentiles: tuple[float, ...]) -> None:
+    for p in percentiles:
+        if (p * 4) != int(p * 4):
+            raise ValueError(f"percentile {p} is not a quarter; contract is exact-only")
+
+
+def _finite(c: Column) -> Column:
+    """NULL out NaN/±Inf so they are ignored like NULL.
+
+    Spark 4 runs ANSI mode by default: ``round(NaN*scale).cast('long')``
+    throws CAST_OVERFLOW and aborts the whole profiling job on one bad
+    computed score — non-finite values must degrade like NULLs instead."""
+    d = c.cast("double")
+    return F.when(F.isnan(d) | (F.abs(d) == float("inf")), F.lit(None)).otherwise(c)
+
+
 def numeric_quantiles(
     df: DataFrame,
     columns: list[str],
@@ -149,13 +165,12 @@ def numeric_quantiles(
 
     Dyadic percentiles only (k/4): anything else makes the interpolation
     fraction non-representable and the cross-engine contract ulp-fragile.
+    NaN/±Inf inputs are ignored like NULLs (ANSI-safe, see ``_finite``).
     """
-    for p in percentiles:
-        if (p * 4) != int(p * 4):
-            raise ValueError(f"percentile {p} is not a quarter; contract is exact-only")
+    _require_dyadic(percentiles)
     pcts = F.array(*[F.lit(float(p)) for p in percentiles])
     aggs = [
-        F.percentile(F.round(F.col(c) * scale).cast("long"), pcts).alias(c)
+        F.percentile(F.round(_finite(F.col(c)) * scale).cast("long"), pcts).alias(c)
         for c in columns
     ]
     wide = df.agg(*aggs)
@@ -187,11 +202,17 @@ def value_histogram(
     w = round(bin_width * scale)
     if w <= 0:
         raise ValueError(f"bin_width too small for scale={scale}: {bin_width}")
-    q = F.round(F.col(column) * scale).cast("long")
-    bin_ = F.floor(q / w).cast("long")
+    qdf = (
+        df.select(_finite(F.col(column)).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select(F.round(F.col("_v") * scale).cast("long").alias("_q"))
+    )
+    # Exact integer floor division: (_q - pmod(_q, w)) is an exact multiple
+    # of w, so DIV is the true floor quotient even beyond 2^53 — a double
+    # division there rounds the quotient and can flip boundary bins.
+    bin_ = F.expr(f"(_q - pmod(_q, {w})) DIV {w}")
     return (
-        df.filter(F.col(column).isNotNull())
-        .groupBy(bin_.alias("bin"))
+        qdf.groupBy(bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("bin_lo_scaled", F.col("bin") * w)
         .select("bin", "bin_lo_scaled", "n")
@@ -219,14 +240,12 @@ def quantile_drift(
     is operators/drift.py (t-digest + treeAggregate); this operator is the
     batch-audit counterpart with exact values.
     """
-    for p in percentiles:
-        if (p * 4) != int(p * 4):
-            raise ValueError(f"percentile {p} is not a quarter; contract is exact-only")
+    _require_dyadic(percentiles)
     pcts = F.array(*[F.lit(float(p)) for p in percentiles])
     q = (
         df.rollup(group_col)
         .agg(
-            F.percentile(F.round(F.col(value_col) * scale).cast("long"), pcts).alias("qs"),
+            F.percentile(F.round(_finite(F.col(value_col)) * scale).cast("long"), pcts).alias("qs"),
             F.grouping(group_col).alias("_g"),
         )
         # The tiny rollup output feeds BOTH the baseline and the group
@@ -252,9 +271,13 @@ def quantile_drift(
     out = joined.select(F.explode(rows).alias("r")).select("r.*")
     # greatest(abs(base),1): a zero baseline quantile would make drift_bp
     # NULL (and a negative one would flip its sign), so threshold filters
-    # downstream would silently never fire.
+    # downstream would silently never fire. The div/mod identity (see
+    # group_volume_deviation) keeps every intermediate ≤ the diff itself —
+    # the naive diff*10000 overflows int64 once |diff| > 9.2e14.
     drift_bp = F.expr(
-        "(abs(q_scaled - base_scaled) * 10000) div greatest(abs(base_scaled), 1)"
+        "(abs(q_scaled - base_scaled) div greatest(abs(base_scaled), 1)) * 10000"
+        " + ((abs(q_scaled - base_scaled) % greatest(abs(base_scaled), 1)) * 10000)"
+        " div greatest(abs(base_scaled), 1)"
     )
     return out.withColumn("drift_bp", drift_bp)
 

@@ -53,10 +53,12 @@ def interval_join(
         "_ib",
         F.explode(F.sequence(_bucket_of(start), _bucket_of(end))),
     )
+    # Side-qualified refs: bare F.col would be AMBIGUOUS_REFERENCE whenever
+    # the two tables share a column name (e.g. both keyed 'clip_id').
     cond = (
-        (F.col(point_key) == F.col(interval_key))
-        & (F.col("_pb") == F.col("_ib"))
-        & (F.col(ts).cast("timestamp") >= F.col(start).cast("timestamp"))
-        & (F.col(ts).cast("timestamp") <= F.col(end).cast("timestamp"))
+        (p[point_key] == i[interval_key])
+        & (p["_pb"] == i["_ib"])
+        & (p[ts].cast("timestamp") >= i[start].cast("timestamp"))
+        & (p[ts].cast("timestamp") <= i[end].cast("timestamp"))
     )
     return p.join(i, cond, "inner").drop("_pb", "_ib")

@@ -1545,7 +1545,12 @@ g2 AS (SELECT l_returnflag, qs FROM q WHERE g = 0)
 SELECT g2.l_returnflag AS group_value, CAST(p.percentile AS DOUBLE) AS percentile,
        CAST(g2.qs[p.i]*4 AS BIGINT) AS q_scaled,
        CAST(b.bqs[p.i]*4 AS BIGINT) AS base_scaled,
-       (abs(CAST(g2.qs[p.i]*4 AS BIGINT) - CAST(b.bqs[p.i]*4 AS BIGINT)) * 10000)
+       -- div/mod identity (mirrors profile.quantile_drift): intermediates
+       -- stay <= the diff, so no int64 overflow at large magnitudes
+       (abs(CAST(g2.qs[p.i]*4 AS BIGINT) - CAST(b.bqs[p.i]*4 AS BIGINT))
+           // greatest(abs(CAST(b.bqs[p.i]*4 AS BIGINT)), 1)) * 10000
+       + (abs(CAST(g2.qs[p.i]*4 AS BIGINT) - CAST(b.bqs[p.i]*4 AS BIGINT))
+           % greatest(abs(CAST(b.bqs[p.i]*4 AS BIGINT)), 1)) * 10000
            // greatest(abs(CAST(b.bqs[p.i]*4 AS BIGINT)), 1) AS drift_bp
 FROM g2, b, (VALUES (1, 0.25), (2, 0.5), (3, 0.75)) p(i, percentile)
 ORDER BY group_value, percentile
@@ -1604,12 +1609,17 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HISTOGRAM_SQL = """
-SELECT CAST(floor(CAST(round(o_totalprice*100) AS BIGINT) / 2500000) AS BIGINT) AS bin,
-       CAST(floor(CAST(round(o_totalprice*100) AS BIGINT) / 2500000) AS BIGINT) * 2500000
-           AS bin_lo_scaled,
+-- exact integer floor division (mirrors profile.value_histogram): subtract
+-- the positive modulus, then integer-divide the exact multiple — no double
+-- quotient that could flip boundary bins beyond 2^53
+WITH t AS (
+    SELECT CAST(round(o_totalprice*100) AS BIGINT) AS q
+    FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT (q - ((q % 2500000) + 2500000) % 2500000) // 2500000 AS bin,
+       ((q - ((q % 2500000) + 2500000) % 2500000) // 2500000) * 2500000 AS bin_lo_scaled,
        count(*) AS n
-FROM orders
-WHERE o_totalprice IS NOT NULL
+FROM t
 GROUP BY 1
 ORDER BY bin
 """

@@ -127,3 +127,35 @@ def test_asof_null_timestamps_never_match(spark):
                                   values=["payload"], direction=direction).collect()}
         assert out["e1"] == e1_want
         assert out["e2"] is None
+
+
+def test_asof_null_keys_never_match(spark):
+    """NULL keys don't join to each other (equality semantics, matching the
+    DuckDB ASOF JOIN oracle): NULL-key left rows keep NULL values."""
+    left = spark.createDataFrame(
+        [("e1", None, _ts("2026-01-01T12:00:00"))],
+        "event_id string, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts("2026-01-01T10:00:00"), "ghost")],
+        "k int, rts timestamp, payload string",
+    )
+    out = asof_join(left, right, left_key="k", right_key="k",
+                    left_ts="ts", right_ts="rts", values=["payload"]).collect()
+    assert out[0]["payload"] is None
+
+
+def test_asof_value_collision_rejected(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [("e1", 1, _ts("2026-01-01T12:00:00"), "x")],
+        "event_id string, k int, ts timestamp, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2026-01-01T10:00:00"), "y")],
+        "k int, rts timestamp, payload string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, left_key="k", right_key="k",
+                  left_ts="ts", right_ts="rts", values=["payload"])

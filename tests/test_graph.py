@@ -64,3 +64,15 @@ def test_cc_plan_no_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_null_ids_excluded_from_components(spark):
+    """A NULL endpoint is not a node: no phantom (NULL, component) row."""
+    from data_check_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(None, 5), (5, 6)], "id_a int, id_b int"
+    )
+    rows = connected_components(pairs).collect()
+    assert all(r["node"] is not None for r in rows)
+    assert {(r["node"], r["component"]) for r in rows} == {(5, 5), (6, 5)}

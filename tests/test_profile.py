@@ -202,3 +202,19 @@ def test_rolling_hash_matches_reference_and_extends(spark):
     for ch in "suffix":
         h = (h * 31 + ord(ch)) % 1_000_000_007
     assert h == got[5]
+
+
+def test_profile_nonfinite_ignored_like_null(spark):
+    """NaN/Inf values are ignored (ANSI mode would otherwise abort the job
+    on round(NaN).cast('long'))."""
+    from data_check_spark.operators.profile import numeric_quantiles, value_histogram
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (float("nan"),), (float("inf"),), (None,)],
+        "x double",
+    )
+    h = {r["bin"]: r["n"] for r in value_histogram(df, "x", bin_width=1.0, scale=1).collect()}
+    assert sum(h.values()) == 3  # only the finite rows
+    q = {r["percentile"]: r["q_scaled"] for r in
+         numeric_quantiles(df, ["x"], percentiles=(0.5,), scale=1).collect()}
+    assert q[0.5] == 2 * 4  # median of {1,2,3}, quarter-units
