@@ -198,19 +198,22 @@ def transcript_match_violations(
     Missing dim rows are NOT flagged here (that's the referential rule);
     this rule fires for joined rows whose UTF-8 encodings differ, with a
     NULL on either side comparing as the empty string (the engine-wide
-    blank coercion) — so NULL vs '' is equal, NULL vs 'text' fires.
-    Null-presence itself is the not_null family's job.
+    blank coercion, ``blank.bytes_differ``) — so NULL vs '' is equal,
+    NULL vs 'text' fires. Null-presence itself is the not_null family's
+    job. Blank fact keys are exempt (same convention as every referential
+    operator and the fused join path — a fresh run and a resume run must
+    emit identical violations).
     """
+    from data_check_spark.functions.blank import bytes_differ, is_present
+
     dim = transcripts.select(F.col(dim_key).alias("_dk"), F.col(ref_text).alias("_ref"))
     if dim_rows is not None and dim_rows <= 5_000_000:
         dim = F.broadcast(dim)
     part = F.col(partition_col) if partition_col else F.lit(None).cast("string")
+    fact = df.filter(is_present(fact_key))
     return (
-        df.join(dim, df[fact_key] == F.col("_dk"), "inner")
-        .filter(
-            F.encode(F.coalesce(F.col(fact_text), F.lit("")), "UTF-8")
-            != F.encode(F.coalesce(F.col("_ref"), F.lit("")), "UTF-8")
-        )
+        fact.join(dim, fact[fact_key] == F.col("_dk"), "inner")
+        .filter(bytes_differ(F.col(fact_text), F.col("_ref")))
         .select(
             F.lit(rule_id).alias("rule_id"),
             F.col(fact_key).cast("string").alias("clip_id"),

@@ -20,19 +20,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Java∩RE2-portable patterns (ASCII word boundaries; no lookaround).
+# IP octets are range-checked (0-255) so '999.999.999.999' is not redacted;
+# dotted numerics with in-range parts (section/version numbers like 1.2.3.4)
+# still match — excluding them needs lookbehind, which RE2 lacks, and
+# over-redaction there is the safer failure mode for training text.
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
-    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ip", rf"\b{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}\b", "<IP>"),
 ]
 
 
 def pii_counts(text: Column) -> list[Column]:
-    """One ``n_<class>`` count column per PII class."""
-    return [
-        F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
+    """One ``n_<class>`` count column per PII class.
+
+    Each class is counted on text with the PRIOR classes already tokenized
+    (same order as :func:`redact`), so a span nested inside an earlier
+    class — a phone-shaped local part in an email — counts once, as the
+    class that consumes it, and the counts reconcile with the tokens in
+    the redacted output."""
+    cols: list[Column] = []
+    cur = text
+    for name, pat, token in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return cols
 
 
 def redact(text: Column) -> Column:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_check_spark.functions.blank import is_present
+from data_check_spark.functions.blank import bytes_differ, is_present
 
 # Dim-size boundary for the broadcast-vs-sort-merge decision (north_rule).
 # 1M string keys ≈ 30MB serialized: comfortably broadcastable; above that the
@@ -39,6 +39,37 @@ def _maybe_broadcast(dim_keys: DataFrame, dim_rows: int | None) -> DataFrame:
     return dim_keys
 
 
+def _membership_violations(
+    df: DataFrame,
+    dim: DataFrame,
+    rule_id: str,
+    how: str,
+    *,
+    fact_key: str,
+    dim_key: str,
+    id_col: str,
+    partition_col: str | None,
+    gate,
+    dim_rows: int | None,
+) -> DataFrame:
+    """Shared body of the anti (key absent) / semi (key present) rules —
+    one implementation so the two directions can't drift apart."""
+    dim_keys = _maybe_broadcast(dim.select(F.col(dim_key).alias("_dk")).dropDuplicates(), dim_rows)
+    fact = df.filter(is_present(fact_key))
+    if gate is not None:
+        fact = fact.filter(gate)
+    part = F.col(partition_col) if partition_col else F.lit(None).cast("string")
+    return (
+        fact.join(dim_keys, fact[fact_key] == F.col("_dk"), how)
+        .select(
+            F.lit(rule_id).alias("rule_id"),
+            F.col(id_col).cast("string").alias("clip_id"),
+            part.alias("partition"),
+            F.col(fact_key).cast("string").alias("observed"),
+        )
+    )
+
+
 def anti_join_violations(
     df: DataFrame,
     dim: DataFrame,
@@ -52,19 +83,10 @@ def anti_join_violations(
     dim_rows: int | None = None,
 ) -> DataFrame:
     """Fact rows whose key has NO match in the dimension (FK violation)."""
-    dim_keys = _maybe_broadcast(dim.select(F.col(dim_key).alias("_dk")).dropDuplicates(), dim_rows)
-    fact = df.filter(is_present(fact_key))
-    if gate is not None:
-        fact = fact.filter(gate)
-    part = F.col(partition_col) if partition_col else F.lit(None).cast("string")
-    return (
-        fact.join(dim_keys, fact[fact_key] == F.col("_dk"), "left_anti")
-        .select(
-            F.lit(rule_id).alias("rule_id"),
-            F.col(id_col).cast("string").alias("clip_id"),
-            part.alias("partition"),
-            F.col(fact_key).cast("string").alias("observed"),
-        )
+    return _membership_violations(
+        df, dim, rule_id, "left_anti",
+        fact_key=fact_key, dim_key=dim_key, id_col=id_col,
+        partition_col=partition_col, gate=gate, dim_rows=dim_rows,
     )
 
 
@@ -81,19 +103,10 @@ def semi_join_violations(
     dim_rows: int | None = None,
 ) -> DataFrame:
     """Fact rows whose key IS in the (forbidden) dimension set."""
-    dim_keys = _maybe_broadcast(dim.select(F.col(dim_key).alias("_dk")).dropDuplicates(), dim_rows)
-    fact = df.filter(is_present(fact_key))
-    if gate is not None:
-        fact = fact.filter(gate)
-    part = F.col(partition_col) if partition_col else F.lit(None).cast("string")
-    return (
-        fact.join(dim_keys, fact[fact_key] == F.col("_dk"), "left_semi")
-        .select(
-            F.lit(rule_id).alias("rule_id"),
-            F.col(id_col).cast("string").alias("clip_id"),
-            part.alias("partition"),
-            F.col(fact_key).cast("string").alias("observed"),
-        )
+    return _membership_violations(
+        df, dim, rule_id, "left_semi",
+        fact_key=fact_key, dim_key=dim_key, id_col=id_col,
+        partition_col=partition_col, gate=gate, dim_rows=dim_rows,
     )
 
 
@@ -193,10 +206,7 @@ def fused_dim_checks(
             F.when(
                 F.col("_fk").isNotNull()
                 & F.col("_dk").isNotNull()
-                & (
-                    F.encode(F.coalesce(F.col("_ftxt"), F.lit("")), "UTF-8")
-                    != F.encode(F.coalesce(F.col("_rtxt"), F.lit("")), "UTF-8")
-                ),
+                & bytes_differ(F.col("_ftxt"), F.col("_rtxt")),
                 F.struct(
                     F.lit(match_rule).alias("rule_id"),
                     F.col("_fk").cast("string").alias("clip_id"),

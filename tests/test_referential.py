@@ -58,3 +58,26 @@ def test_broadcast_strategy_in_plan(spark):
     plan_df = anti_join_violations(_fact(spark), _dim(spark, ["a"]), "FK", dim_rows=1)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_transcript_match_blank_keys_exempt(spark):
+    """Blank fact keys are exempt from the match rule in BOTH the standalone
+    operator and the fused join path — fresh and resume runs must agree."""
+    from data_check_spark.operators.audio import transcript_match_violations
+    from data_check_spark.operators.referential import fused_dim_checks
+
+    fact = spark.createDataFrame(
+        [("", "a", "p0"), ("c1", "b", "p0")],
+        "clip_id string, transcript string, partition string",
+    )
+    dim = spark.createDataFrame(
+        [("", "DIFFERENT"), ("c1", "b")],
+        "clip_id string, transcript_ref string",
+    )
+    standalone = transcript_match_violations(fact, dim, "M").collect()
+    assert standalone == []  # blank key exempt; c1 matches
+    fused = fused_dim_checks(
+        fact, dim, fact_key="clip_id", dim_key="clip_id",
+        match_rule="M", fact_text="transcript", ref_text="transcript_ref",
+    ).collect()
+    assert [r for r in fused if r["rule_id"] == "M"] == []
