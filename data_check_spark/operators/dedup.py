@@ -35,16 +35,69 @@ from data_check_spark.operators.text import fingerprints
 # ---------------------------------------------------------------------------
 
 
+
+def _bucket_pairs(
+    members: "DataFrame",
+    key_cols: list[str],
+    payload: str,
+    *,
+    max_bucket: int,
+    out_a: str,
+    out_b: str,
+) -> "DataFrame":
+    """Shared bucketed candidate pairing (minhash bands, simhash chunks,
+    LSH-ANN buckets): bucket members sorted + capped deterministically by id
+    order, intra-bucket a<b pairs, cross-bucket dedup. ONE implementation so
+    a capping/pairing fix can't drift across the three dedup routes.
+
+    ``members`` must carry ``_id`` and ``payload`` columns plus the bucket
+    ``key_cols``."""
+    buckets = (
+        members.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("_id"), F.col(payload)))).alias("m"))
+        .filter(F.size("m") > 1)
+        .select(F.slice("m", 1, max_bucket).alias("m"))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("m"),
+                            lambda a: F.transform(
+                                F.col("m"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"]["_id"] < p["b"]["_id"],
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a._id").alias("id_a"),
+            F.col("p.b._id").alias("id_b"),
+            F.col(f"p.a.{payload}").alias(out_a),
+            F.col(f"p.b.{payload}").alias(out_b),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def exact_duplicate_groups(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(fingerprint, n_docs, keep_id): one row per duplicated content value.
 
     keep_id = min doc id (first-wins, reference: dekispart.py:1088-1092).
+    NULL text (no content → NULL fingerprint) is not "duplicated content"
+    and is excluded — otherwise the rows view, whose equi-join can never
+    match a NULL key, would disagree with the groups view on totals.
     """
     fp = fingerprints(df, id_col=id_col, text_col=text_col)
     return (
-        fp.groupBy("fingerprint")
+        fp.filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
     )
@@ -53,12 +106,25 @@ def exact_duplicate_groups(
 def exact_duplicate_rows(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, fingerprint, keep_id): every non-canonical duplicate row."""
-    fp = fingerprints(df, id_col=id_col, text_col=text_col)
-    groups = exact_duplicate_groups(df, id_col=id_col, text_col=text_col)
+    """(doc_id, fingerprint, keep_id): every non-canonical duplicate row.
+
+    ONE scan: group stats come from window functions over the fingerprint
+    partition instead of joining a separate aggregation back to a second
+    scan of the corpus (the text column is the dominant IO at scale)."""
+    from pyspark.sql.window import Window
+
+    fp = fingerprints(df, id_col=id_col, text_col=text_col).filter(
+        F.col("fingerprint").isNotNull()
+    )
+    w = Window.partitionBy("fingerprint")
     return (
-        fp.join(groups, "fingerprint")
-        .filter(F.col(id_col) != F.col("keep_id"))
+        fp.select(
+            F.col(id_col),
+            "fingerprint",
+            F.count(F.lit(1)).over(w).alias("_n"),
+            F.min(id_col).over(w).alias("keep_id"),
+        )
+        .filter((F.col("_n") > 1) & (F.col(id_col) != F.col("keep_id")))
         .select(id_col, "fingerprint", "keep_id")
     )
 
@@ -166,6 +232,14 @@ def minhash_lsh_pairs(
     64 hit exact decimal-rounding ties (k ≡ 2 mod 4), where Java HALF_UP and
     C half-even disagree — integer quantization is tie-free (CLAUDE.md).
     """
+    if not 1 <= bands <= num_perm or num_perm % bands:
+        # bands > num_perm would make rows = 0 (every band hash a constant →
+        # one giant silently-truncated bucket); a non-divisor would silently
+        # ignore the trailing permutations during candidate generation.
+        raise ValueError(
+            f"bands must divide num_perm, 1 <= bands <= num_perm "
+            f"(got bands={bands}, num_perm={num_perm})"
+        )
     rows = num_perm // bands
 
     def _band_hash(b: Column) -> Column:
@@ -188,35 +262,11 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    # Bucket members, capped: a pathological bucket (empty docs, boilerplate)
-    # is truncated deterministically by id order — logged, not silently vast.
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_list(F.struct(F.col("_id"), F.col("signature")))).alias("m"))
-        .filter(F.size("m") > 1)
-        .select(F.slice("m", 1, max_bucket).alias("m"))
-    )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("m"),
-                            lambda a: F.transform(F.col("m"), lambda b: F.struct(a.alias("a"), b.alias("b"))),
-                        )
-                    ),
-                    lambda p: p["a"]["_id"] < p["b"]["_id"],
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.a._id").alias("id_a"),
-            F.col("p.b._id").alias("id_b"),
-            F.col("p.a.signature").alias("sig_a"),
-            F.col("p.b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # Bucket members capped: a pathological bucket (empty docs, boilerplate)
+    # is truncated deterministically by id order (shared _bucket_pairs).
+    pairs = _bucket_pairs(
+        banded, ["band", "bh"], "signature",
+        max_bucket=max_bucket, out_a="sig_a", out_b="sig_b",
     )
     n_agree = F.size(
         F.filter(
@@ -263,29 +313,38 @@ def simhash_64(
     ``portable=True`` swaps the token hash for the 60-bit md5 prefix (DuckDB
     oracle parity). Bits 60-63 of every hash are then 0, so those simhash
     bits always vote negative and land 0 — identical in both engines."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    from data_check_spark.operators.text import _tokens
+
+    # engine-wide tokenization (empty/NULL text → empty array → simhash 0,
+    # not one phantom '' token voting on every bit)
+    toks = _tokens(text_col)
     if portable:
         hashes = F.transform(toks, lambda t: _portable_hash60(t))
     else:
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    @F.pandas_udf("long")
-    def vote(hs: pd.Series) -> pd.Series:
-        out = np.zeros(len(hs), dtype=np.int64)
-        for i, arr in enumerate(hs):
-            if arr is None or len(arr) == 0:
-                continue
-            a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            # bits: (n_tokens, 64) sign votes
-            bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-            votes = (2 * bits - 1).sum(axis=0)
-            sh = np.bitwise_or.reduce(
-                np.where(votes > 0, np.uint64(1) << np.arange(64, dtype=np.uint64), np.uint64(0))
-            )
-            out[i] = np.int64(np.uint64(sh).astype(np.int64))
-        return pd.Series(out)
+    def vote(batches):
+        # mapInPandas, not a scalar pandas_udf: identical numpy work measured
+        # ~12x faster here at high parallelism (CLAUDE.md)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, arr in enumerate(pdf["_h"]):
+                if arr is None or len(arr) == 0:
+                    continue
+                a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                # bits: (n_tokens, 64) sign votes
+                bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+                votes = (2 * bits - 1).sum(axis=0)
+                sh = np.bitwise_or.reduce(
+                    np.where(votes > 0, np.uint64(1) << np.arange(64, dtype=np.uint64), np.uint64(0))
+                )
+                out[i] = np.int64(np.uint64(sh).astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
-    return df.select(F.col(id_col), vote(hashes).alias("simhash"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col), hashes.alias("_h")).mapInPandas(
+        vote, schema=f"{id_col} {id_type}, simhash long"
+    )
 
 
 def simhash_near_pairs(
@@ -331,33 +390,9 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))
-    buckets = (
-        chunked.groupBy("chunk", "ck")
-        .agg(F.sort_array(F.collect_list(F.struct(F.col("_id"), F.col("simhash")))).alias("m"))
-        .filter(F.size("m") > 1)
-        .select(F.slice("m", 1, max_bucket).alias("m"))
-    )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("m"),
-                            lambda a: F.transform(F.col("m"), lambda b: F.struct(a.alias("a"), b.alias("b"))),
-                        )
-                    ),
-                    lambda p: p["a"]["_id"] < p["b"]["_id"],
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.a._id").alias("id_a"),
-            F.col("p.b._id").alias("id_b"),
-            F.col("p.a.simhash").alias("sh_a"),
-            F.col("p.b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = _bucket_pairs(
+        chunked, ["chunk", "ck"], "simhash",
+        max_bucket=max_bucket, out_a="sh_a", out_b="sh_b",
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (

@@ -158,7 +158,11 @@ def frame_sample_plan(
     from metadata only — JVM expressions, no decode. The downstream decode
     of each planned frame goes through ``extract_features``."""
     dur = F.coalesce(F.element_at(F.col("meta"), "dur_ms").cast("long"), F.lit(0))
-    n = F.least(F.floor(dur / F.lit(every_ms)) + 1, F.lit(max_frames))
+    # ceil, not floor+1: every planned ts must be < dur_ms (a video's valid
+    # range is [0, dur)) — floor+1 planned a frame AT dur_ms whenever the
+    # duration was divisible by every_ms, and one frame for dur_ms=0/unknown
+    # metadata; ceil plans zero frames there instead.
+    n = F.least(F.ceil(dur / F.lit(every_ms)), F.lit(max_frames))
     # Guard n >= 1: sequence(0, -1) DESCENDS (Spark defaults step -1 when
     # stop < start), so bad metadata (negative dur_ms) would plan bogus
     # negative-timestamp frames instead of zero frames.

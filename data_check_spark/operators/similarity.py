@@ -152,36 +152,12 @@ def lsh_near_dup_pairs(
             *[sig.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(multiprobe)],
         )
     )
+    from data_check_spark.operators.dedup import _bucket_pairs
+
     exploded = v.select("_id", "_v", F.explode(probes).alias("_bucket"))
-    buckets = (
-        exploded.groupBy("_bucket")
-        .agg(F.sort_array(F.collect_list(F.struct(F.col("_id"), F.col("_v")))).alias("m"))
-        .filter(F.size("m") > 1)
-        .select(F.slice("m", 1, max_bucket).alias("m"))
-    )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("m"),
-                            lambda a: F.transform(
-                                F.col("m"), lambda b: F.struct(a.alias("a"), b.alias("b"))
-                            ),
-                        )
-                    ),
-                    lambda p: p["a"]["_id"] < p["b"]["_id"],
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.a._id").alias("id_a"),
-            F.col("p.b._id").alias("id_b"),
-            F.col("p.a._v").alias("_va"),
-            F.col("p.b._v").alias("_vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = _bucket_pairs(
+        exploded, ["_bucket"], "_v",
+        max_bucket=max_bucket, out_a="_va", out_b="_vb",
     )
     sim = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
     return (
@@ -226,7 +202,11 @@ def ivf_ann_topk(
     centroids = [c.tolist() for c in model.clusterCenters()]
 
     def _sq_dist(vec: Column, center: list[float]) -> Column:
-        c_arr = F.array(*[F.lit(float(x)) for x in center])
+        # ONE SQL array literal per centroid — element-wise F.lit in a loop
+        # is a py4j round trip per element (CLAUDE.md), ~dim x n_lists round
+        # trips per query build. 'D' suffix pins DOUBLE (bare decimals parse
+        # as DECIMAL literals).
+        c_arr = F.expr("array(" + ",".join(f"{float(x)!r}D" for x in center) + ")")
         return F.aggregate(
             F.zip_with(vec, c_arr, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),

@@ -279,12 +279,14 @@ def rolling_hash(
     / streamed fingerprinting at scale wants.
     """
     t = F.col(text_col)
-    # sequence(1, 0) would DESCEND ([1, 0]) — guard the empty string.
-    chars = F.when(F.length(t) == 0, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(1), F.length(t))
-    )
+    # split('') walks the string ONCE into a char array; folding over
+    # per-index substr(i, 1) re-scans the UTF-8 bytes from the start to
+    # locate codepoint i, making the fold O(n²) per document. The filter
+    # drops split's trailing '' element (limit=-1 keeps it), which would
+    # otherwise fold one extra zero step and change every hash.
+    chars = F.filter(F.split(t, ""), lambda c: c != F.lit(""))
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
-        lambda h, i: (h * base + F.ascii(t.substr(i, F.lit(1)))) % mod,
+        lambda h, c: (h * base + F.ascii(c)) % mod,
     )

@@ -731,8 +731,10 @@ def _simhash_oracle_sql(*, max_hamming: int = 6, max_bucket: int = 256) -> str:
     )
     return f"""
 WITH toks AS (
+  -- empty/NULL text tokenizes to NOTHING (engine contract: simhash 0 via
+  -- the union branch below), not one phantom '' token
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-  FROM documents
+  FROM documents WHERE text IS NOT NULL AND trim(text) != ''
 ),
 h AS (
   SELECT doc_id, cast(('0x' || substr(md5(t), 1, 15)) AS bigint) AS h FROM toks
@@ -746,6 +748,9 @@ sh AS (
   SELECT doc_id,
          cast(coalesce(sum(CASE WHEN v > 0 THEN (1::bigint << b::int) END), 0) AS bigint) AS simhash
   FROM votes GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, cast(0 AS bigint) AS simhash
+  FROM documents WHERE text IS NULL OR trim(text) = ''
 ),
 chunks AS (
   SELECT doc_id, (simhash >> lo) & mask AS ck, c
