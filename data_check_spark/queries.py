@@ -971,7 +971,12 @@ def quarantine_clean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is small). n_quarantined is carried as a column so the oracle also
     value-checks the quarantined-side cardinality."""
     orders = _t(spark, sf_dir, "orders")
-    v = row_rules_orders(spark, sf_dir)
+    # The violation frame feeds BOTH sides of the split (the quarantined
+    # count and the clean anti-join); without a checkpoint the whole rules
+    # pass over orders re-executes under each action. localCheckpoint (not
+    # persist — CLAUDE.md: persist compiles without AQE) runs it once; the
+    # checkpointed frame is violations-only, a tiny fraction of the input.
+    v = row_rules_orders(spark, sf_dir).localCheckpoint()
     clean, quarantined = _rep.quarantine_split(orders, v, "o_orderkey")
     n_q = quarantined.count()  # O(1) driver scalar for the contract column
     return (
