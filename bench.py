@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "token_stats_documents",
     "quality_score_documents",
     "lang_id_documents",
+    "audio_stats_documents",
     "ann_cosine_topk",
     "lsh_ann_embeddings",
     "lsh_embedding_near_dup",

@@ -221,3 +221,107 @@ def transcript_match_violations(
             F.substring(F.coalesce(F.col(fact_text), F.lit("<null>")), 1, 64).alias("observed"),
         )
     )
+
+
+def synth_square_pcm(
+    df: DataFrame,
+    *,
+    n_col: str = "n",
+    lead_col: str = "lead",
+    amp_col: str = "amp",
+    half_period_col: str = "k",
+    out_col: str = "bytes",
+) -> DataFrame:
+    """Deterministic int16-LE square-wave payloads from per-row parameters.
+
+    ``lead`` zero samples, then a ±``amp`` square wave alternating sign
+    every ``half_period`` samples (starting positive), as little-endian
+    int16 bytes. Chosen over a sine for test payloads because every stat a
+    consumer computes from the BYTES has an exact integer closed form in
+    (n, lead, amp, half_period) — which is what lets a SQL oracle
+    value-check the real byte-decode path (:func:`pcm_stats`,
+    queries.audio_stats_documents) without itself decoding audio.
+
+    One mapInPandas stage; per-row numpy synthesis inside the Arrow batch
+    (CLAUDE.md: per-row small arrays beat one concatenated array on this
+    host, and variable-length payloads force a per-row loop anyway).
+    """
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, {out_col} binary"
+
+    def run(batches):
+        for pdf in batches:
+            payloads: list[bytes] = []
+            for n, lead, amp, k in zip(
+                pdf[n_col], pdf[lead_col], pdf[amp_col], pdf[half_period_col]
+            ):
+                n, lead, amp, k = int(n), int(lead), int(amp), max(int(k), 1)
+                wave_len = max(n - lead, 0)
+                j = np.arange(wave_len, dtype=np.int64)
+                wave = np.where((j // k) % 2 == 0, amp, -amp)
+                x = np.concatenate([np.zeros(max(lead, 0), dtype=np.int64), wave])
+                payloads.append(x.astype("<i2").tobytes())
+            out = pdf.copy()
+            out[out_col] = payloads
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def pcm_stats(df: DataFrame, *, bytes_col: str = "bytes", keep: list[str] | None = None) -> DataFrame:
+    """Integer-exact per-clip QC stats decoded from raw int16-LE PCM bytes.
+
+    Emits (n_samples, lead_silence, peak_abs, dc_sum, energy) — the raw
+    int64 sufficient statistics behind the usual audio QC screens: silence
+    padding (lead_silence), DC offset (dc_sum / n_samples), digital
+    clipping / true peak (peak_abs), RMS loudness (rms_dbfs =
+    10·log10(energy/n_samples) − 20·log10(32767) is a pure display
+    transform of these columns). Exact integer arithmetic end-to-end so
+    results hash-compare across engines, runs, and partitionings — floats
+    would reintroduce summation-order hazards (see queries.py portability
+    rules). NULL or odd-length payloads (undecodable as int16) yield NULL
+    stats rather than a crash; ``abs`` runs on an int64 copy (the int16
+    ``abs(-32768)`` overflow trap — peak_abs of a full-scale-negative
+    sample is 32768, not -32768).
+
+    ``keep``: passthrough columns (default: everything but ``bytes`` —
+    like the engine's wide pass, the binary column dies here).
+    """
+    kept = keep if keep is not None else [f.name for f in df.schema.fields if f.name != bytes_col]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in kept
+    )
+    schema = (
+        f"{fields}, n_samples bigint, lead_silence bigint, peak_abs bigint,"
+        " dc_sum bigint, energy bigint"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            m = len(pdf)
+            n_s: list[int | None] = [None] * m
+            lead_s: list[int | None] = [None] * m
+            peak_s: list[int | None] = [None] * m
+            dc_s: list[int | None] = [None] * m
+            en_s: list[int | None] = [None] * m
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for i in range(m):
+                b = payloads[i]
+                if b is None or len(b) % 2 != 0:
+                    continue
+                x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                nz = np.flatnonzero(x)
+                n_s[i] = x.size
+                lead_s[i] = int(nz[0]) if nz.size else x.size
+                peak_s[i] = int(np.abs(x).max()) if x.size else 0
+                dc_s[i] = int(x.sum())
+                en_s[i] = int((x * x).sum())
+            out = pdf[kept].copy()
+            out["n_samples"] = pd.array(n_s, dtype="Int64")
+            out["lead_silence"] = pd.array(lead_s, dtype="Int64")
+            out["peak_abs"] = pd.array(peak_s, dtype="Int64")
+            out["dc_sum"] = pd.array(dc_s, dtype="Int64")
+            out["energy"] = pd.array(en_s, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

@@ -1509,6 +1509,66 @@ def rolling_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_hash("text").alias("rhash")).orderBy("doc_id")
 
 
+# The audio-payload decode path, oracle-checked: synthesize a deterministic
+# int16 square-wave payload per doc (params are md5-derived integers, the
+# same portable-hash family as the MinHash/LSH oracles), push the BYTES
+# through the real mapInPandas decode (operators/audio.pcm_stats), and have
+# DuckDB compute what every stat MUST be from the integer closed forms —
+# the oracle never decodes audio, yet value-checks byte synthesis, int16-LE
+# decode, silence/peak/DC/energy arithmetic, and the Arrow batch contract
+# end-to-end. Closed forms: the wave alternates ±amp every k samples
+# starting positive, so energy = (n-lead)·amp², peak = amp, and the DC sum
+# of the remainder r = (n-lead) mod 2k is (min(r,k) − max(r−k,0))·amp
+# (full periods cancel).
+_AUDIO_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         800 + CAST(('0x' || substr(md5(doc_id || ':n'), 1, 15)) AS BIGINT) % 1600 AS n,
+         CAST(('0x' || substr(md5(doc_id || ':l'), 1, 15)) AS BIGINT) % 200 AS lead,
+         1000 + CAST(('0x' || substr(md5(doc_id || ':a'), 1, 15)) AS BIGINT) % 31000 AS amp,
+         4 + CAST(('0x' || substr(md5(doc_id || ':k'), 1, 15)) AS BIGINT) % 28 AS half_k
+  FROM documents
+)
+SELECT doc_id,
+       n AS n_samples,
+       lead AS lead_silence,
+       amp AS peak_abs,
+       (least((n - lead) % (2 * half_k), half_k)
+        - greatest((n - lead) % (2 * half_k) - half_k, 0)) * amp AS dc_sum,
+       (n - lead) * amp * amp AS energy
+FROM p
+"""
+
+
+@register("audio_stats_documents", _AUDIO_STATS_SQL)
+def audio_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact audio QC stats over real synthesized PCM bytes.
+
+    The clip-engine queries can't be oracle-checked (the driver's DuckDB
+    views don't carry the synthetic clip table), so this query puts the
+    audio DECODE path itself under the value-level oracle: per-row square
+    waves with md5-derived (n, lead, amp, half-period) are synthesized as
+    int16-LE bytes and decoded back by operators/audio.pcm_stats; DuckDB
+    verifies every stat against the analytic closed form."""
+    from data_check_spark.operators import audio as _audio
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+
+    def h(tag: str) -> F.Column:
+        return _dedup._portable_hash60(F.concat(sid, F.lit(tag)))
+
+    params = docs.select(
+        "doc_id",
+        (F.lit(800) + h(":n") % 1600).alias("n"),
+        (h(":l") % 200).alias("lead"),
+        (F.lit(1000) + h(":a") % 31000).alias("amp"),
+        (F.lit(4) + h(":k") % 28).alias("k"),
+    )
+    pcm = _audio.synth_square_pcm(params)
+    return _audio.pcm_stats(pcm, keep=["doc_id"])
+
+
 _ROLLING_HOUR_SQL = """
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
