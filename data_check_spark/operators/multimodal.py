@@ -197,3 +197,35 @@ def synthetic_media_df(spark, n_rows: int, *, seed: str = "media") -> DataFrame:
         ).alias("meta"),
         F.format_string("p%02d", F.pmod(h, F.lit(16)).cast("int")).alias("partition"),
     )
+
+
+def portable_media_df(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Media fixture with ENGINE-PORTABLE synthesis (MEDIA_SCHEMA shape).
+
+    Same contract as :func:`synthetic_media_df` but every derived field is
+    md5-prefix arithmetic over an existing id column (the portable-hash
+    family the MinHash/LSH oracles use) instead of xxhash64, so a DuckDB
+    oracle can recompute media_type / NULL-payload routing / n_bytes
+    analytically and value-check ``extract_features``'s error-as-data
+    contract end-to-end (queries.media_feature_extract). Payload text is
+    ``blob_`` + a 5..32-char md5-hex prefix — pure ASCII, so byte length ==
+    char length in both engines.
+    """
+    sid = F.col(id_col).cast("string")
+    hx = F.md5(F.encode(F.concat(sid, F.lit(":media")), "UTF-8"))
+    h = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (h % 3 + 1).cast("int"),
+    )
+    payload_str = F.concat(F.lit("blob_"), hx.substr(F.lit(1), (F.lit(5) + h % 28).cast("int")))
+    payload = F.when(h % 97 == 0, F.lit(None).cast("binary")).otherwise(
+        F.encode(payload_str, "UTF-8")
+    )
+    return docs.select(
+        F.concat(F.lit("m_"), sid).alias("media_id"),
+        mtype.alias("media_type"),
+        payload.alias("payload"),
+        F.create_map(F.lit("dur_ms"), (h % 30000 + 500).cast("string")).alias("meta"),
+        F.format_string("p%02d", (h % 16).cast("int")).alias("partition"),
+    )

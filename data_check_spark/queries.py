@@ -901,11 +901,38 @@ def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
-@register("media_feature_extract")
-def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_check_spark.operators.multimodal import extract_features, synthetic_media_df
+# DuckDB recomputes the portable media fixture's derived fields and the
+# extract_features error-as-data contract analytically: a NULL payload
+# (h % 97 == 0) must come back ok=false / 'empty payload' / n_bytes=0, any
+# other payload ok=true with n_bytes = 10 + h % 28 ('blob_' + a 5..32-char
+# ASCII hex prefix). The sha256 stub feature vector is dropped from the
+# compared columns — it is the documented decode seam, not a contract.
+_MEDIA_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id || ':media'), 1, 15)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT 'm_' || doc_id AS media_id,
+       CASE h % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       h % 97 <> 0 AS ok,
+       CASE WHEN h % 97 = 0 THEN 'empty payload' END AS error,
+       CASE WHEN h % 97 = 0 THEN 0 ELSE 10 + h % 28 END AS n_bytes
+FROM m
+ORDER BY media_id
+"""
 
-    media = synthetic_media_df(spark, 2000)
+
+@register("media_feature_extract", _MEDIA_FEATURES_SQL)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction with the error-as-data
+    contract oracle-checked: the portable fixture's NULL-payload rows must
+    surface as (ok=false, 'empty payload', 0) and every real payload's
+    n_bytes must match the analytic length — proving the mapInPandas
+    plumbing, not the (stubbed) codec."""
+    from data_check_spark.operators.multimodal import extract_features, portable_media_df
+
+    media = portable_media_df(_t(spark, sf_dir, "documents").select("doc_id"))
     return extract_features(media).select(
         "media_id", "media_type", "ok", "error", "n_bytes"
     ).orderBy("media_id")

@@ -140,3 +140,43 @@ def test_frame_plan_bad_duration_plans_zero_frames(spark):
         by_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
     assert "m1" not in by_id
     assert sorted(by_id["m2"]) == [(0, 0), (1, 1000), (2, 2000)]
+
+
+def test_portable_media_df_matches_python_md5(spark):
+    """Engine-independent recompute of the portable fixture: hashlib-derived
+    (media_type, NULL routing, payload length, partition) must equal the
+    Spark columns — the same cross-check discipline as the portable LSH and
+    audio-stats oracles."""
+    import hashlib
+
+    from data_check_spark.operators.multimodal import portable_media_df
+
+    ids = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    rows = {r["media_id"]: r for r in portable_media_df(ids).collect()}
+    assert len(rows) == 400
+    saw_null = False
+    for i in range(400):
+        hx = hashlib.md5(f"{i}:media".encode()).hexdigest()
+        h = int(hx[:15], 16)
+        r = rows[f"m_{i}"]
+        assert r["media_type"] == ["image", "audio", "video"][h % 3]
+        assert r["partition"] == f"p{h % 16:02d}"
+        assert r["meta"]["dur_ms"] == str(h % 30000 + 500)
+        if h % 97 == 0:
+            saw_null = True
+            assert r["payload"] is None
+        else:
+            assert bytes(r["payload"]).decode() == "blob_" + hx[: 5 + h % 28]
+    assert saw_null  # the NULL-payload seam must be exercised
+
+
+def test_media_feature_extract_flags_null_payloads(spark):
+    """The oracle-checked query shape: NULL payloads surface as error-data
+    rows with n_bytes=0; everything else is ok with the analytic length."""
+    from data_check_spark.operators.multimodal import extract_features, portable_media_df
+
+    ids = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    out = extract_features(portable_media_df(ids)).collect()
+    bad = [r for r in out if not r["ok"]]
+    assert bad and all(r["error"] == "empty payload" and r["n_bytes"] == 0 for r in bad)
+    assert all(10 <= r["n_bytes"] <= 37 for r in out if r["ok"])
