@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "quality_score_documents",
     "lang_id_documents",
     "audio_stats_documents",
+    "media_feature_extract",
     "ann_cosine_topk",
     "lsh_ann_embeddings",
     "lsh_embedding_near_dup",
