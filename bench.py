@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "lang_id_documents",
     "audio_stats_documents",
     "media_feature_extract",
+    "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",
     "lsh_embedding_near_dup",

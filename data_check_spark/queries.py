@@ -938,6 +938,196 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# --- the ENGINE itself under the oracle -------------------------------------
+# The three clips_* queries can't be value-checked by the driver (their
+# synthesized input has no DuckDB view), so this query rebuilds a clip-shaped
+# table PORTABLY (every column is md5-prefix arithmetic over documents.doc_id,
+# with violation bands planted the same way datagen plants them), runs the
+# REAL engine (engine.run_validation: wide pass, one-projection row rules,
+# shared salted uniqueness, fused anti+match dim join, verdict machinery) over
+# it with a bytes-free catalog, and has DuckDB re-derive the exact violation
+# multiset from first principles. This puts the engine's END-TO-END
+# composition — dispatch, rule fusion, blank-key exemptions, emission formats
+# — under the value-level oracle, complementing the per-family oracles
+# (row_rules_orders, dup_rows_orders, semi_anti_customers, ...) and the
+# pandas golden-multiset gate that covers the byte/drift rules.
+_PORTABLE_SR = [8000, 16000, 22050, 44100, 48000]
+_PORTABLE_CODECS = ["opus", "flac", "pcm_s16le", "mp3"]
+
+_CLIPS_ENGINE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id || ':band'), 1, 15)) AS BIGINT) % 100 AS band,
+         CAST(('0x' || substr(md5(doc_id || ':pool'), 1, 15)) AS BIGINT) % 8 AS pool,
+         substr(md5(doc_id || ':id'), 1, 16) AS id_hex,
+         CAST(('0x' || substr(md5(doc_id || ':sr'), 1, 15)) AS BIGINT) % 5 AS sr_i,
+         CAST(('0x' || substr(md5(doc_id || ':neg'), 1, 15)) AS BIGINT) % 100 AS neg,
+         CAST(('0x' || substr(md5(doc_id || ':big'), 1, 15)) AS BIGINT) % 1000 AS big,
+         CAST(('0x' || substr(md5(doc_id || ':dur'), 1, 15)) AS BIGINT) % 30000 AS durr,
+         CAST(('0x' || substr(md5(doc_id || ':c'), 1, 15)) AS BIGINT) % 4 AS ci,
+         CAST(('0x' || substr(md5(doc_id || ':p'), 1, 15)) AS BIGINT) % 8 AS pi
+  FROM documents
+), f0 AS (
+  SELECT band, pi,
+    CASE WHEN band < 4 THEN 'clip_' || substr(md5(pool || ':dpool'), 1, 16)
+         WHEN band < 7 THEN NULL
+         WHEN band < 10 THEN 'clip_' || upper(id_hex)
+         ELSE 'clip_' || id_hex END AS clip_id,
+    CASE WHEN band BETWEEN 10 AND 12 THEN 12345
+         ELSE CASE sr_i WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                        WHEN 3 THEN 44100 ELSE 48000 END END AS sr_hz,
+    CASE WHEN band BETWEEN 13 AND 14 THEN 0 - neg
+         WHEN band = 15 THEN 3600001 + big
+         ELSE 500 + durr END AS dur_ms,
+    CASE WHEN band BETWEEN 16 AND 18 THEN 'speex'
+         ELSE CASE ci WHEN 0 THEN 'opus' WHEN 1 THEN 'flac'
+                      WHEN 2 THEN 'pcm_s16le' ELSE 'mp3' END END AS codec
+  FROM p
+), f AS (
+  SELECT *, printf('p%02d', pi) AS partition,
+    CASE WHEN band BETWEEN 21 AND 23
+         THEN 'txt_' || substr(md5(clip_id || ':t'), 1, 12) || '_x'
+         ELSE 'txt_' || substr(md5(clip_id || ':t'), 1, 12) END AS transcript
+  FROM f0
+), dim AS (
+  SELECT DISTINCT clip_id, 'txt_' || substr(md5(clip_id || ':t'), 1, 12) AS transcript_ref
+  FROM f WHERE clip_id IS NOT NULL AND band NOT BETWEEN 19 AND 20
+), dups AS (
+  SELECT clip_id, count(*) AS c FROM f
+  WHERE clip_id IS NOT NULL GROUP BY clip_id HAVING count(*) > 1
+)
+SELECT 'PCLIP_NOT_NULL' AS rule_id, CAST(NULL AS VARCHAR) AS clip_id,
+       partition, '<blank>' AS observed
+FROM f WHERE clip_id IS NULL
+UNION ALL
+SELECT 'PCLIP_FORMAT', clip_id, partition, clip_id
+FROM f WHERE clip_id IS NOT NULL
+  AND NOT regexp_full_match(clip_id, '^clip_[0-9a-f]{16}$')
+UNION ALL
+SELECT 'PSR_WHITELIST', clip_id, partition, CAST(sr_hz AS VARCHAR)
+FROM f WHERE CAST(sr_hz AS VARCHAR) NOT IN ('8000','16000','22050','44100','48000')
+UNION ALL
+SELECT 'PDUR_RANGE', clip_id, partition, CAST(dur_ms AS VARCHAR)
+FROM f WHERE dur_ms < 1 OR dur_ms > 3600000
+UNION ALL
+SELECT 'PCODEC_WHITELIST', clip_id, partition, codec
+FROM f WHERE codec NOT IN ('opus','flac','pcm_s16le','mp3')
+UNION ALL
+SELECT 'PCLIP_UNIQUE', f.clip_id, f.partition, 'dup_count=' || CAST(d.c AS VARCHAR)
+FROM f JOIN dups d ON f.clip_id = d.clip_id
+UNION ALL
+SELECT 'PCLIP_DUP_VALUES', clip_id, CAST(NULL AS VARCHAR), 'dup_count=' || CAST(c AS VARCHAR)
+FROM dups
+UNION ALL
+SELECT 'PTRANSCRIPT_FK', clip_id, partition, clip_id
+FROM f WHERE clip_id IS NOT NULL AND clip_id NOT IN (SELECT clip_id FROM dim)
+UNION ALL
+SELECT 'PTRANSCRIPT_MATCH', f.clip_id, f.partition,
+       substr(coalesce(f.transcript, '<null>'), 1, 64)
+FROM f JOIN dim ON f.clip_id = dim.clip_id
+WHERE coalesce(f.transcript, '') <> coalesce(dim.transcript_ref, '')
+"""
+
+
+def _portable_clips(spark: SparkSession, sf_dir: str):
+    """(fact, transcripts-dim) clip tables derived portably from doc ids.
+
+    Violation bands (band = md5-long % 100, disjoint, mirroring datagen's
+    planted buckets): 0-3 duplicate-pool ids, 4-6 NULL ids, 7-9 bad-format
+    ids, 10-12 out-of-set sr_hz, 13-15 out-of-range dur_ms, 16-18
+    non-whitelisted codec, 19-20 missing dim row (FK), 21-23 transcript
+    mismatch; everything else clean. The dim is the distinct non-FK-band
+    key set with the canonical transcript — identical derivations inlined
+    in _CLIPS_ENGINE_SQL."""
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+
+    def h(tag: str) -> F.Column:
+        return _dedup._portable_hash60(F.concat(sid, F.lit(tag)))
+
+    band = h(":band") % 100
+    id_hex = F.substring(F.md5(F.encode(F.concat(sid, F.lit(":id")), "UTF-8")), 1, 16)
+    pool_hex = F.substring(
+        F.md5(F.encode(F.concat((h(":pool") % 8).cast("string"), F.lit(":dpool")), "UTF-8")), 1, 16
+    )
+    clip_id = (
+        F.when(band < 4, F.concat(F.lit("clip_"), pool_hex))
+        .when(band < 7, F.lit(None).cast("string"))
+        .when(band < 10, F.concat(F.lit("clip_"), F.upper(id_hex)))
+        .otherwise(F.concat(F.lit("clip_"), id_hex))
+    )
+    sr_hz = (
+        F.when(band.between(10, 12), F.lit(12345))
+        .otherwise(F.element_at(F.array(*[F.lit(s) for s in _PORTABLE_SR]),
+                                (h(":sr") % 5 + 1).cast("int")))
+    ).cast("int")
+    dur_ms = (
+        F.when(band.between(13, 14), F.lit(0) - h(":neg") % 100)
+        .when(band == 15, F.lit(3_600_001) + h(":big") % 1000)
+        .otherwise(F.lit(500) + h(":dur") % 30000)
+    ).cast("int")
+    codec = (
+        F.when(band.between(16, 18), F.lit("speex"))
+        .otherwise(F.element_at(F.array(*[F.lit(c) for c in _PORTABLE_CODECS]),
+                                (h(":c") % 4 + 1).cast("int")))
+    )
+    base = docs.select(
+        band.alias("_band"),
+        clip_id.alias("clip_id"),
+        sr_hz.alias("sr_hz"),
+        dur_ms.alias("dur_ms"),
+        codec.alias("codec"),
+        F.format_string("p%02d", (h(":p") % 8).cast("int")).alias("partition"),
+    )
+    canon = F.concat(
+        F.lit("txt_"),
+        F.substring(F.md5(F.encode(F.concat(F.col("clip_id"), F.lit(":t")), "UTF-8")), 1, 12),
+    )
+    base = base.withColumn(
+        "transcript",
+        F.when(F.col("_band").between(21, 23), F.concat(canon, F.lit("_x"))).otherwise(canon),
+    )
+    fact = base.select(
+        "clip_id",
+        F.lit(None).cast("binary").alias("bytes"),
+        "sr_hz", "dur_ms", "codec", "transcript", "partition",
+    )
+    dim = (
+        base.filter(~F.col("_band").between(19, 20) & F.col("clip_id").isNotNull())
+        .select("clip_id").distinct()
+        .withColumn("transcript_ref", canon)
+    )
+    return fact, dim
+
+
+@register("clips_validate_portable", _CLIPS_ENGINE_SQL)
+def clips_validate_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine run over the portable clip table — every violation row
+    value-checked by DuckDB (see _CLIPS_ENGINE_SQL header comment)."""
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    fact, dim = _portable_clips(spark, sf_dir)
+    catalog = RuleCatalog([
+        Rule("PCLIP_NOT_NULL", "not_null", "clip_id"),
+        Rule("PCLIP_FORMAT", "format", "clip_id", {"pattern": r"^clip_[0-9a-f]{16}$"}),
+        Rule("PSR_WHITELIST", "value_in_set", "sr_hz",
+             {"allowed": [str(s) for s in _PORTABLE_SR]}),
+        Rule("PDUR_RANGE", "range", "dur_ms", {"min": 1, "max": 3_600_000}),
+        Rule("PCODEC_WHITELIST", "value_in_set", "codec", {"allowed": _PORTABLE_CODECS}),
+        Rule("PCLIP_UNIQUE", "unique", "clip_id"),
+        Rule("PCLIP_DUP_VALUES", "aggregate_unique", "clip_id"),
+        Rule("PTRANSCRIPT_FK", "referential", "clip_id",
+             {"dim": "transcripts", "dim_key": "clip_id", "mode": "anti"}),
+        Rule("PTRANSCRIPT_MATCH", "transcript_match", "transcript",
+             {"dim": "transcripts", "dim_key": "clip_id", "ref_column": "transcript_ref"}),
+    ])
+    res = run_validation(
+        spark, fact, {"transcripts": dim}, catalog, run_ts="2024-01-01 00:00:00"
+    )
+    return res.violations
+
+
 # ---------------------------------------------------------------------------
 # 7. Result-reporting ops (reference UI surface: filter/search/sort/export,
 #    data_check.py:1112-1165) — applied to the orders violation stream.
