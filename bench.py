@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "lang_id_documents",
     "audio_stats_documents",
     "media_feature_extract",
+    "jsonl_ingest_documents",
+    "binaryfile_ingest_documents",
     "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",

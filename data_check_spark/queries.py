@@ -2190,3 +2190,127 @@ def decontamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     return decontaminate(train, eval_df, n=4)
+
+
+# ---------------------------------------------------------------------------
+# 9. Ingestion sources under the oracle (sources/jsonl.py, sources/media.py):
+#    both fixtures are derived portably from documents.doc_id (md5-prefix
+#    arithmetic, the _portable_hash60 family), written to a local staging
+#    dir by the query itself, and read back through the REAL distributed
+#    source — so DuckDB can recompute analytically what the ingest path
+#    must produce, including the corrupt-line / unknown-extension routing.
+
+def _fixture_dir(sf_dir: str, kind: str) -> str:
+    import hashlib as _hl
+
+    return f"/tmp/dcs_fixture_{kind}_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+
+
+# Clean rows must round-trip doc_id/lang/text EXACTLY through to_json →
+# text file → from_json; lines in the corrupt band (h % 23 == 0, written as
+# the non-JSON line 'CORRUPT <id>') must come back as all-NULL data columns
+# with the raw line preserved in the reject column.
+_JSONL_INGEST_SQL = """
+WITH p AS (
+  SELECT doc_id, lang, text,
+         CAST(('0x' || substr(md5(doc_id || ':jl'), 1, 15)) AS BIGINT) % 23 = 0 AS bad
+  FROM documents
+)
+SELECT doc_id, lang, text, true AS ok, CAST(NULL AS VARCHAR) AS raw
+FROM p WHERE NOT bad
+UNION ALL
+SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       false, 'CORRUPT ' || doc_id
+FROM p WHERE bad
+"""
+
+
+@register("jsonl_ingest_documents", _JSONL_INGEST_SQL)
+def jsonl_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus ingest end-to-end: documents serialized to a JSONL
+    staging dir (corrupt lines planted per the md5 band), read back through
+    sources/jsonl.read_jsonl (splittable text + from_json, PERMISSIVE),
+    value-checking both the clean round-trip and the error-as-data reject
+    routing."""
+    from data_check_spark.sources.jsonl import DEFAULT_CORRUPT_COL, read_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sid = F.col("doc_id").cast("string")
+    bad = _dedup._portable_hash60(F.concat(sid, F.lit(":jl"))) % 23 == 0
+    line = F.when(bad, F.concat(F.lit("CORRUPT "), sid)).otherwise(
+        F.to_json(F.struct("doc_id", "lang", "text"))
+    )
+    staging = _fixture_dir(sf_dir, "jsonl")
+    docs.select(line.alias("value")).write.mode("overwrite").text(staging)
+
+    df = read_jsonl(spark, staging, "doc_id bigint, lang string, text string")
+    return df.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.col(DEFAULT_CORRUPT_COL).isNull().alias("ok"),
+        F.col(DEFAULT_CORRUPT_COL).alias("raw"),
+    ).orderBy("doc_id", "raw")
+
+
+# One file per doc: shard dir s<h%4>, name d<doc_id>.<jpg|wav|mp4 by h%3>,
+# content 'blob_' + a 5..32-char md5-hex prefix — so media_type (extension
+# mapping), payload bytes, n_bytes (listing length column) and the shard
+# dir all have DuckDB closed forms.
+_BINARYFILE_INGEST_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         md5(doc_id || ':bf') AS hx,
+         CAST(('0x' || substr(md5(doc_id || ':bf'), 1, 15)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT 'd' || doc_id AS media_id,
+       CASE h % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       'blob_' || substr(hx, 1, CAST(5 + h % 28 AS INT)) AS content,
+       10 + h % 28 AS n_bytes,
+       's' || CAST(h % 4 AS VARCHAR) AS shard
+FROM m
+"""
+
+
+@register("binaryfile_ingest_documents", _BINARYFILE_INGEST_SQL)
+def binaryfile_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile media ingest end-to-end: one staged file per doc (sharded
+    subdirs, mixed extensions), read back through sources/media.read_media_dir
+    (recursive listing, extension→type mapping, lazy payload), every output
+    column value-checked against the md5 closed forms. The fixture WRITE is
+    driver-side (it materializes local files — not an operator path); the
+    read is the real distributed source."""
+    import hashlib as _hl
+    import os as _os
+
+    from data_check_spark.sources.media import read_media_dir
+
+    root = _fixture_dir(sf_dir, "media")
+    ids = [r[0] for r in _t(spark, sf_dir, "documents").select("doc_id").collect()]
+    marker = _os.path.join(root, "_DONE")
+    stamp = f"v1:{len(ids)}"
+    fresh = True
+    if _os.path.exists(marker):
+        with open(marker) as f:
+            fresh = f.read() != stamp
+    if fresh:
+        exts = ["jpg", "wav", "mp4"]
+        for i in ids:
+            hx = _hl.md5(f"{i}:bf".encode()).hexdigest()
+            h = int(hx[:15], 16)
+            sub = _os.path.join(root, f"s{h % 4}")
+            _os.makedirs(sub, exist_ok=True)
+            with open(_os.path.join(sub, f"d{i}.{exts[h % 3]}"), "wb") as f:
+                f.write(b"blob_" + hx[: 5 + h % 28].encode())
+        with open(marker, "w") as f:
+            f.write(stamp)
+
+    df = read_media_dir(spark, root)
+    return df.select(
+        "media_id",
+        "media_type",
+        F.decode("payload", "UTF-8").alias("content"),
+        "n_bytes",
+        F.col("rel_dir").alias("shard"),
+    ).orderBy("media_id")
