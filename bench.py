@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "media_feature_extract",
     "jsonl_ingest_documents",
     "binaryfile_ingest_documents",
+    "skew_report_orders",
     "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     ByteType,
     DateType,
@@ -394,4 +395,46 @@ def group_volume_deviation(df: DataFrame, group_col: str) -> DataFrame:
             )
             - F.lit(10000)
         ).alias("dev_bp"),
+    )
+
+
+def key_skew_report(df: DataFrame, key: str, *, top_n: int = 20) -> DataFrame:
+    """Hot-key report for a prospective shuffle key — the measurement that
+    decides WHETHER to salt (north_rule: "skew handled by salting hot
+    partitions and AQE skew-join splitting"); salting blind costs an extra
+    shuffle on every non-skewed key, so measure first.
+
+    Returns the ``top_n`` heaviest keys: ``(key, n_rows, share_ppm, rank)``
+    where ``share_ppm`` is the key's integer parts-per-million of total rows
+    (integer arithmetic — exact and hash-portable across engines, per the
+    repo's no-float-rendering rule). A key whose ``share_ppm`` exceeds
+    ~10^6 / shuffle-partitions is the one AQE will split or salting must
+    spread.
+
+    Plan shape: the raw table is scanned ONCE — per-key counts (one
+    partial+final hash aggregate) are eagerly materialized via
+    ``localCheckpoint``, and both consumers (grand total, top-N) read that
+    frame, which holds one row per distinct key: the minimal state an exact
+    answer needs. (A ``rollup`` that computes counts + total in one shuffle
+    looks cheaper but is NOT: Catalyst pushes each branch's grouping-set
+    filter below the aggregate and plans two full scans.) Top-N is
+    ``orderBy().limit()`` (TakeOrdered — no global sort materialization);
+    the rank window runs AFTER the limit, over ≤ ``top_n`` rows. Beyond
+    billions of distinct keys, trade exactness for a frequent-items sketch
+    upstream instead.
+    """
+    counts = (
+        df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows")).localCheckpoint()
+    )
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    top = counts.orderBy(F.desc("n_rows"), F.asc(key)).limit(top_n)
+    w = Window.orderBy(F.desc("n_rows"), F.asc(key))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "n_rows",
+            F.expr("n_rows * 1000000L div _total").alias("share_ppm"),
+        )
+        .withColumn("rank", F.row_number().over(w))
     )

@@ -2314,3 +2314,26 @@ def binaryfile_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.col("rel_dir").alias("shard"),
     ).orderBy("media_id")
+
+
+# Hot-key measurement feeding the salting decision (north_rule skew
+# handling). Integer ppm shares — no float rendering.
+_SKEW_REPORT_SQL = """
+WITH c AS (SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c),
+top AS (SELECT o_custkey, n_rows FROM c ORDER BY n_rows DESC, o_custkey LIMIT 20)
+SELECT o_custkey, n_rows,
+       n_rows * 1000000 // total AS share_ppm,
+       CAST(row_number() OVER (ORDER BY n_rows DESC, o_custkey) AS INT) AS rank
+FROM top, t
+"""
+
+
+@register("skew_report_orders", _SKEW_REPORT_SQL)
+def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest o_custkey values with integer ppm share — the
+    measurement behind 'salt this key or not' (operators/profile.py
+    key_skew_report; one rollup shuffle computes counts + total)."""
+    from data_check_spark.operators.profile import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_n=20)

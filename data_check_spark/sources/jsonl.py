@@ -44,6 +44,37 @@ from data_check_spark.sources.files import MissingColumnsError
 DEFAULT_CORRUPT_COL = "_corrupt_record"
 
 
+def _resolve_schema(
+    path: str,
+    schema: T.StructType | str,
+    required_columns: list[str] | None,
+    corrupt_col: str,
+) -> T.StructType:
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if required_columns:
+        missing = [c for c in required_columns if c not in schema.fieldNames()]
+        if missing:
+            raise MissingColumnsError(path, missing)
+    return T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+
+
+def _parse_lines(lines: DataFrame, full: T.StructType, corrupt_col: str) -> DataFrame:
+    return (
+        lines.filter(F.trim("value") != "")
+        .select(
+            F.from_json(
+                "value",
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+            ).alias("_j")
+        )
+        .select("_j.*")
+    )
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -58,27 +89,33 @@ def read_jsonl(
     clean rows, the raw offending line for malformed ones. Whitespace-only
     lines are skipped (the native JSON source's behavior).
     """
-    if isinstance(schema, str):
-        schema = T.StructType.fromDDL(schema)
-    if required_columns:
-        missing = [c for c in required_columns if c not in schema.fieldNames()]
-        if missing:
-            raise MissingColumnsError(path, missing)
-    full = T.StructType(
-        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
-    )
-    parsed = (
-        spark.read.text(path)
-        .filter(F.trim("value") != "")
-        .select(
-            F.from_json(
-                "value",
-                full,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
-            ).alias("_j")
-        )
-    )
-    return parsed.select("_j.*")
+    full = _resolve_schema(path, schema, required_columns, corrupt_col)
+    return _parse_lines(spark.read.text(path), full, corrupt_col)
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    required_columns: list[str] | None = None,
+    corrupt_col: str = DEFAULT_CORRUPT_COL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl` over a landing directory.
+
+    Corpus deliveries land as JSONL file drops; this turns them into a
+    Structured Streaming source with identical parse semantics — same
+    schema handling, same corrupt-record routing — so the downstream rule
+    projection / quality monitoring built for the batch frame runs
+    unchanged on arrivals (one parse contract, two runtimes, mirroring
+    streaming/incremental.py's design). ``max_files_per_trigger`` bounds
+    per-micro-batch work during backlog catch-up."""
+    full = _resolve_schema(path, schema, required_columns, corrupt_col)
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _parse_lines(reader.text(path), full, corrupt_col)
 
 
 def split_corrupt(

@@ -135,3 +135,31 @@ def test_binaryfile_feeds_multimodal_features(spark, tmp_path):
     feats = extract_features(media)
     got = {r.media_id: r.ok for r in feats.collect()}
     assert got == {"a": True, "b": True, "c": True, "d": True}
+
+
+def test_jsonl_streaming_ingest(spark, tmp_path):
+    # Same parse contract streaming: two file drops, corrupt routing intact.
+    from data_check_spark.sources.jsonl import stream_jsonl
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "drop1.jsonl").write_text(
+        json.dumps({"doc_id": 1, "lang": "en", "text": "a"}) + "\n" + "garbage\n"
+    )
+    (land / "drop2.jsonl").write_text(
+        json.dumps({"doc_id": 2, "lang": "fr", "text": "b"}) + "\n"
+    )
+    stream = stream_jsonl(spark, str(land), DOC_SCHEMA, max_files_per_trigger=1)
+    out = str(tmp_path / "parsed")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    clean, rejects = split_corrupt(got)
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+    assert [r.raw for r in rejects.collect()] == ["garbage"]

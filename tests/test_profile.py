@@ -218,3 +218,36 @@ def test_profile_nonfinite_ignored_like_null(spark):
     q = {r["percentile"]: r["q_scaled"] for r in
          numeric_quantiles(df, ["x"], percentiles=(0.5,), scale=1).collect()}
     assert q[0.5] == 2 * 4  # median of {1,2,3}, quarter-units
+
+
+def test_key_skew_report_planted_hot_key(spark):
+    from data_check_spark.operators.profile import key_skew_report
+
+    rows = [("hot",)] * 50 + [(f"k{i}",) for i in range(10)]
+    rep = key_skew_report(spark.createDataFrame(rows, "key string"), "key", top_n=3)
+    got = rep.collect()
+    assert [(r.key, r.n_rows, r.rank) for r in got] == [
+        ("hot", 50, 1), ("k0", 1, 2), ("k1", 1, 3)
+    ]
+    # integer ppm: 50/60 and 1/60, floored
+    assert got[0].share_ppm == 833333 and got[1].share_ppm == 16666
+
+
+def test_key_skew_report_single_scan(spark):
+    # The raw table must be aggregated once: the report plan reads the
+    # checkpointed counts frame, not the source (scan count == 0 here
+    # because the one real scan ran at checkpoint time).
+    from data_check_spark.operators.profile import key_skew_report
+
+    df = spark.range(1000).selectExpr("cast(id % 37 as string) AS key")
+    rep = key_skew_report(df, "key", top_n=5)
+    rep.collect()
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted"
+    )
+    # The source (Range) must be absent: every branch reads the
+    # checkpointed counts (Scan ExistingRDD), i.e. the aggregation over the
+    # raw table ran exactly once, at checkpoint time.
+    assert "Range" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert rep.count() == 5
