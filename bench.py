@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "jsonl_ingest_documents",
     "binaryfile_ingest_documents",
     "skew_report_orders",
+    "heavy_hitters_orders",
     "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",

@@ -2337,3 +2337,30 @@ def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators.profile import key_skew_report
 
     return key_skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_n=20)
+
+
+# Heavy hitters via per-partition Misra-Gries candidates + exact recount
+# (operators/sketches.heavy_hitters): the sketch only nominates candidates,
+# the reported counts are exact — so DuckDB's brute-force GROUP BY must
+# agree row-for-row despite the sketch in the middle.
+_HEAVY_HITTERS_SQL = """
+WITH c AS (SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1),
+t AS (SELECT count(*) AS total FROM orders)
+SELECT o_custkey, n_rows,
+       n_rows * 1000000 // total AS share_ppm,
+       CAST(row_number() OVER (ORDER BY n_rows DESC, o_custkey) AS INT) AS rank
+FROM c, t
+WHERE n_rows * 1000000 >= total * 1300
+"""
+
+
+@register("heavy_hitters_orders", _HEAVY_HITTERS_SQL)
+def heavy_hitters_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys above 1300 ppm of orders traffic, exact, without shuffling the
+    full distinct-key set (the beyond-billions sibling of
+    skew_report_orders)."""
+    from data_check_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "orders"), "o_custkey", threshold_ppm=1300, budget=2048
+    )
