@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "binaryfile_ingest_documents",
     "skew_report_orders",
     "heavy_hitters_orders",
+    "sequence_packing_documents",
+    "unigram_rarity_documents",
     "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",

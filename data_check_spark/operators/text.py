@@ -290,3 +290,68 @@ def rolling_hash(
         F.lit(0).cast("long"),
         lambda h, c: (h * base + F.ascii(c)) % mod,
     )
+
+
+def unigram_rarity(
+    df: DataFrame,
+    *,
+    vocab_size: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency (unigram-LM proxy) rarity signals per document.
+
+    CCNet-style quality filtering scores documents under a language model;
+    the exact-integer distributed core of that is: build the corpus unigram
+    vocabulary, keep the ``vocab_size`` most frequent tokens, and score each
+    document by how much of it falls outside that head. Output per row:
+
+    - ``n_tokens``   — lowercased whitespace tokens (0 for blank/NULL text)
+    - ``n_oov``      — tokens outside the top-``vocab_size`` head
+    - ``freq_mass``  — Σ corpus frequency of the document's in-vocab tokens
+      (the integer sufficient statistic of the unigram log-likelihood: the
+      float score is Σ ln(freq/N), recoverable offline; keeping the engine
+      output integer makes it bit-identical across engines)
+    - ``oov_bp``     — basis points of OOV tokens, integer-floored
+
+    Scale shape: the token-count aggregation shuffles (token, count) pairs
+    with map-side partial aggregation — counts only, never documents. The
+    vocabulary head is selected with ``orderBy().limit(k)`` which Spark
+    plans as TakeOrderedAndProject (per-partition top-k, then merge — no
+    global sort, no single-partition window). Scoring is a broadcast join
+    of the exploded tokens against the ≤``vocab_size``-row head, then one
+    re-aggregation keyed by ``id_col``. Ties at the vocabulary cutoff break
+    deterministically by (count desc, token asc).
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(F.transform(_tokens(text_col), F.lower)).alias("_tok"),
+    )
+    vocab = (
+        toks.filter(F.col("_tok").isNotNull())
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_tok_count"))
+        .orderBy(F.desc("_tok_count"), F.asc("_tok"))
+        .limit(vocab_size)
+    )
+    scored = toks.join(F.broadcast(vocab), "_tok", "left")
+    n_tokens = F.count("_tok")
+    n_oov = F.sum(
+        F.when(F.col("_tok").isNotNull() & F.col("_tok_count").isNull(), 1).otherwise(0)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            n_tokens.alias("n_tokens"),
+            n_oov.cast("long").alias("n_oov"),
+            F.sum(F.coalesce("_tok_count", F.lit(0))).cast("long").alias("freq_mass"),
+        )
+        .withColumn(
+            "oov_bp",
+            F.when(
+                F.col("n_tokens") > 0, F.expr("n_oov * 10000L div n_tokens")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )

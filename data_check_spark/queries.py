@@ -2364,3 +2364,83 @@ def heavy_hitters_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(
         _t(spark, sf_dir, "orders"), "o_custkey", threshold_ppm=1300, budget=2048
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): the distributed prefix sum must
+# reproduce DuckDB's single global window exactly — same offsets, same pack
+# boundaries, same spanning flags.
+_PACKING_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(CAST(sum(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS before
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       before // 2048 AS pack_id,
+       before % 2048 AS pack_offset,
+       CAST(CASE WHEN n_tokens > 0
+                  AND (before + n_tokens - 1) // 2048 > before // 2048
+            THEN 1 ELSE 0 END AS INT) AS spans_boundary
+FROM c
+"""
+
+
+@register("sequence_packing_documents", _PACKING_SQL)
+def sequence_packing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget pack assignment (budget 2048) for the whole corpus in
+    doc_id order — computed with the distributed prefix sum, never a global
+    single-partition window."""
+    from data_check_spark.operators.packing import pack_assignments
+
+    return pack_assignments(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+# Unigram corpus-frequency rarity (text.unigram_rarity): vocabulary head of
+# the 20 most frequent lowercased tokens (ties broken by token), then exact
+# integer OOV / frequency-mass statistics per document.
+_UNIGRAM_RARITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lower(t.tok) AS tok
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) t(tok)
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), counts AS (
+  SELECT tok, count(*) AS tok_count FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok, tok_count FROM (
+    SELECT tok, tok_count,
+           row_number() OVER (ORDER BY tok_count DESC, tok) AS r
+    FROM counts
+  ) WHERE r <= 20
+), per AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         sum(coalesce(v.tok_count, 0)) AS freq_mass
+  FROM toks t LEFT JOIN vocab v USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(coalesce(p.freq_mass, 0) AS BIGINT) AS freq_mass,
+       CAST(CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN p.n_oov * 10000 // p.n_tokens ELSE 0 END AS BIGINT) AS oov_bp
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("unigram_rarity_documents", _UNIGRAM_RARITY_SQL)
+def unigram_rarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity signals (unigram-LM proxy) against a
+    top-20-token vocabulary head."""
+    from data_check_spark.operators.text import unigram_rarity
+
+    return unigram_rarity(_t(spark, sf_dir, "documents"), vocab_size=20)

@@ -97,3 +97,47 @@ def test_bpe_ish_token_count_matches_python_re(spark):
     pat = re.compile(BPE_ISH_PATTERN)
     for doc_id, text in rows:
         assert got[doc_id] == len(pat.findall(text)), (doc_id, text)
+
+
+def test_unigram_rarity_hand_computed(spark):
+    from data_check_spark.operators.text import unigram_rarity
+
+    # corpus counts: a=4, b=3, c=2, d=1 → vocab_size=2 keeps {a, b}
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c A"), (3, "c d b a"), (4, None), (5, "  ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.freq_mass, r.oov_bp) for r in
+           unigram_rarity(df, vocab_size=2).collect()}
+    assert got == {
+        1: (3, 0, 4 + 4 + 3, 0),          # a a b — all in-vocab
+        2: (3, 1, 3 + 4, 3333),           # b c A → c is OOV; A lowercases
+        3: (4, 2, 3 + 4, 5000),           # c d OOV; b a in-vocab
+        4: (0, 0, 0, 0),                  # NULL text
+        5: (0, 0, 0, 0),                  # blank text
+    }
+
+
+def test_unigram_rarity_vocab_cutoff_tie_break(spark):
+    from data_check_spark.operators.text import unigram_rarity
+
+    # x and y both occur twice; vocab_size=1 must keep 'x' (token asc tie)
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "y x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_oov for r in unigram_rarity(df, vocab_size=1).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_unigram_rarity_plan_scale_shape(spark):
+    from data_check_spark.operators.text import unigram_rarity
+
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")], "doc_id long, text string")
+    plan = unigram_rarity(df, vocab_size=2)._jdf.queryExecution().executedPlan().toString()
+    # vocabulary head: per-partition top-k merge, not a global sort or a
+    # single-partition row_number window
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # scoring joins the ≤k-row head broadcast — the corpus never shuffles
+    # for the join
+    assert "BroadcastHashJoin" in plan
