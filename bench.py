@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "heavy_hitters_orders",
     "sequence_packing_documents",
     "unigram_rarity_documents",
+    "chunk_documents_corpus",
+    "top_bigrams_documents",
     "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",

@@ -355,3 +355,89 @@ def unigram_rarity(
             ).otherwise(F.lit(0).cast("long")),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunks per document (RAG / embedding prep).
+
+    Chunks start every ``chunk_tokens - overlap_tokens`` tokens; the last
+    chunk(s) may be shorter. Blank/NULL documents yield no chunks. One row
+    per chunk: ``(id, chunk_idx, start_token, n_chunk_tokens, chunk_text)``
+    with ``chunk_text`` re-joined on single spaces.
+
+    Scale: pure per-row JVM projection + explode — no shuffle, no Python;
+    output fan-out is ~``1/step`` rows per token, linear in corpus size.
+    """
+    step = chunk_tokens - overlap_tokens
+    if step <= 0:
+        raise ValueError(
+            f"chunk_tokens ({chunk_tokens}) must exceed overlap_tokens "
+            f"({overlap_tokens})"
+        )
+    toks = _tokens(text_col)
+    n = F.coalesce(F.size(toks), F.lit(0))
+    # sequence(0, -1) would DESCEND in Spark — gate on n > 0 explicitly
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("_start"))
+        .withColumn("_chunk", F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens))
+        .select(
+            F.col(id_col),
+            F.expr(f"_start div {step}").cast("long").alias("chunk_idx"),
+            F.col("_start").cast("long").alias("start_token"),
+            F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    *,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most frequent token bigrams.
+
+    The per-document sibling is ``repetition_stats`` (intra-doc repetition);
+    this is the corpus-level boilerplate detector: the same navigation bar /
+    license header shows up as a top bigram across millions of pages long
+    before any pairwise dedup runs.
+
+    Scale: bigrams are built per row JVM-side and aggregated with map-side
+    partial counts (only (bigram, count) pairs shuffle); the final top-n is
+    ``orderBy().limit(n)`` → TakeOrderedAndProject. The rank window runs on
+    ≤ ``top_n`` rows.
+    """
+    toks = _tokens(text_col)
+    n = F.coalesce(F.size(toks), F.lit(0))
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from pyspark.sql.window import Window
+
+    top = (
+        df.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+    return top.withColumn("rank", F.row_number().over(w))

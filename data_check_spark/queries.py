@@ -2444,3 +2444,64 @@ def unigram_rarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators.text import unigram_rarity
 
     return unigram_rarity(_t(spark, sf_dir, "documents"), vocab_size=20)
+
+
+# Sliding-window chunking (text.chunk_documents): the JVM explode must
+# reproduce DuckDB's unnest(range(...)) layout — same starts, same slices,
+# same re-joined chunk text.
+_CHUNKING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []::varchar[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, i AS start_token, toks[i + 1:i + 64] AS chunk
+  FROM toks, unnest(range(0, len(toks), 48)) t(i)
+)
+SELECT doc_id,
+       CAST(start_token // 48 AS BIGINT) AS chunk_idx,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c
+"""
+
+
+@register("chunk_documents_corpus", _CHUNKING_SQL)
+def chunk_documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap over the whole corpus."""
+    from data_check_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap_tokens=16
+    )
+
+
+# Corpus-wide top bigrams (text.top_ngrams): boilerplate detector.
+_TOP_BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN []::varchar[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), grams AS (
+  SELECT array_to_string(toks[i:i + 1], ' ') AS bigram
+  FROM toks, unnest(range(1, len(toks))) t(i)
+  WHERE len(toks) >= 2
+)
+SELECT bigram,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, bigram) AS INT) AS rank
+FROM grams
+GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT 20
+"""
+
+
+@register("top_bigrams_documents", _TOP_BIGRAMS_SQL)
+def top_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most frequent bigrams corpus-wide (deterministic tie-break)."""
+    from data_check_spark.operators.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), top_n=20)

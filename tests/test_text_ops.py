@@ -141,3 +141,52 @@ def test_unigram_rarity_plan_scale_shape(spark):
     # scoring joins the ≤k-row head broadcast — the corpus never shuffles
     # for the join
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_layout(spark):
+    from data_check_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, None), (4, " ")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=4, overlap_tokens=2).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.start_token, r.n_chunk_tokens, r.chunk_text)
+           for r in rows}
+    # doc1: 10 tokens, window 4, step 2 → starts 0,2,4,6,8
+    assert got[(1, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert got[(1, 3)] == (6, 4, "t6 t7 t8 t9")
+    assert got[(1, 4)] == (8, 2, "t8 t9")  # trailing short chunk
+    assert got[(2, 0)] == (0, 2, "a b")
+    # NULL / blank docs yield no chunks
+    assert {r.doc_id for r in rows} == {1, 2}
+
+
+def test_chunk_documents_overlap_guard(spark):
+    from data_check_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_chunk_documents_no_shuffle_no_python(spark):
+    from data_check_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    from data_check_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "b a x"), (4, None), (5, "solo")],
+        "doc_id long, text string",
+    )
+    got = [(r.bigram, r.n_occurrences, r.rank) for r in
+           top_ngrams(df, top_n=3).collect()]
+    # counts: 'a b'×3, 'b a'×2; tie between 'a x' and 'b c' (1 each)
+    # breaks alphabetically → 'a x' takes rank 3
+    assert got == [("a b", 3, 1), ("b a", 2, 2), ("a x", 1, 3)]
