@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "unigram_rarity_documents",
     "chunk_documents_corpus",
     "top_bigrams_documents",
+    "daily_volume_anomaly_events",
     "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",

@@ -2505,3 +2505,38 @@ def top_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators.text import top_ngrams
 
     return top_ngrams(_t(spark, sf_dir, "documents"), top_n=20)
+
+
+# Rolling volume-anomaly flags (operators/anomaly.py): the squared z-score
+# test is pure integer arithmetic, so DuckDB must agree on every flag.
+_DAILY_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1
+), s AS (
+  SELECT day, n_events,
+         count(n_events) OVER w AS window_n,
+         sum(n_events) OVER w AS window_sum,
+         sum(CAST(n_events AS HUGEINT) * n_events) OVER w AS ss
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n_events,
+       CAST(coalesce(window_n, 0) AS BIGINT) AS window_n,
+       CAST(coalesce(window_sum, 0) AS BIGINT) AS window_sum,
+       CAST(CASE WHEN window_n >= 4
+                  AND CAST(window_n * n_events - window_sum AS HUGEINT)
+                      * (window_n * n_events - window_sum)
+                    > 9 * (CAST(window_n AS HUGEINT) * ss
+                           - CAST(window_sum AS HUGEINT) * window_sum)
+            THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM s
+"""
+
+
+@register("daily_volume_anomaly_events", _DAILY_ANOMALY_SQL)
+def daily_volume_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume breaks |x-mean| > 3·stddev of the trailing
+    7-day window — the squared integer test, no sqrt, no floats."""
+    from data_check_spark.operators.anomaly import daily_volume_anomaly
+
+    return daily_volume_anomaly(_t(spark, sf_dir, "events"))

@@ -1,0 +1,65 @@
+"""Rolling volume anomaly: planted spike, cold start, brute-force parity."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from data_check_spark.operators.anomaly import daily_volume_anomaly
+
+
+def _events(spark, counts):
+    """One row per event; day i (from 2024-01-01) gets counts[i] events."""
+    rows = []
+    for i, n in enumerate(counts):
+        day = dt.datetime(2024, 1, 1, 12, 0) + dt.timedelta(days=i)
+        rows += [(len(rows) + j, day) for j in range(n)]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+
+def _brute(counts, k=3, trailing=7, min_window=4):
+    flags = []
+    for i, x in enumerate(counts):
+        w = counts[max(0, i - trailing):i]
+        if len(w) < min_window:
+            flags.append(0)
+            continue
+        mean = sum(w) / len(w)
+        var = sum(v * v for v in w) / len(w) - mean * mean
+        flags.append(1 if abs(x - mean) > k * math.sqrt(max(var, 0.0)) else 0)
+    return flags
+
+
+def test_planted_spike_flagged_and_cold_start_not(spark):
+    counts = [100, 101, 99, 100, 102, 98, 100, 500, 100, 99]
+    got = daily_volume_anomaly(_events(spark, counts)).orderBy("day").collect()
+    assert [r.is_anomaly for r in got] == _brute(counts)
+    assert got[7].is_anomaly == 1  # the planted spike
+    assert [r.is_anomaly for r in got[:4]] == [0] * 4  # cold start never fires
+    assert got[7].n_events == 500 and got[7].window_n == 7
+    # day 8: window now CONTAINS the spike → inflated variance, no flag
+    assert got[8].is_anomaly == 0
+
+
+def test_matches_float_brute_force_on_noisy_series(spark):
+    # deterministic pseudo-noise with one planted outage and one surge
+    counts = [200 + ((i * 37) % 23) - 11 for i in range(40)]
+    counts[20] = 40   # outage
+    counts[33] = 480  # surge
+    got = daily_volume_anomaly(_events(spark, counts)).orderBy("day").collect()
+    assert [r.is_anomaly for r in got] == _brute(counts)
+    assert got[20].is_anomaly == 1 and got[33].is_anomaly == 1
+
+
+def test_param_guard(spark):
+    df = _events(spark, [1])
+    with pytest.raises(ValueError):
+        daily_volume_anomaly(df, k=0)
+
+
+def test_counts_only_shuffle(spark):
+    df = _events(spark, [5, 5, 5])
+    plan = daily_volume_anomaly(df)._jdf.queryExecution().executedPlan().toString()
+    # the per-day count has a map-side partial phase before its exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "EvalPython" not in plan
