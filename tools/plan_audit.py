@@ -69,6 +69,28 @@ AUDITED = [
     ("media_feature_extract",
      "Payload synthesis is pure JVM projection; one mapInPandas stage "
      "consumes it — single scan, zero shuffles before the final sort."),
+    ("heavy_hitters_orders",
+     "Misra–Gries candidates from ONE bounded mapInPandas pass (≤ budget "
+     "rows per partition), then an exact recount where only candidate keys "
+     "shuffle — the full distinct-key set never exchanges. The final rank "
+     "window runs on the ≤ budget-row result."),
+    ("sequence_packing_documents",
+     "Distributed prefix sum: per-partition windows keyed by partition id "
+     "(NO Exchange SinglePartition anywhere — the global-window layout "
+     "this replaces), partition offsets broadcast, text tokenized once "
+     "behind the checkpoint."),
+    ("unigram_rarity_documents",
+     "Vocabulary head via TakeOrderedAndProject (per-partition top-k, no "
+     "global sort); scoring is a BroadcastHashJoin of the ≤ k-row head "
+     "against the exploded tokens — the corpus never shuffles for the "
+     "join, only the (doc_id, partials) re-aggregation exchanges."),
+    ("top_bigrams_documents",
+     "Bigrams built per row JVM-side; map-side partial counts before the "
+     "exchange (counts only); final top-n is TakeOrderedAndProject."),
+    ("daily_volume_anomaly_events",
+     "One counts-only groupBy(day) pass with map-side partials; the "
+     "trailing window then runs over the tiny per-day frame (365 rows/yr "
+     "regardless of corpus size) — its single partition is deliberate."),
 ]
 
 
