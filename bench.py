@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "chunk_documents_corpus",
     "top_bigrams_documents",
     "daily_volume_anomaly_events",
+    "pack_stats_documents",
     "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",
