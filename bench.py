@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "top_bigrams_documents",
     "daily_volume_anomaly_events",
     "pack_stats_documents",
+    "top_terms_documents",
     "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",

@@ -441,3 +441,48 @@ def top_ngrams(
     )
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("bigram"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    *,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF-style distinguishing terms per document, integer-exact.
+
+    Classic TF-IDF weighs ``tf · ln(N/df)``; the transcendental log makes
+    cross-engine bit-equality fragile. The RANKING only needs a monotone
+    rarity weight, so the score here is ``tf · 10^6 div df`` (term
+    frequency × inverse document frequency in parts-per-million, integer
+    floored) — same ordering intent, exactly reproducible anywhere. Ties
+    break by (score desc, term asc); ``top_k`` rows per document (fewer
+    for short docs), blank/NULL docs yield none.
+
+    Scale shape: (doc, term) frequencies and per-term document frequencies
+    are two counts-only aggregations with map-side partials; df joins back
+    keyed by term (AQE broadcasts when the vocabulary head is small). The
+    per-document top-k window partitions by ``id_col`` — millions of small
+    groups, no global window.
+    """
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(_tokens(text_col), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("relevance_ppm"), F.asc("term")
+    )
+    return (
+        tf.join(docfreq, "term")
+        .withColumn("relevance_ppm", F.expr("tf * 1000000L div df"))
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "relevance_ppm", "term_rank")
+    )

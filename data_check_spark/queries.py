@@ -2566,3 +2566,37 @@ def pack_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(
         pack_assignments(_t(spark, sf_dir, "documents"), budget=2048), budget=2048
     )
+
+
+# TF-IDF-style top terms (text.top_terms_per_doc): the integer relevance
+# (tf · 10^6 div df) makes the ranking bit-identical cross-engine.
+_TOP_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lower(t.tok) AS term
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) t(tok)
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df_t AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * 1000000 // d.df AS relevance_ppm,
+         CAST(row_number() OVER (
+             PARTITION BY t.doc_id
+             ORDER BY t.tf * 1000000 // d.df DESC, t.term
+         ) AS INT) AS term_rank
+  FROM tf t JOIN df_t d USING (term)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(relevance_ppm AS BIGINT) AS relevance_ppm, term_rank
+FROM scored WHERE term_rank <= 3
+"""
+
+
+@register("top_terms_documents", _TOP_TERMS_SQL)
+def top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by integer tf·idf-ppm."""
+    from data_check_spark.operators.text import top_terms_per_doc
+
+    return top_terms_per_doc(_docs_parallel(spark, sf_dir), top_k=3)

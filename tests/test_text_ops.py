@@ -190,3 +190,34 @@ def test_top_ngrams_counts_and_ties(spark):
     # counts: 'a b'×3, 'b a'×2; tie between 'a x' and 'b c' (1 each)
     # breaks alphabetically → 'a x' takes rank 3
     assert got == [("a b", 3, 1), ("b a", 2, 2), ("a x", 1, 3)]
+
+
+def test_top_terms_per_doc_hand_computed(spark):
+    from data_check_spark.operators.text import top_terms_per_doc
+
+    # corpus: 'a' in 3 docs, 'b' in 2, 'rare' in 1
+    df = spark.createDataFrame(
+        [(1, "a a b rare"), (2, "a b"), (3, "a")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.term_rank): (r.term, r.tf, r.df, r.relevance_ppm)
+           for r in top_terms_per_doc(df, top_k=2).collect()}
+    # doc1: rare 1/1 = 1_000_000 beats a 2/3 = 666_666 beats b 1/2
+    assert got[(1, 1)] == ("rare", 1, 1, 1_000_000)
+    assert got[(1, 2)] == ("a", 2, 3, 666_666)
+    # doc2: b 1/2 = 500_000 beats a 1/3 = 333_333
+    assert got[(2, 1)] == ("b", 1, 2, 500_000)
+    assert got[(2, 2)] == ("a", 1, 3, 333_333)
+    # doc3 has only one term → one row
+    assert got[(3, 1)] == ("a", 1, 3, 333_333)
+    assert len(got) == 5
+
+
+def test_top_terms_guard_and_no_python(spark):
+    from data_check_spark.operators.text import top_terms_per_doc
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        top_terms_per_doc(df, top_k=0)
+    plan = top_terms_per_doc(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
