@@ -46,11 +46,24 @@ def daily_volume_anomaly(
     with fewer than ``min_window`` predecessors are never flagged (cold
     start). Output per day: ``(day, n_events, window_n, window_sum,
     is_anomaly)``, ordered by day via the caller.
+
+    The calendar is DENSIFIED between the first and last observed day:
+    a day with zero events still gets a row (``n_events = 0``) — a total
+    outage is precisely the day this alarm exists for, and grouping alone
+    would silently drop it AND let the trailing window span the gap.
     """
     if k <= 0 or trailing_days <= 0 or min_window <= 0:
         raise ValueError("k, trailing_days and min_window must be positive")
-    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+    observed = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")
+    )
+    # sequence(min, max) of dates steps one day; empty input → NULL bounds
+    # → explode of NULL emits nothing → empty result, no special-casing
+    calendar = observed.agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    ).select(F.explode(F.sequence("_d0", "_d1")).alias("day"))
+    daily = calendar.join(observed, "day", "left").select(
+        "day", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events")
     )
     w = Window.orderBy("day").rowsBetween(-trailing_days, -1)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — 128-bit lane

@@ -314,39 +314,55 @@ def unigram_rarity(
       output integer makes it bit-identical across engines)
     - ``oov_bp``     — basis points of OOV tokens, integer-floored
 
-    Scale shape: the token-count aggregation shuffles (token, count) pairs
-    with map-side partial aggregation — counts only, never documents. The
-    vocabulary head is selected with ``orderBy().limit(k)`` which Spark
-    plans as TakeOrderedAndProject (per-partition top-k, then merge — no
-    global sort, no single-partition window). Scoring is a broadcast join
-    of the exploded tokens against the ≤``vocab_size``-row head, then one
-    re-aggregation keyed by ``id_col``. Ties at the vocabulary cutoff break
-    deterministically by (count desc, token asc).
+    Scale shape: the raw text is tokenized ONCE into a per-document
+    term-frequency frame ``(id, token, tf)`` (map-side partial counts,
+    then ``localCheckpoint`` — the repo's AQE-safe materialization — so
+    the vocabulary pass and the scoring pass both read the narrow counts,
+    never the text again). The vocabulary head re-aggregates that frame
+    by token (counts only) and is selected with ``orderBy().limit(k)``,
+    which Spark plans as TakeOrderedAndProject (per-partition top-k, then
+    merge — no global sort, no single-partition window). Scoring is a
+    broadcast join of the tf frame against the ≤``vocab_size``-row head,
+    weighted by tf, then one re-aggregation keyed by ``id_col``. Ties at
+    the vocabulary cutoff break deterministically by (count desc, token
+    asc).
     """
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be positive, got {vocab_size}")
-    toks = df.select(
-        F.col(id_col),
-        F.explode_outer(F.transform(_tokens(text_col), F.lower)).alias("_tok"),
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(F.transform(_tokens(text_col), F.lower)).alias("_tok"),
+        )
+        .groupBy(id_col, "_tok")
+        # count("_tok") counts non-null: an empty/NULL doc keeps one
+        # (id, NULL, 0) row so it survives to the output with zeros
+        .agg(F.count("_tok").alias("_tf"))
+        .localCheckpoint()
     )
     vocab = (
-        toks.filter(F.col("_tok").isNotNull())
+        tf.filter(F.col("_tok").isNotNull())
         .groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_tok_count"))
+        .agg(F.sum("_tf").alias("_tok_count"))
         .orderBy(F.desc("_tok_count"), F.asc("_tok"))
         .limit(vocab_size)
     )
-    scored = toks.join(F.broadcast(vocab), "_tok", "left")
-    n_tokens = F.count("_tok")
-    n_oov = F.sum(
-        F.when(F.col("_tok").isNotNull() & F.col("_tok_count").isNull(), 1).otherwise(0)
-    )
+    scored = tf.join(F.broadcast(vocab), "_tok", "left")
     return (
         scored.groupBy(id_col)
         .agg(
-            n_tokens.alias("n_tokens"),
-            n_oov.cast("long").alias("n_oov"),
-            F.sum(F.coalesce("_tok_count", F.lit(0))).cast("long").alias("freq_mass"),
+            F.sum("_tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("_tok").isNotNull() & F.col("_tok_count").isNull(),
+                    F.col("_tf"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("_tf") * F.col("_tok_count"), F.lit(0)))
+            .cast("long")
+            .alias("freq_mass"),
         )
         .withColumn(
             "oov_bp",
@@ -404,7 +420,6 @@ def top_ngrams(
     df: DataFrame,
     *,
     top_n: int = 20,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Corpus-wide most frequent token bigrams.

@@ -2400,7 +2400,9 @@ def sequence_packing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window."""
     from data_check_spark.operators.packing import pack_assignments
 
-    return pack_assignments(_t(spark, sf_dir, "documents"), budget=2048)
+    # _docs_parallel: parallelize the tokenize phase across the session
+    # parallelism (the single-file test parquet is one input split)
+    return pack_assignments(_docs_parallel(spark, sf_dir), budget=2048)
 
 
 # Unigram corpus-frequency rarity (text.unigram_rarity): vocabulary head of
@@ -2443,7 +2445,7 @@ def unigram_rarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20-token vocabulary head."""
     from data_check_spark.operators.text import unigram_rarity
 
-    return unigram_rarity(_t(spark, sf_dir, "documents"), vocab_size=20)
+    return unigram_rarity(_docs_parallel(spark, sf_dir), vocab_size=20)
 
 
 # Sliding-window chunking (text.chunk_documents): the JVM explode must
@@ -2474,7 +2476,7 @@ def chunk_documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators.text import chunk_documents
 
     return chunk_documents(
-        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap_tokens=16
+        _docs_parallel(spark, sf_dir), chunk_tokens=64, overlap_tokens=16
     )
 
 
@@ -2513,8 +2515,18 @@ def top_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rolling volume-anomaly flags (operators/anomaly.py): the squared z-score
 # test is pure integer arithmetic, so DuckDB must agree on every flag.
 _DAILY_ANOMALY_SQL = """
-WITH daily AS (
+WITH observed AS (
   SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1
+), b AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM observed
+), calendar AS (
+  SELECT CAST(u.d AS DATE) AS day
+  FROM b, unnest(range(CAST(d0 AS TIMESTAMP),
+                       CAST(d1 AS TIMESTAMP) + INTERVAL 1 DAY,
+                       INTERVAL 1 DAY)) u(d)
+), daily AS (
+  SELECT c.day, CAST(coalesce(o.n_events, 0) AS BIGINT) AS n_events
+  FROM calendar c LEFT JOIN observed o USING (day)
 ), s AS (
   SELECT day, n_events,
          count(n_events) OVER w AS window_n,
@@ -2564,7 +2576,7 @@ def pack_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators.packing import pack_assignments, pack_stats
 
     return pack_stats(
-        pack_assignments(_t(spark, sf_dir, "documents"), budget=2048), budget=2048
+        pack_assignments(_docs_parallel(spark, sf_dir), budget=2048), budget=2048
     )
 
 

@@ -63,3 +63,22 @@ def test_counts_only_shuffle(spark):
     # the per-day count has a map-side partial phase before its exchange
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "EvalPython" not in plan
+
+
+def test_total_outage_day_and_calendar_gap_densified(spark):
+    # steady 200/day for 8 days, then NO events for 2 days, then steady again.
+    # The zero days exist nowhere in the raw data — they must be synthesized.
+    counts = [200] * 8 + [0, 0] + [200] * 3
+    present = [(i, n) for i, n in enumerate(counts) if n > 0]
+    rows = []
+    for i, n in present:
+        day = dt.datetime(2024, 3, 1, 9, 0) + dt.timedelta(days=i)
+        rows += [(len(rows) + j, day) for j in range(n)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = daily_volume_anomaly(df).orderBy("day").collect()
+    assert len(got) == len(counts)  # gap days materialized
+    assert [r.n_events for r in got] == counts
+    assert [r.is_anomaly for r in got] == _brute(counts)
+    # first outage day fires; the second doesn't (day 8's zero is now in
+    # the window and inflates its variance) — both match the brute force
+    assert got[8].is_anomaly == 1 and got[9].is_anomaly == 0
