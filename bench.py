@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "daily_volume_anomaly_events",
     "pack_stats_documents",
     "top_terms_documents",
+    "fuzzy_decontamination_documents",
     "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",

@@ -210,6 +210,51 @@ def minhash_signatures(
     return base.select(F.col(id_col), sig.alias("signature"))
 
 
+def banded_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+    portable: bool = False,
+) -> DataFrame:
+    """MinHash signatures exploded into LSH band buckets:
+    ``(_id, signature, band, bh)`` — the shared candidate-generation frame
+    for intra-corpus pairing (minhash_lsh_pairs) and cross-corpus fuzzy
+    matching (decontam.fuzzy_decontaminate)."""
+    if not 1 <= bands <= num_perm or num_perm % bands:
+        # bands > num_perm would make rows = 0 (every band hash a constant →
+        # one giant silently-truncated bucket); a non-divisor would silently
+        # ignore the trailing permutations during candidate generation.
+        raise ValueError(
+            f"bands must divide num_perm, 1 <= bands <= num_perm "
+            f"(got bands={bands}, num_perm={num_perm})"
+        )
+    rows = num_perm // bands
+
+    def _band_hash(b: Column) -> Column:
+        sl = F.slice(F.col("signature"), b * rows + 1, rows)
+        if portable:  # grouping key as a plain joined string — engine-neutral
+            return F.concat_ws(",", F.transform(sl, lambda v: v.cast("string")))
+        return F.xxhash64(sl.cast("string"))
+
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, k=k, num_perm=num_perm, portable=portable
+    )
+    return sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("signature"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(b.alias("band"), _band_hash(b).alias("bh")),
+            )
+        ).alias("bb"),
+    ).select("_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -232,35 +277,10 @@ def minhash_lsh_pairs(
     64 hit exact decimal-rounding ties (k ≡ 2 mod 4), where Java HALF_UP and
     C half-even disagree — integer quantization is tie-free (CLAUDE.md).
     """
-    if not 1 <= bands <= num_perm or num_perm % bands:
-        # bands > num_perm would make rows = 0 (every band hash a constant →
-        # one giant silently-truncated bucket); a non-divisor would silently
-        # ignore the trailing permutations during candidate generation.
-        raise ValueError(
-            f"bands must divide num_perm, 1 <= bands <= num_perm "
-            f"(got bands={bands}, num_perm={num_perm})"
-        )
-    rows = num_perm // bands
-
-    def _band_hash(b: Column) -> Column:
-        sl = F.slice(F.col("signature"), b * rows + 1, rows)
-        if portable:  # grouping key as a plain joined string — engine-neutral
-            return F.concat_ws(",", F.transform(sl, lambda v: v.cast("string")))
-        return F.xxhash64(sl.cast("string"))
-
-    sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, k=k, num_perm=num_perm, portable=portable
+    banded = banded_signatures(
+        df, id_col=id_col, text_col=text_col, k=k, num_perm=num_perm,
+        bands=bands, portable=portable,
     )
-    banded = sigs.select(
-        F.col(id_col).alias("_id"),
-        F.col("signature"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), _band_hash(b).alias("bh")),
-            )
-        ).alias("bb"),
-    ).select("_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     # Bucket members capped: a pathological bucket (empty docs, boilerplate)
     # is truncated deterministically by id order (shared _bucket_pairs).

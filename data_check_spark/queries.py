@@ -667,18 +667,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not a toy. Constants below are inlined from portable_perm_table().
 
 
-def _minhash_oracle_sql(
-    *, k: int = 8, num_perm: int = 64, bands: int = 16, threshold: float = 0.3,
-    max_bucket: int = 64,
-) -> str:
+def _minhash_sig_ctes(*, k: int, num_perm: int) -> str:
+    """Shared DuckDB CTE block computing the portable MinHash signature per
+    doc (sh → hl → sigs) — verbatim the Spark portable leaf-hash family."""
     p = _dedup.PORTABLE_PRIME
-    rows = num_perm // bands
     sig_items = ",\n    ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))"
         for a, b in _dedup.portable_perm_table(num_perm)
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT DISTINCT doc_id,
          CASE WHEN len(text) < {k} THEN text ELSE substr(text, i::int, {k}) END AS s
   FROM documents,
@@ -694,7 +691,16 @@ sigs AS (
   SELECT doc_id, [
     {sig_items}
   ] AS sig FROM hl
-),
+)"""
+
+
+def _minhash_oracle_sql(
+    *, k: int = 8, num_perm: int = 64, bands: int = 16, threshold: float = 0.3,
+    max_bucket: int = 64,
+) -> str:
+    rows = num_perm // bands
+    return f"""
+WITH {_minhash_sig_ctes(k=k, num_perm=num_perm)},
 bk AS (
   SELECT doc_id, b, array_to_string(sig[b*{rows}+1 : b*{rows}+{rows}], ',') AS bkey
   FROM sigs, unnest(range(0, {bands})) t(b)
@@ -2612,3 +2618,65 @@ def top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators.text import top_terms_per_doc
 
     return top_terms_per_doc(_docs_parallel(spark, sf_dir), top_k=3)
+
+
+# Fuzzy (MinHash-LSH) decontamination (decontam.fuzzy_decontaminate):
+# training docs near-duplicating an eval doc. Portable signatures — DuckDB
+# re-runs the ENTIRE pipeline (shingles, permutations, banding, eval-bucket
+# cap, agreement estimate) verbatim.
+def _fuzzy_decontam_oracle_sql(
+    *, k: int = 8, num_perm: int = 64, bands: int = 16, threshold: float = 0.3,
+    max_eval_bucket: int = 64, eval_mod: int = 20,
+) -> str:
+    rows = num_perm // bands
+    return f"""
+WITH {_minhash_sig_ctes(k=k, num_perm=num_perm)},
+bk AS (
+  SELECT doc_id, b, array_to_string(sig[b*{rows}+1 : b*{rows}+{rows}], ',') AS bkey
+  FROM sigs, unnest(range(0, {bands})) t(b)
+),
+ev AS (
+  SELECT doc_id, b, bkey FROM (
+    SELECT doc_id, b, bkey,
+           row_number() OVER (PARTITION BY b, bkey ORDER BY doc_id) AS rn
+    FROM bk WHERE doc_id % {eval_mod} = 0
+  ) WHERE rn <= {max_eval_bucket}
+),
+tr AS (
+  SELECT doc_id, b, bkey FROM bk WHERE doc_id % {eval_mod} <> 0
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS tid, e.doc_id AS eid
+  FROM tr t JOIN ev e USING (b, bkey)
+),
+agree AS (
+  SELECT c.tid, c.eid,
+         cast(len(list_filter(range(1, {num_perm + 1}),
+                              i -> sa.sig[i::int] = sb.sig[i::int])) AS bigint) AS n_agree
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.tid
+  JOIN sigs sb ON sb.doc_id = c.eid
+)
+SELECT tid AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_eval_matches,
+       CAST(max(n_agree) AS BIGINT) AS best_n_agree,
+       CAST((max(n_agree) * 10000 + {num_perm // 2}) // {num_perm} AS BIGINT)
+           AS best_est_q4,
+       CAST(min(eid) AS BIGINT) AS first_eval_id
+FROM agree
+WHERE cast(n_agree AS double) / {num_perm} >= {threshold}
+GROUP BY tid
+"""
+
+
+@register("fuzzy_decontamination_documents", _fuzzy_decontam_oracle_sql())
+def fuzzy_decontamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs whose estimated shingle-Jaccard vs any eval doc
+    (doc_id % 20 == 0 stands in for the benchmark) is ≥ 0.3 — the fuzzy
+    sibling of `decontamination_documents`."""
+    from data_check_spark.operators.decontam import fuzzy_decontaminate
+
+    docs = _docs_parallel(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return fuzzy_decontaminate(train, ev, threshold=0.3, portable=True)

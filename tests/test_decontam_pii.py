@@ -104,3 +104,47 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = decontaminate(train, eval_df, n=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_decontaminate_catches_edited_leak(spark):
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.decontam import fuzzy_decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog while the band plays on and on"
+    edited = base.replace("lazy", "sleepy")  # lightly-edited benchmark leak
+    train_rows = [(0, edited)] + [
+        (i, f"totally unrelated document number {i} with its own words {i * 7}")
+        for i in range(1, 30)
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(1000, base)], "doc_id long, text string")
+    got = fuzzy_decontaminate(train, ev, threshold=0.3).collect()
+    assert [r.doc_id for r in got] == [0]
+    r = got[0]
+    assert r.n_eval_matches == 1 and r.first_eval_id == 1000
+    assert r.best_est_q4 >= 3000
+    # the exact n-gram test with a long n misses this leak; the fuzzy one is
+    # the complement, not a replacement
+    from data_check_spark.operators.decontam import decontaminate
+
+    exact = decontaminate(train, ev, n=12).collect()
+    assert all(x.doc_id != 0 or x.n_shared_ngrams < 3 for x in exact)
+
+
+def test_fuzzy_decontaminate_broadcasts_eval_side(spark):
+    from data_check_spark.operators.decontam import fuzzy_decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"doc {i} words words words") for i in range(10)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(99, "doc 3 words words words")], "doc_id long, text string")
+    plan = (
+        fuzzy_decontaminate(train, ev, threshold=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the candidate join must broadcast the (capped) eval band rows — the
+    # training corpus is never shuffled to meet the benchmark
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -65,14 +65,28 @@ def docs_cache(rows: int) -> str:
 
 
 def run_pipeline(docs) -> dict:
+    from pyspark.sql import functions as F
+
     from data_check_spark.operators import dedup as D
     from data_check_spark.operators import text as T
+    from data_check_spark.operators.packing import pack_assignments
 
     return {
         "curation_kept": T.curation_pipeline(docs, min_quality_q4=0, min_tokens=5).count(),
         "exact_dup_rows": D.exact_duplicate_rows(docs).count(),
         "minhash_pairs": D.minhash_lsh_pairs(docs, threshold=0.5).count(),
         "simhash_pairs": D.simhash_near_pairs(docs, max_hamming=3).count(),
+        # pack_id/spans depend only on the GLOBAL doc order, so identical
+        # counts across parallelism levels also prove the distributed
+        # prefix sum is partitioning-invariant
+        "pack_spans": pack_assignments(docs, budget=2048)
+        .filter(F.col("spans_boundary") == 1)
+        .count(),
+        "rarity_oov": int(
+            T.unigram_rarity(docs, vocab_size=64)
+            .agg(F.sum("n_oov").alias("s"))
+            .collect()[0]["s"]
+        ),
     }
 
 
@@ -140,7 +154,8 @@ def main() -> None:
         f"Input: {args.rows:,} deterministic synthetic documents (datagen.docs_df:",
         "pure-hash word sequences, ~3% planted exact duplicates of a 64-doc pool,",
         "~2% near duplicates), identical parquet input for every run. Job: fused",
-        "curation scan -> exact dedup -> MinHash-LSH pairs -> SimHash pairs, one",
+        "curation scan -> exact dedup -> MinHash-LSH pairs -> SimHash pairs ->",
+        "sequence packing (distributed prefix sum) -> unigram rarity, one",
         "timed block. Same protocol as BENCH/BASELINE.md (fresh JVM per level,",
         "untimed warm-up, best of 3 in-process repeats).",
         "",
@@ -157,7 +172,7 @@ def main() -> None:
         + ("  — meets the ≥0.8 criterion" if efficiency >= 0.8 else "  — below 0.8"),
         "",
         f"Result counts identical at every parallelism level: {counts_match}",
-        f"(curation_kept/exact_dup_rows/minhash_pairs/simhash_pairs = "
+        f"({'/'.join(rn['counts'])} = "
         f"{'/'.join(str(v) for v in rn['counts'].values())}).",
         "",
         "Variance note: below ~60k docs the 4N job is only seconds long and",
