@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "pack_stats_documents",
     "top_terms_documents",
     "fuzzy_decontamination_documents",
+    "snapshot_diff_orders",
     "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",

@@ -2680,3 +2680,59 @@ def fuzzy_decontamination_documents(spark: SparkSession, sf_dir: str) -> DataFra
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return fuzzy_decontaminate(train, ev, threshold=0.3, portable=True)
+
+
+# Snapshot diff (operators/diff.py): two deterministic snapshots derived
+# from orders; DuckDB recomputes the same fingerprints (chr(31) separator,
+# ␀ NULL sentinel) and must agree on every change row.
+_SNAPSHOT_DIFF_SQL = """
+WITH old_s AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 11 <> 0
+), new_s AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 17 = 0 THEN o_orderpriority || '-X'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 13 <> 0
+), o AS (
+  SELECT o_orderkey, md5(concat_ws(chr(31),
+      coalesce(CAST(o_custkey AS VARCHAR), '␀'),
+      coalesce(o_orderstatus, '␀'),
+      coalesce(o_orderpriority, '␀'))) AS fo
+  FROM old_s
+), n AS (
+  SELECT o_orderkey, md5(concat_ws(chr(31),
+      coalesce(CAST(o_custkey AS VARCHAR), '␀'),
+      coalesce(o_orderstatus, '␀'),
+      coalesce(o_orderpriority, '␀'))) AS fn
+  FROM new_s
+)
+SELECT o_orderkey,
+       CASE WHEN fo IS NULL THEN 'added'
+            WHEN fn IS NULL THEN 'removed'
+            WHEN fo <> fn THEN 'changed' END AS change_type
+FROM o FULL OUTER JOIN n USING (o_orderkey)
+WHERE fo IS NULL OR fn IS NULL OR fo <> fn
+"""
+
+
+@register("snapshot_diff_orders", _SNAPSHOT_DIFF_SQL)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Added/removed/changed keys between two synthetic snapshots of
+    orders (%11 drop = rows new adds back, %13 drop = removals, %17
+    priority edit = changes)."""
+    from data_check_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0)
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 17 == 0, F.concat(F.col("o_orderpriority"), F.lit("-X"))
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    return snapshot_diff(
+        old, new,
+        key_cols=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
