@@ -8,31 +8,69 @@ no analog (its runs are one-shot, dekispart.py:1141); this is part of the
 operational surface the graft adds.
 
 Plan shape at 100 TB:
-- Each side is reduced MAP-SIDE to ``(key…, fingerprint)`` — the md5 of
-  the compared columns — before the join, so the key-keyed exchange
-  carries two strings per row, never payloads.
+- Each side is reduced MAP-SIDE to ``(key…, fingerprint)`` — a collision-
+  proof md5-of-md5s over the compared columns — before the join, so the
+  key-keyed exchange carries two strings per row, never payloads.
 - The classification is one full-outer join on the key columns
-  (sort-merge at scale, AQE-broadcast if one snapshot is tiny) and a
-  four-way CASE; unchanged rows are dropped immediately, so the result is
-  proportional to the churn, not the table.
-- The fingerprint uses a NULL sentinel + unit separator so (NULL, "a")
-  and ("a", NULL) fingerprint differently, and is engine-neutral
-  (md5/concat_ws evaluate identically in DuckDB — oracle-checkable).
+  (sort-merge at scale, AQE-broadcast if one snapshot is tiny; NULL-safe
+  ``<=>`` keys are still hash/sort-merge joinable) and a four-way CASE;
+  unchanged rows are dropped immediately, so the result is proportional
+  to the churn, not the table.
+- The fingerprint hashes EACH column separately and then hashes the
+  fixed-width hex concatenation (NULL → the 1-char token ``N``, which is
+  not a hex digit). That makes it injective over the column tuple — no
+  separator-in-value or NULL-sentinel-in-value collisions — and it is
+  engine-neutral (md5/coalesce evaluate identically in DuckDB, so the
+  whole diff is oracle-checkable).
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-NULL_SENTINEL = "\u2400"  # SYMBOL FOR NULL - never appears in real values
-SEP = "\x1f"  # unit separator: ("ab","c") and ("a","bc") must differ
+# NULL marker for a single column inside the fingerprint. Every non-NULL
+# value contributes exactly 32 lowercase-hex chars (its md5); 'N' is not a
+# hex digit, so the concatenation parses unambiguously left-to-right and
+# no real value can collide with it.
+_NULL_TOKEN = "N"
 
 
 def row_fingerprint(cols: list[str]) -> Column:
-    """md5 over the compared columns, NULL-safe and order-sensitive."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in cols]
-    return F.md5(F.encode(F.concat_ws(SEP, *parts), "UTF-8"))
+    """Collision-proof md5 over the compared columns.
+
+    Each column is hashed on its own (md5 of the UTF-8 string form; NULL
+    stays NULL through md5 and coalesces to ``N``), then the fixed-width
+    hex parts are concatenated and hashed once more. Distinct column
+    tuples can never concatenate to the same string, unlike separator
+    joins where a value containing the separator (or equal to a NULL
+    sentinel) silently collides.
+    """
+    parts = [
+        F.coalesce(F.md5(F.encode(F.col(c).cast("string"), "UTF-8")), F.lit(_NULL_TOKEN))
+        for c in cols
+    ]
+    return F.md5(F.encode(F.concat(*parts), "UTF-8"))
+
+
+def _assert_unique_keys(df: DataFrame, key_cols: list[str], side: str) -> None:
+    dup = (
+        df.select(*key_cols)
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key = {k: dup[0][k] for k in key_cols}
+        raise ValueError(
+            f"snapshot_diff: duplicate key in {side} snapshot: {key} "
+            "(keys must be unique per snapshot; pass check_unique=False "
+            "only if uniqueness is already guaranteed upstream)"
+        )
 
 
 def snapshot_diff(
@@ -41,23 +79,37 @@ def snapshot_diff(
     *,
     key_cols: list[str],
     compare_cols: list[str],
+    check_unique: bool = True,
 ) -> DataFrame:
     """Per-key change classification between two snapshots.
 
     Returns one row per key that is NOT identical in both snapshots:
     ``(key…, change_type)`` with ``change_type`` ∈ {'added', 'removed',
-    'changed'}. Keys must be unique per snapshot (it's a key); compared
-    columns are explicit so a caller adding an audit column doesn't
-    silently flip every row to 'changed'.
+    'changed'}. Keys must be unique per snapshot (it's a key) — violated
+    uniqueness is detected up front (one column-pruned count per side)
+    unless ``check_unique=False``. NULL key values are matched NULL-safely
+    (``<=>``), so an identical row with a NULL key is *unchanged*, not
+    'removed'+'added'. Compared columns are explicit so a caller adding an
+    audit column doesn't silently flip every row to 'changed'.
     """
     if not key_cols or not compare_cols:
         raise ValueError("key_cols and compare_cols must be non-empty")
     overlap = set(key_cols) & set(compare_cols)
     if overlap:
         raise ValueError(f"key and compare columns overlap: {sorted(overlap)}")
+    if check_unique:
+        _assert_unique_keys(old, key_cols, "old")
+        _assert_unique_keys(new, key_cols, "new")
     o = old.select(*key_cols, row_fingerprint(compare_cols).alias("_fp_old"))
-    n = new.select(*key_cols, row_fingerprint(compare_cols).alias("_fp_new"))
-    joined = o.join(n, key_cols, "full_outer")
+    n = new.select(
+        *[F.col(k).alias(f"_new_{k}") for k in key_cols],
+        row_fingerprint(compare_cols).alias("_fp_new"),
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"_new_{k}")) for k in key_cols],
+    )
+    joined = o.join(n, cond, "full_outer")
     change = (
         F.when(F.col("_fp_old").isNull(), F.lit("added"))
         .when(F.col("_fp_new").isNull(), F.lit("removed"))
@@ -66,7 +118,10 @@ def snapshot_diff(
     return (
         joined.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
-        .select(*key_cols, "change_type")
+        .select(
+            *[F.coalesce(F.col(k), F.col(f"_new_{k}")).alias(k) for k in key_cols],
+            "change_type",
+        )
     )
 
 

@@ -2683,8 +2683,9 @@ def fuzzy_decontamination_documents(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # Snapshot diff (operators/diff.py): two deterministic snapshots derived
-# from orders; DuckDB recomputes the same fingerprints (chr(31) separator,
-# ␀ NULL sentinel) and must agree on every change row.
+# from orders; DuckDB recomputes the same collision-proof fingerprints
+# (per-column md5 → 'N' for NULL → md5 of the hex concatenation) and must
+# agree on every change row.
 _SNAPSHOT_DIFF_SQL = """
 WITH old_s AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
@@ -2695,16 +2696,16 @@ WITH old_s AS (
               ELSE o_orderpriority END AS o_orderpriority
   FROM orders WHERE o_orderkey % 13 <> 0
 ), o AS (
-  SELECT o_orderkey, md5(concat_ws(chr(31),
-      coalesce(CAST(o_custkey AS VARCHAR), '␀'),
-      coalesce(o_orderstatus, '␀'),
-      coalesce(o_orderpriority, '␀'))) AS fo
+  SELECT o_orderkey, md5(
+      coalesce(md5(CAST(o_custkey AS VARCHAR)), 'N')
+      || coalesce(md5(o_orderstatus), 'N')
+      || coalesce(md5(o_orderpriority), 'N')) AS fo
   FROM old_s
 ), n AS (
-  SELECT o_orderkey, md5(concat_ws(chr(31),
-      coalesce(CAST(o_custkey AS VARCHAR), '␀'),
-      coalesce(o_orderstatus, '␀'),
-      coalesce(o_orderpriority, '␀'))) AS fn
+  SELECT o_orderkey, md5(
+      coalesce(md5(CAST(o_custkey AS VARCHAR)), 'N')
+      || coalesce(md5(o_orderstatus), 'N')
+      || coalesce(md5(o_orderpriority), 'N')) AS fn
   FROM new_s
 )
 SELECT o_orderkey,
