@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "top_terms_documents",
     "fuzzy_decontamination_documents",
     "snapshot_diff_orders",
+    "func_dep_lineitem",
+    "summary_regression_orders",
     "clips_validate_portable",
     "ann_cosine_topk",
     "lsh_ann_embeddings",

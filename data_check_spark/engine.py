@@ -59,6 +59,7 @@ from data_check_spark.operators.referential import (
     orphan_violations,
     semi_join_violations,
 )
+from data_check_spark.operators.funcdep import func_dep_violations
 from data_check_spark.operators.uniqueness import (
     aggregate_unique_violations,
     unique_violations,
@@ -158,6 +159,14 @@ def _dispatch_set_rule(
             clips, rule.rule_id,
             snr_db_min=p.get("snr_db_min", 30.0), cap_ms=p.get("cap_ms", 100),
             gate=gate, partition_col=partition_col,
+        )
+    if rule.kind == "func_dep":
+        scoped = clips.filter(gate) if gate is not None else clips
+        return func_dep_violations(
+            scoped, rule.rule_id, p["determinant"], rule.column,
+            partition_col=partition_col,
+            count_null_dependent=p.get("count_null_dependent", False),
+            grain=p.get("grain", "row"),
         )
     if rule.kind == "transcript_match":
         # Mirror the fused path exactly (fused_dim_checks call below): the
@@ -446,8 +455,10 @@ def run_validation(
         # baseline is the CURRENT table (mix / rate / mean size), which a
         # resume run must compute over all partitions, not just the
         # remaining ones.
+        # func_dep too: the violating-key set depends on the whole table.
         global_grain = rule.kind in (
-            "unique", "aggregate_unique", "cat_drift", "rate_drift", "volume_drift"
+            "unique", "aggregate_unique", "cat_drift", "rate_drift", "volume_drift",
+            "func_dep",
         ) or (
             rule.kind == "referential" and rule.params.get("mode") == "orphan"
         )
@@ -458,7 +469,8 @@ def run_validation(
                 # Full-table key scan (column-pruned; never touches bytes).
                 v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
                                        shared_dups=dups, run_ts=run_ts)
-                if rule.kind in ("unique", "cat_drift", "rate_drift", "volume_drift"):
+                if rule.kind in ("unique", "cat_drift", "rate_drift", "volume_drift",
+                                 "func_dep"):
                     # Partition-attributed output: rows in completed
                     # partitions were already reported by the run that
                     # checkpointed them. Keep NULL-partition rows — ~isin is

@@ -128,3 +128,80 @@ def snapshot_diff(
 def diff_summary(diff: DataFrame) -> DataFrame:
     """Counts per change_type over :func:`snapshot_diff` output."""
     return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Column-level schema changes between two snapshots (driver-side).
+
+    Returns one dict per changed column: ``{"column", "change",
+    "old_type", "new_type"}`` with ``change`` ∈ {'added', 'removed',
+    'type_changed'} — the pre-flight a re-certification run does before
+    row-level diffing (a type change invalidates fingerprint comparison).
+    Zero Spark jobs: schemas live on the driver.
+    """
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out: list[dict] = []
+    for c in sorted(o.keys() | n.keys()):
+        if c not in n:
+            out.append({"column": c, "change": "removed",
+                        "old_type": o[c], "new_type": None})
+        elif c not in o:
+            out.append({"column": c, "change": "added",
+                        "old_type": None, "new_type": n[c]})
+        elif o[c] != n[c]:
+            out.append({"column": c, "change": "type_changed",
+                        "old_type": o[c], "new_type": n[c]})
+    return out
+
+
+def summary_regression(
+    old_summary: DataFrame,
+    new_summary: DataFrame,
+    *,
+    rule_col: str = "rule_id",
+    count_col: str = "n",
+    threshold_bp: int = 2500,
+) -> DataFrame:
+    """Per-rule violation-count regression between two runs.
+
+    Both inputs are summary frames ``(rule_id, n)`` — the engine's
+    ``summary()`` shape, or any per-key count. Emits rules whose count
+    moved by more than ``threshold_bp`` basis points relative to the old
+    count (integer arithmetic — cross-engine exact), plus rules that
+    appeared ('new_rule') or disappeared ('gone'). The frames are
+    #rules-sized, so the full-outer join is trivially broadcast; this is
+    the "did today's run look like yesterday's" gate that catches a rule
+    suddenly firing 100x — or silently going dark — before anyone ships
+    the certified table.
+
+    delta_bp is signed: ``(new - old) * 10000 div old`` — truncating
+    integer division (Spark ``div`` ≡ DuckDB ``//``, both toward zero, so
+    negative deltas agree cross-engine); NULL for new/gone.
+    """
+    o = old_summary.select(
+        F.col(rule_col).alias("_r"), F.col(count_col).cast("long").alias("_n_old")
+    )
+    n = new_summary.select(
+        F.col(rule_col).alias("_rn"), F.col(count_col).cast("long").alias("_n_new")
+    )
+    joined = o.join(n, F.col("_r") == F.col("_rn"), "full_outer")
+    delta_bp = F.expr("((_n_new - _n_old) * 10000) div _n_old").cast("long")
+    status = (
+        F.when(F.col("_r").isNull(), F.lit("new_rule"))
+        .when(F.col("_rn").isNull(), F.lit("gone"))
+        .when(F.abs(delta_bp) > threshold_bp, F.lit("moved"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            F.coalesce(F.col("_r"), F.col("_rn")).alias("rule_id"),
+            F.col("_n_old").alias("n_old"),
+            F.col("_n_new").alias("n_new"),
+            F.when(
+                F.col("_r").isNotNull() & F.col("_rn").isNotNull(), delta_bp
+            ).alias("delta_bp"),
+            "status",
+        )
+    )

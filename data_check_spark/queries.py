@@ -2737,3 +2737,87 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["o_orderkey"],
         compare_cols=["o_custkey", "o_orderstatus", "o_orderpriority"],
     )
+
+
+# Functional dependency (operators/funcdep.py): l_orderkey must determine
+# l_returnflag — it doesn't in TPC-H (return flag is per line item), so the
+# check fires on every order whose lines disagree; DuckDB recomputes the
+# violating-key set and the group-grain contract rows exactly.
+_FUNC_DEP_SQL = """
+SELECT 'FD_ORDER_RETURNFLAG' AS rule_id,
+       CAST(l_orderkey AS VARCHAR) AS clip_id,
+       CAST(NULL AS VARCHAR) AS "partition",
+       'det=' || CAST(l_orderkey AS VARCHAR)
+           || '; n_values=' || CAST(n_values AS VARCHAR) AS observed
+FROM (
+  SELECT l_orderkey, count(DISTINCT l_returnflag) AS n_values
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL
+  GROUP BY l_orderkey
+  HAVING count(DISTINCT l_returnflag) > 1
+)
+"""
+
+
+@register("func_dep_lineitem", _FUNC_DEP_SQL)
+def func_dep_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose line items disagree on return flag (group-grain FD
+    violation: determinant l_orderkey, dependent l_returnflag)."""
+    from data_check_spark.operators.funcdep import func_dep_violations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return func_dep_violations(
+        li, "FD_ORDER_RETURNFLAG", ["l_orderkey"], "l_returnflag", grain="group"
+    )
+
+
+# Run-over-run regression (operators/diff.py::summary_regression): two
+# per-priority violation summaries derived from orders; DuckDB recomputes
+# the full-outer join + truncating-div delta and must agree on every
+# moved/new/gone row.
+_SUMMARY_REGRESSION_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS r, CAST(count(*) AS BIGINT) AS n_old
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+), n AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'X-NEW'
+              ELSE o_orderpriority END AS r,
+         CAST(count(*) AS BIGINT) AS n_new
+  FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1
+), j AS (
+  SELECT coalesce(o.r, n.r) AS rule_id, n_old, n_new,
+         CASE WHEN o.r IS NOT NULL AND n.r IS NOT NULL
+              THEN ((n_new - n_old) * 10000) // n_old END AS delta_bp,
+         CASE WHEN o.r IS NULL THEN 'new_rule'
+              WHEN n.r IS NULL THEN 'gone'
+              WHEN abs(((n_new - n_old) * 10000) // n_old) > 1000
+              THEN 'moved' END AS status
+  FROM o FULL OUTER JOIN n ON o.r = n.r
+)
+SELECT rule_id, n_old, n_new, delta_bp, status FROM j WHERE status IS NOT NULL
+"""
+
+
+@register("summary_regression_orders", _SUMMARY_REGRESSION_SQL)
+def summary_regression_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run per-rule count regression: yesterday = even order keys
+    per priority, today = every-7th keys with 1-URGENT renamed — flags the
+    volume collapse ('moved'), the renamed rule ('gone' + 'new_rule')."""
+    from data_check_spark.operators.diff import summary_regression
+
+    orders = _t(spark, sf_dir, "orders")
+    old = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy(F.col("o_orderpriority").alias("rule_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .groupBy(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("X-NEW"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("rule_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return summary_regression(old, new, threshold_bp=1000)

@@ -53,6 +53,11 @@ Set-oriented kinds (dispatched to operators, not the projection):
                             expectation (mean partition size, basis points)
 - ``audio_decode``        — decoded-PCM SNR>=30dB allclose (pandas UDF)
 - ``transcript_match``    — byte-equality vs transcript dimension
+- ``func_dep``            — functional dependency: ``params["determinant"]``
+                            columns must determine ``column`` (>1 distinct
+                            dependent value per determinant tuple violates;
+                            ``grain`` row|group, NULL dependents ignored
+                            unless ``count_null_dependent``)
 """
 
 from __future__ import annotations
@@ -83,6 +88,7 @@ SET_KINDS = {
     "volume_drift",
     "audio_decode",
     "transcript_match",
+    "func_dep",
 }
 
 

@@ -106,3 +106,35 @@ def test_snapshot_diff_fingerprints_fold_before_join(spark):
     # md5 per side = 6 total below the join
     head, _, below = plan.partition("Join")
     assert "md5" not in head and below.count("md5") == 6
+
+
+def test_schema_diff(spark):
+    from data_check_spark.operators.diff import schema_diff
+
+    old = spark.createDataFrame([(1, "a", 2.0)], "k long, a string, x double")
+    new = spark.createDataFrame([(1, 2, True)], "k long, a int, b boolean")
+    assert schema_diff(old, new) == [
+        {"column": "a", "change": "type_changed", "old_type": "string", "new_type": "int"},
+        {"column": "b", "change": "added", "old_type": None, "new_type": "boolean"},
+        {"column": "x", "change": "removed", "old_type": "double", "new_type": None},
+    ]
+    assert schema_diff(old, old) == []
+
+
+def test_summary_regression(spark):
+    from data_check_spark.operators.diff import summary_regression
+
+    old = spark.createDataFrame(
+        [("R1", 100), ("R2", 100), ("R3", 50), ("R4", 80)], "rule_id string, n long")
+    new = spark.createDataFrame(
+        [("R1", 104), ("R2", 300), ("R4", 40), ("R5", 7)], "rule_id string, n long")
+    got = {r.rule_id: (r.n_old, r.n_new, r.delta_bp, r.status) for r in
+           summary_regression(old, new, threshold_bp=2500).collect()}
+    # R1: +4% = 400bp < 2500 -> quiet; R2: +200% -> moved; R3 gone; R4: -50%
+    # -> moved (negative, truncating div toward zero); R5 new.
+    assert got == {
+        "R2": (100, 300, 20000, "moved"),
+        "R3": (50, None, None, "gone"),
+        "R4": (80, 40, -5000, "moved"),
+        "R5": (None, 7, None, "new_rule"),
+    }
