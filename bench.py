@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "quarantine_clean_orders",
     "events_hourly_rolling",
     "stratified_sample_documents",
+    "weighted_sample_documents",
+    "mix_documents",
+    "cluster_split_documents",
     "rolling_hash_documents",
 ]
 

@@ -80,3 +80,138 @@ def stratified_sample(
     default = F.lit(_rate_threshold(default_rate))
     threshold = default if threshold is None else threshold.otherwise(default)
     return df.filter(h < threshold)
+
+
+def _keyed_hash_int(key: Column, seed: str) -> Column:
+    """First 32 bits of md5('<seed>:<key>') as a bigint (engine-portable:
+    DuckDB analog `cast(('0x' || substring(md5(...),1,8)) as bigint)`).
+    Same NUL sentinel for NULL keys as `_keyed_hash`."""
+    k = F.coalesce(key.cast("string"), F.lit("\u0000"))
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), k)), 1, HEX_WIDTH), 16, 10
+    ).cast("long")
+
+
+def weighted_sample(
+    df: DataFrame, *, id_col: str, weight_col: str, seed: str = "s0"
+) -> DataFrame:
+    """Keep each row with probability = its own weight (deterministically).
+
+    ``weight_col`` is a per-row keep-probability in [0, 1] — e.g. a quality
+    score, so high-quality documents survive curation more often — and the
+    decision is a pure function of (seed, id): reproducible across runs,
+    engines, and repartitioning, like every sampler here. Weights >= 1
+    always keep, <= 0 (or NULL) always drop. Map-side filter: zero shuffle.
+
+    Cross-engine exactness: the comparison is integer hash32 <
+    floor(weight * 2^32); the float multiply+floor is IEEE-identical in
+    Spark and DuckDB for the same weight value.
+    """
+    h = _keyed_hash_int(F.col(id_col), seed)
+    thr = F.floor(
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)) * F.lit(4294967296.0)
+    ).cast("long")
+    return df.filter(h < thr)
+
+
+def mix_plan(
+    counts: dict[str, int], weights_bp: dict[str, int]
+) -> dict[str, dict[str, int]]:
+    """Integer mixing plan: per-domain keep counts/thresholds for a target mix.
+
+    ``weights_bp`` are basis points (e.g. {'en': 5000, 'de': 3000,
+    'fr': 2000} -> 50/30/20). The achievable corpus size is capped by the
+    scarcest domain: T = min_d(n_d * 10000 // w_d); each domain then keeps
+    k_d = w_d * T // 10000 rows via hash threshold (k_d << 32) // n_d.
+    All-integer (Python bigints — no 64-bit overflow), so the DuckDB
+    oracle reproduces it bit-for-bit with HUGEINT arithmetic.
+    """
+    if not weights_bp:
+        raise ValueError("weights_bp must be non-empty")
+    for d, w in weights_bp.items():
+        if w <= 0:
+            raise ValueError(f"weight for {d!r} must be positive bp, got {w}")
+        if counts.get(d, 0) <= 0:
+            raise ValueError(f"domain {d!r} has no rows to sample")
+    total = min(counts[d] * 10000 // w for d, w in weights_bp.items())
+    plan: dict[str, dict[str, int]] = {}
+    for d, w in weights_bp.items():
+        n, k = counts[d], w * total // 10000
+        plan[d] = {"n": n, "keep": k, "threshold": (k << 32) // n}
+    return plan
+
+
+def mix_domains(
+    df: DataFrame,
+    *,
+    id_col: str,
+    domain_col: str,
+    weights_bp: dict[str, int],
+    seed: str = "mix0",
+) -> DataFrame:
+    """Deterministically sample each domain to hit a target mixture.
+
+    The LLM-pretraining "data mixing" stage: given per-domain weights, keep
+    the largest corpus achievable at exactly those proportions (scarcest
+    domain caps the total — no oversampling/duplication here; repeat-epoch
+    upsampling is a separate concern). Domains outside ``weights_bp`` are
+    dropped. One column-pruned count per domain (a single groupBy job;
+    #domains is tiny) computes the plan driver-side; the sample itself is
+    a map-side hash-threshold filter — zero shuffle over the corpus.
+    """
+    counts = {
+        r["_d"]: r["_n"]
+        for r in df.select(F.col(domain_col).alias("_d"))
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    plan = mix_plan(counts, weights_bp)
+    h = _keyed_hash_int(F.col(id_col), seed)
+    thr: Column | None = None
+    for d, p in sorted(plan.items()):
+        match = F.col(domain_col) == d
+        lit = F.lit(p["threshold"])
+        thr = F.when(match, lit) if thr is None else thr.when(match, lit)
+    thr = thr.otherwise(F.lit(0))
+    return df.filter(h < thr)
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    eval_rate: float = 0.1,
+    seed: str = "split0",
+) -> DataFrame:
+    """Contamination-safe train/eval split: near-duplicates never straddle.
+
+    A plain hash split leaks: a training doc's near-duplicate lands in eval
+    and inflates the benchmark. Here every doc is assigned by hashing its
+    duplicate-cluster REPRESENTATIVE (``components`` = (node, component)
+    from :func:`graph.connected_components` over the near-dup pair set;
+    docs in no pair are their own representative), so an entire cluster
+    moves as one unit. Returns docs + (cluster_rep, side in train|eval).
+
+    Plan: one left join against the components frame (near-dup subset —
+    orders of magnitude smaller than the corpus, AQE-broadcast) and a
+    map-side hash compare; the corpus is never shuffled.
+    """
+    comp = components.select(
+        F.col("node").alias("_n"), F.col("component").alias("_c")
+    )
+    joined = docs.join(comp, docs[id_col] == F.col("_n"), "left")
+    rep = F.coalesce(F.col("_c"), docs[id_col].cast(dict(comp.dtypes)["_c"]))
+    side = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), rep.cast("string"))), 1, HEX_WIDTH
+        )
+        < F.lit(_rate_threshold(eval_rate)),
+        F.lit("eval"),
+    ).otherwise(F.lit("train"))
+    return joined.select(
+        *[docs[c] for c in docs.columns],
+        rep.alias("cluster_rep"),
+        side.alias("side"),
+    )

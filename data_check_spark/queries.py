@@ -2821,3 +2821,122 @@ def summary_regression_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return summary_regression(old, new, threshold_bp=1000)
+
+
+# Weighted deterministic sampling (operators/sampling.py::weighted_sample):
+# keep-probability is a per-row function of doc_id, and the keep decision
+# integer-compares md5 bits against floor(w * 2^32) — DuckDB reproduces
+# both ends exactly.
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE cast(('0x' || substring(md5('wq1:' || cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < cast(floor(((doc_id % 101) / 100.0) * 4294967296.0) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+@register("weighted_sample_documents", _WEIGHTED_SAMPLE_SQL)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted curation sample: each doc kept with probability =
+    its own score ((doc_id % 101)/100 stands in for a quality model),
+    deterministic in (seed, doc_id). Map-side filter, zero shuffle."""
+    from data_check_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_w", (F.col("doc_id") % 101) / F.lit(100.0)
+    )
+    return (
+        weighted_sample(docs, id_col="doc_id", weight_col="_w", seed="wq1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# Domain mixing (operators/sampling.py::mix_domains): all-integer plan
+# (T = min(n_d*10000//w_d), threshold (k_d<<32)//n_d with 128-bit
+# intermediates) so DuckDB recomputes counts, plan and filter verbatim.
+_MIX_DOMAINS_SQL = """
+WITH cnt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY lang
+),
+w(lang, bp) AS (VALUES ('en', 5000), ('de', 3000), ('fr', 2000)),
+t AS (SELECT min(n * 10000 // bp) AS tot FROM cnt JOIN w USING (lang)),
+thr AS (
+  SELECT w.lang,
+         (CAST(bp * (SELECT tot FROM t) // 10000 AS HUGEINT) * 4294967296) // n AS thr
+  FROM w JOIN cnt USING (lang)
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE cast(('0x' || substring(md5('mix1:' || cast(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < thr.thr
+ORDER BY d.doc_id
+"""
+
+
+@register("mix_documents", _MIX_DOMAINS_SQL)
+def mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data mixing: largest corpus achievable at exactly
+    50/30/20 en/de/fr (scarcest domain caps the total); other languages
+    dropped. One tiny groupBy plans the rates; the sample itself never
+    shuffles the corpus."""
+    from data_check_spark.operators.sampling import mix_domains
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mix_domains(docs, id_col="doc_id", domain_col="lang",
+                    weights_bp={"en": 5000, "de": 3000, "fr": 2000}, seed="mix1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# Contamination-safe split (operators/sampling.py::cluster_safe_split):
+# docs assigned train/eval by hashing their near-dup cluster
+# representative (connected components over the exact n-gram Jaccard pair
+# set) so a training doc's near-duplicate can never land in eval. DuckDB
+# recomputes components (recursive CTE) and the md5 side rule.
+_CLUSTER_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT a, a FROM edges GROUP BY a
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node
+),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+rep AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT doc_id, cluster_rep,
+       CASE WHEN substring(md5('sp1:' || cast(cluster_rep AS VARCHAR)), 1, 8)
+                 < '40000000'
+            THEN 'eval' ELSE 'train' END AS side
+FROM rep
+ORDER BY doc_id
+"""
+
+
+@register("cluster_split_documents", _CLUSTER_SPLIT_SQL)
+def cluster_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split where near-duplicate clusters move as one unit
+    (eval_rate=0.25): the anti-leakage split an eval-decontaminated
+    pipeline needs. Pairs: exact n-gram Jaccard >= 0.3."""
+    from data_check_spark.operators.graph import connected_components
+    from data_check_spark.operators.sampling import cluster_safe_split
+
+    pairs = _dedup.ngram_jaccard_pairs(_docs_parallel(spark, sf_dir), threshold=0.3)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        cluster_safe_split(docs, cc, id_col="doc_id", eval_rate=0.25, seed="sp1")
+        .select("doc_id", "cluster_rep", "side")
+        .orderBy("doc_id")
+    )

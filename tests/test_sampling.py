@@ -94,3 +94,119 @@ def test_sample_mark_matches_python_md5(spark):
     for i in range(50):
         want = hashlib.md5(f"s7:{i}".encode()).hexdigest()[:8] < thr
         assert got[i] == want
+
+
+def test_weighted_sample_matches_python_md5(spark):
+    import hashlib
+
+    from data_check_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i % 101) / 100.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in
+           weighted_sample(df, id_col="doc_id", weight_col="w", seed="wq").collect()}
+    want = set()
+    for i, w in rows:
+        h = int(hashlib.md5(f"wq:{i}".encode()).hexdigest()[:8], 16)
+        import math
+        if h < math.floor(w * 4294967296.0):
+            want.add(i)
+    assert got == want
+    # weight 1.0 rows (i % 101 == 100) are always kept, weight 0 never
+    assert all(i in got for i in range(300) if i % 101 == 100)
+    assert all(i not in got for i in range(300) if i % 101 == 0)
+
+
+def test_weighted_sample_null_weight_drops(spark):
+    from data_check_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, None), (2, 1.0)], "doc_id long, w double")
+    got = [r.doc_id for r in
+           weighted_sample(df, id_col="doc_id", weight_col="w").collect()]
+    assert got == [2]
+
+
+def test_mix_plan_integer_math():
+    import pytest
+
+    from data_check_spark.operators.sampling import mix_plan
+
+    # en is abundant, fr is the scarce domain: T = min(1000*10000//5000,
+    # 600*10000//3000, 100*10000//2000) = min(2000, 2000, 500) = 500
+    plan = mix_plan({"en": 1000, "de": 600, "fr": 100},
+                    {"en": 5000, "de": 3000, "fr": 2000})
+    assert plan["en"]["keep"] == 250   # 5000*500//10000
+    assert plan["de"]["keep"] == 150
+    assert plan["fr"]["keep"] == 100   # the cap: all of fr
+    assert plan["fr"]["threshold"] == 1 << 32  # keep-all threshold
+    assert plan["en"]["threshold"] == (250 << 32) // 1000
+    with pytest.raises(ValueError):
+        mix_plan({"en": 10}, {"en": 0})
+    with pytest.raises(ValueError):
+        mix_plan({"en": 10}, {"en": 5000, "xx": 5000})  # xx has no rows
+
+
+def test_mix_domains_proportions_and_determinism(spark):
+    import hashlib
+
+    from data_check_spark.operators.sampling import mix_domains, mix_plan
+
+    rows = [(i, "en" if i % 10 < 6 else ("de" if i % 10 < 9 else "fr"))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_domains(df, id_col="doc_id", domain_col="lang",
+                      weights_bp={"en": 5000, "de": 3000, "fr": 2000}, seed="m1")
+    got = {r.doc_id: r.lang for r in out.collect()}
+    counts = {"en": 3000, "de": 1500, "fr": 500}
+    plan = mix_plan(counts, {"en": 5000, "de": 3000, "fr": 2000})
+    # exact python replay of the hash filter
+    want = {i for i, lang in rows
+            if int(hashlib.md5(f"m1:{i}".encode()).hexdigest()[:8], 16)
+            < plan[lang]["threshold"]}
+    assert set(got) == want
+    # realized mix is close to 50/30/20 (hash threshold is binomial around
+    # the target; 2% absolute tolerance at n≈2500)
+    from collections import Counter
+    c = Counter(got.values())
+    total = sum(c.values())
+    assert abs(c["en"] / total - 0.5) < 0.02
+    assert abs(c["de"] / total - 0.3) < 0.02
+    assert abs(c["fr"] / total - 0.2) < 0.02
+
+
+def test_cluster_safe_split_no_straddling_pairs(spark):
+    import hashlib
+
+    from data_check_spark.operators.graph import connected_components
+    from data_check_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # chains {0,1,2}, {10,11}, {20,21,22,23} — and 194 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long")
+    cc = connected_components(pairs)
+    out = cluster_safe_split(docs, cc, id_col="doc_id", eval_rate=0.3, seed="sp")
+    side = {r.doc_id: (r.cluster_rep, r.side) for r in out.collect()}
+    assert len(side) == 200
+    # every pair lands on one side, labeled by the cluster min
+    for a, b in [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)]:
+        assert side[a] == side[b]
+    assert side[2][0] == 0 and side[23][0] == 20
+    # singleton assignment is the plain hash rule on the doc's own id
+    thr = int(0.3 * (1 << 32))
+    for i in (5, 77, 150):
+        h = int(hashlib.md5(f"sp:{i}".encode()).hexdigest()[:8], 16)
+        assert side[i] == (i, "eval" if h < round(0.3 * (1 << 32)) else "train")
+
+
+def test_cluster_safe_split_plan_no_corpus_shuffle(spark):
+    from data_check_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    cc = spark.createDataFrame([(1, 0), (0, 0)], "node long, component long")
+    out = cluster_safe_split(docs, cc, id_col="doc_id")
+    out.collect()  # let AQE finalize: tiny components side -> broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the docs side must not be exchanged: only a broadcast of components
+    assert "BroadcastHashJoin" in plan
