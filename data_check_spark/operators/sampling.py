@@ -177,6 +177,57 @@ def mix_domains(
     return df.filter(h < thr)
 
 
+def upsample_domains(
+    df: DataFrame,
+    *,
+    id_col: str,
+    domain_col: str,
+    factors_bp: dict[str, int],
+    default_bp: int = 10000,
+    seed: str = "up0",
+) -> DataFrame:
+    """Deterministic repeat-epoch upsampling (the other half of mixing).
+
+    ``mix_domains`` can only downsample; scarce high-quality domains are
+    instead REPEATED: factor 25000 bp = 2.5x means every row appears twice
+    and half the rows (chosen by hash) a third time. Output rows carry an
+    ``epoch`` column (0-based copy index) so downstream shuffling/packing
+    can keep copies apart. All-integer: q = f_bp // 10000 whole copies,
+    plus one more iff hash32 < (f_bp % 10000) << 32 // 10000 — exactly
+    reproducible cross-engine. Factor 0 drops the domain; domains not
+    listed get ``default_bp`` (1x pass-through by default).
+
+    Plan: map-side CASE + explode(sequence) — the fan-out happens in the
+    scan projection, no shuffle, no join; 100 TB in, (mean factor) x out.
+    """
+    for d, f in factors_bp.items():
+        if f < 0:
+            raise ValueError(f"factor for {d!r} must be >= 0 bp, got {f}")
+    if default_bp < 0:
+        raise ValueError(f"default_bp must be >= 0, got {default_bp}")
+    h = _keyed_hash_int(F.col(id_col), seed)
+    q: Column | None = None
+    extra_thr: Column | None = None
+    for d, f in sorted(factors_bp.items()):
+        match = F.col(domain_col) == d
+        q_lit, t_lit = F.lit(f // 10000), F.lit(((f % 10000) << 32) // 10000)
+        q = F.when(match, q_lit) if q is None else q.when(match, q_lit)
+        extra_thr = (
+            F.when(match, t_lit) if extra_thr is None else extra_thr.when(match, t_lit)
+        )
+    dq = F.lit(default_bp // 10000)
+    dt = F.lit(((default_bp % 10000) << 32) // 10000)
+    q = dq if q is None else q.otherwise(dq)
+    extra_thr = dt if extra_thr is None else extra_thr.otherwise(dt)
+    n_copies = (q + (h < extra_thr).cast("int")).alias("_n_copies")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )
+
+
 def cluster_safe_split(
     docs: DataFrame,
     components: DataFrame,

@@ -2940,3 +2940,44 @@ def cluster_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_rep", "side")
         .orderBy("doc_id")
     )
+
+
+# Repeat-epoch upsampling (operators/sampling.py::upsample_domains):
+# whole copies + one hash-chosen fractional copy, all-integer — DuckDB
+# replays the CASE, the md5 threshold and the range() fan-out exactly.
+_UPSAMPLE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'fr' THEN 30000 WHEN 'zh' THEN 12500
+                   ELSE 10000 END AS f
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         f // 10000
+         + CASE WHEN cast(('0x' || substring(md5('up1:' || cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     < ((f % 10000) * 4294967296) // 10000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM base
+)
+SELECT doc_id, lang, CAST(unnest(range(n_copies)) AS INT) AS epoch
+FROM n WHERE n_copies >= 1
+ORDER BY doc_id, epoch
+"""
+
+
+@register("upsample_documents", _UPSAMPLE_SQL)
+def upsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scarce-domain oversampling for a pretraining mix: fr repeated 3x,
+    zh 1.25x (the fractional copy chosen deterministically by hash),
+    everything else passed through once, each copy tagged with its epoch.
+    Map-side explode — no shuffle, no join."""
+    from data_check_spark.operators.sampling import upsample_domains
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        upsample_domains(docs, id_col="doc_id", domain_col="lang",
+                         factors_bp={"fr": 30000, "zh": 12500}, seed="up1")
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    )

@@ -210,3 +210,63 @@ def test_cluster_safe_split_plan_no_corpus_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the docs side must not be exchanged: only a broadcast of components
     assert "BroadcastHashJoin" in plan
+
+
+def test_upsample_domains_integer_replay(spark):
+    import hashlib
+
+    from data_check_spark.operators.sampling import upsample_domains
+
+    rows = [(i, "fr" if i % 5 == 0 else ("zh" if i % 5 == 1 else "en"))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = upsample_domains(
+        df, id_col="doc_id", domain_col="lang",
+        factors_bp={"fr": 30000, "zh": 12500, "en": 0}, seed="u1",
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.epoch)
+    want = {}
+    for i, lang in rows:
+        f = {"fr": 30000, "zh": 12500, "en": 0}[lang]
+        q, rbp = f // 10000, f % 10000
+        h = int(hashlib.md5(f"u1:{i}".encode()).hexdigest()[:8], 16)
+        n = q + (1 if h < (rbp << 32) // 10000 else 0)
+        if n:
+            want[i] = list(range(n))
+    assert {k: sorted(v) for k, v in got.items()} == want
+    # fr rows appear exactly 3x, en rows never
+    assert all(len(v) == 3 for i, v in got.items() if i % 5 == 0)
+    assert not any(i % 5 > 1 for i in got)
+    # zh realized factor is ~1.25
+    zh = [i for i, lang in rows if lang == "zh"]
+    n_zh = sum(len(got.get(i, [])) for i in zh)
+    assert 1.0 <= n_zh / len(zh) <= 1.5
+
+
+def test_upsample_default_passthrough_and_guards(spark):
+    import pytest
+
+    from data_check_spark.operators.sampling import upsample_domains
+
+    df = spark.createDataFrame([(1, "en"), (2, "fr")], "doc_id long, lang string")
+    out = upsample_domains(df, id_col="doc_id", domain_col="lang",
+                           factors_bp={"fr": 20000}).collect()
+    got = sorted((r.doc_id, r.epoch) for r in out)
+    assert got == [(1, 0), (2, 0), (2, 1)]  # en untouched at default 1x
+    with pytest.raises(ValueError):
+        upsample_domains(df, id_col="doc_id", domain_col="lang",
+                         factors_bp={"fr": -1})
+
+
+def test_upsample_plan_no_shuffle(spark):
+    from data_check_spark.operators.sampling import upsample_domains
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    plan = (
+        upsample_domains(df, id_col="doc_id", domain_col="lang",
+                         factors_bp={"en": 25000})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
