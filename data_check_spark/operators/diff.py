@@ -162,6 +162,7 @@ def summary_regression(
     rule_col: str = "rule_id",
     count_col: str = "n",
     threshold_bp: int = 2500,
+    check_unique: bool = True,
 ) -> DataFrame:
     """Per-rule violation-count regression between two runs.
 
@@ -169,16 +170,25 @@ def summary_regression(
     ``summary()`` shape, or any per-key count. Emits rules whose count
     moved by more than ``threshold_bp`` basis points relative to the old
     count (integer arithmetic — cross-engine exact), plus rules that
-    appeared ('new_rule') or disappeared ('gone'). The frames are
-    #rules-sized, so the full-outer join is trivially broadcast; this is
-    the "did today's run look like yesterday's" gate that catches a rule
-    suddenly firing 100x — or silently going dark — before anyone ships
-    the certified table.
+    appeared ('new_rule') or disappeared ('gone'). Rule ids must be unique
+    per summary — duplicates would fan out the join and double-count, so
+    they raise up front (tiny frames, the check is one cheap count) unless
+    ``check_unique=False``. The frames are #rules-sized, so the full-outer
+    join is trivially broadcast; this is the "did today's run look like
+    yesterday's" gate that catches a rule suddenly firing 100x — or
+    silently going dark — before anyone ships the certified table.
 
-    delta_bp is signed: ``(new - old) * 10000 div old`` — truncating
-    integer division (Spark ``div`` ≡ DuckDB ``//``, both toward zero, so
-    negative deltas agree cross-engine); NULL for new/gone.
+    delta_bp is signed: ``(new - old) * 10000 div greatest(old, 1)`` —
+    truncating integer division (Spark ``div`` ≡ DuckDB ``//``, both
+    toward zero, so negative deltas agree cross-engine); the
+    ``greatest(old, 1)`` floor means a rule PRESENT with count 0 that
+    starts firing still reports (a 0 -> 50k explosion is exactly what
+    this gate exists for; plain division would NULL out and silently drop
+    it). delta_bp is NULL for new_rule/gone rows.
     """
+    if check_unique:
+        _assert_unique_keys(old_summary.select(rule_col), [rule_col], "old summary")
+        _assert_unique_keys(new_summary.select(rule_col), [rule_col], "new summary")
     o = old_summary.select(
         F.col(rule_col).alias("_r"), F.col(count_col).cast("long").alias("_n_old")
     )
@@ -186,7 +196,10 @@ def summary_regression(
         F.col(rule_col).alias("_rn"), F.col(count_col).cast("long").alias("_n_new")
     )
     joined = o.join(n, F.col("_r") == F.col("_rn"), "full_outer")
-    delta_bp = F.expr("((_n_new - _n_old) * 10000) div _n_old").cast("long")
+    delta_bp = F.expr(
+        "((coalesce(_n_new, 0) - coalesce(_n_old, 0)) * 10000)"
+        " div greatest(coalesce(_n_old, 0), 1)"
+    ).cast("long")
     status = (
         F.when(F.col("_r").isNull(), F.lit("new_rule"))
         .when(F.col("_rn").isNull(), F.lit("gone"))

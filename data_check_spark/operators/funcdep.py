@@ -47,8 +47,7 @@ def fd_violating_keys(
         raise ValueError("determinant_cols must be non-empty")
     if dependent_col in determinant_cols:
         raise ValueError(f"dependent column {dependent_col!r} is in the determinant")
-    present = [is_present(c) for c in determinant_cols]
-    scoped = df.filter(F.lit(True) if not present else _all(present))
+    scoped = df.filter(_all([is_present(c) for c in determinant_cols]))
     if not count_null_dependent:
         scoped = scoped.filter(F.col(dependent_col).isNotNull())
     pairs = scoped.select(*determinant_cols, dependent_col).distinct()

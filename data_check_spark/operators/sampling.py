@@ -122,7 +122,11 @@ def mix_plan(
     ``weights_bp`` are basis points (e.g. {'en': 5000, 'de': 3000,
     'fr': 2000} -> 50/30/20). The achievable corpus size is capped by the
     scarcest domain: T = min_d(n_d * 10000 // w_d); each domain then keeps
-    k_d = w_d * T // 10000 rows via hash threshold (k_d << 32) // n_d.
+    an EXPECTED k_d = w_d * T // 10000 rows via hash threshold
+    (k_d << 32) // n_d — the threshold (and therefore the kept row SET) is
+    deterministic, but the realized count is binomial around k_d
+    (deviation O(sqrt(k)); see deterministic_sample's "kept fraction ≈
+    rate"), so 'keep' is a target, not a guarantee.
     All-integer (Python bigints — no 64-bit overflow), so the DuckDB
     oracle reproduces it bit-for-bit with HUGEINT arithmetic.
     """
@@ -152,7 +156,7 @@ def mix_domains(
     """Deterministically sample each domain to hit a target mixture.
 
     The LLM-pretraining "data mixing" stage: given per-domain weights, keep
-    the largest corpus achievable at exactly those proportions (scarcest
+    the largest corpus achievable at those expected proportions (scarcest
     domain caps the total — no oversampling/duplication here; repeat-epoch
     upsampling is a separate concern). Domains outside ``weights_bp`` are
     dropped. One column-pruned count per domain (a single groupBy job;
@@ -205,6 +209,12 @@ def upsample_domains(
             raise ValueError(f"factor for {d!r} must be >= 0 bp, got {f}")
     if default_bp < 0:
         raise ValueError(f"default_bp must be >= 0, got {default_bp}")
+    clobbered = {"epoch", "_n_copies"} & set(df.columns)
+    if clobbered:
+        raise ValueError(
+            f"input already has column(s) {sorted(clobbered)}; rename them "
+            "first (upsample_domains adds its own 'epoch')"
+        )
     h = _keyed_hash_int(F.col(id_col), seed)
     q: Column | None = None
     extra_thr: Column | None = None
@@ -249,15 +259,24 @@ def cluster_safe_split(
     orders of magnitude smaller than the corpus, AQE-broadcast) and a
     map-side hash compare; the corpus is never shuffled.
     """
+    clobbered = {"cluster_rep", "side"} & set(docs.columns)
+    if clobbered:
+        raise ValueError(
+            f"docs already has column(s) {sorted(clobbered)}; rename them "
+            "first (cluster_safe_split adds 'cluster_rep' and 'side')"
+        )
     comp = components.select(
         F.col("node").alias("_n"), F.col("component").alias("_c")
     )
     joined = docs.join(comp, docs[id_col] == F.col("_n"), "left")
     rep = F.coalesce(F.col("_c"), docs[id_col].cast(dict(comp.dtypes)["_c"]))
+    # NUL sentinel for a NULL rep (doc with NULL id and no component):
+    # without it the hash is NULL, the three-valued compare never matches,
+    # and the row lands 'train' even at eval_rate=1.0 — same hazard
+    # documented at _keyed_hash above.
+    rep_key = F.coalesce(rep.cast("string"), F.lit("\u0000"))
     side = F.when(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{seed}:"), rep.cast("string"))), 1, HEX_WIDTH
-        )
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), rep_key)), 1, HEX_WIDTH)
         < F.lit(_rate_threshold(eval_rate)),
         F.lit("eval"),
     ).otherwise(F.lit("train"))

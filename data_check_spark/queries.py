@@ -2787,10 +2787,10 @@ WITH o AS (
 ), j AS (
   SELECT coalesce(o.r, n.r) AS rule_id, n_old, n_new,
          CASE WHEN o.r IS NOT NULL AND n.r IS NOT NULL
-              THEN ((n_new - n_old) * 10000) // n_old END AS delta_bp,
+              THEN ((n_new - n_old) * 10000) // greatest(n_old, 1) END AS delta_bp,
          CASE WHEN o.r IS NULL THEN 'new_rule'
               WHEN n.r IS NULL THEN 'gone'
-              WHEN abs(((n_new - n_old) * 10000) // n_old) > 1000
+              WHEN abs(((n_new - n_old) * 10000) // greatest(n_old, 1)) > 1000
               THEN 'moved' END AS status
   FROM o FULL OUTER JOIN n ON o.r = n.r
 )

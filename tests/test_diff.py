@@ -138,3 +138,28 @@ def test_summary_regression(spark):
         "R4": (80, 40, -5000, "moved"),
         "R5": (None, 7, None, "new_rule"),
     }
+
+
+def test_summary_regression_zero_old_count_still_reports(spark):
+    # a PRESENT rule at count 0 that explodes must be 'moved', not dropped
+    from data_check_spark.operators.diff import summary_regression
+
+    old = spark.createDataFrame([("R9", 0), ("RQ", 0)], "rule_id string, n long")
+    new = spark.createDataFrame([("R9", 50000), ("RQ", 0)], "rule_id string, n long")
+    got = {r.rule_id: (r.n_old, r.n_new, r.delta_bp, r.status) for r in
+           summary_regression(old, new).collect()}
+    # delta vs greatest(old,1): 50000*10000/1
+    assert got == {"R9": (0, 50000, 500000000, "moved")}  # RQ quiet
+
+
+def test_summary_regression_duplicate_rule_ids_detected(spark):
+    import pytest
+
+    from data_check_spark.operators.diff import summary_regression
+
+    dup = spark.createDataFrame([("R1", 10), ("R1", 10)], "rule_id string, n long")
+    clean = spark.createDataFrame([("R1", 10)], "rule_id string, n long")
+    with pytest.raises(ValueError, match="old summary"):
+        summary_regression(dup, clean)
+    with pytest.raises(ValueError, match="new summary"):
+        summary_regression(clean, dup)

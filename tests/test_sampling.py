@@ -270,3 +270,29 @@ def test_upsample_plan_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_cluster_safe_split_null_id_and_clobber_guard(spark):
+    import pytest
+
+    from data_check_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame([(None,), (1,)], "doc_id long")
+    cc = spark.createDataFrame([], "node long, component long")
+    out = {(r.doc_id, r.side) for r in
+           cluster_safe_split(docs, cc, id_col="doc_id", eval_rate=1.0).collect()}
+    # at eval_rate=1.0 EVERY row — including the NULL-id one — is eval
+    assert out == {(None, "eval"), (1, "eval")}
+    with pytest.raises(ValueError, match="cluster_rep"):
+        cluster_safe_split(docs.withColumn("cluster_rep", docs.doc_id), cc,
+                           id_col="doc_id")
+
+
+def test_upsample_clobber_guard(spark):
+    import pytest
+
+    from data_check_spark.operators.sampling import upsample_domains
+
+    df = spark.createDataFrame([(1, "en", 0)], "doc_id long, lang string, epoch int")
+    with pytest.raises(ValueError, match="epoch"):
+        upsample_domains(df, id_col="doc_id", domain_col="lang", factors_bp={})
