@@ -238,6 +238,84 @@ def upsample_domains(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    *,
+    id_col: str,
+    domain_col: str,
+    score_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    seed: str = "tb0",
+) -> DataFrame:
+    """Fill a per-domain token budget with the highest-scoring docs.
+
+    The "select the best 1T tokens" curation stage. The naive formulation
+    — per-domain ORDER BY score + running-sum window — funnels each domain
+    through ONE reducer task, which dies at corpus scale. This instead:
+
+    1. aggregates token sums per (domain, integer score bucket) — a
+       counts-only shuffle whose output is #domains x #score-values rows
+       (``score_col`` must be a small-cardinality integer, e.g. a
+       quantized quality score);
+    2. walks buckets best-first on the driver: buckets that fit whole are
+       kept whole; the single boundary bucket is kept FRACTIONALLY via a
+       deterministic hash threshold (remaining_budget << 32) //
+       bucket_tokens, so the expected kept tokens match the remainder
+       (exact per-doc boundary packing would need the global sort this
+       design exists to avoid); lower buckets are dropped;
+    3. broadcast-joins the tiny keep-rule frame back and filters map-side
+       — the corpus itself is never sorted and never shuffled.
+
+    Rows with a NULL score or NULL/<=0 tokens are excluded (a validation
+    run flags those upstream). Domains without a budget are dropped. If a
+    domain's total fits its budget, everything in it is kept. All
+    arithmetic is integer — the DuckDB oracle replays it exactly.
+    """
+    for d, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {d!r} must be >= 0, got {b}")
+    clean = df.filter(
+        F.col(score_col).isNotNull() & (F.coalesce(F.col(token_col), F.lit(0)) > 0)
+    )
+    agg = (
+        clean.filter(F.col(domain_col).isin(*budgets.keys()))
+        .groupBy(F.col(domain_col).alias("_d"), F.col(score_col).alias("_s"))
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_toks"))
+        .collect()
+    )
+    by_domain: dict[str, list] = {}
+    for r in agg:
+        by_domain.setdefault(r["_d"], []).append((r["_s"], r["_toks"]))
+    rules = []  # (domain, score, threshold) — threshold 2^32 keeps the bucket whole
+    for d, buckets in by_domain.items():
+        remaining = budgets[d]
+        for s, toks in sorted(buckets, reverse=True):
+            if remaining <= 0:
+                break
+            if toks <= remaining:
+                rules.append((d, s, 1 << 32))
+                remaining -= toks
+            else:
+                rules.append((d, s, (remaining << 32) // toks))
+                remaining = 0
+    if not rules:
+        return clean.limit(0).select(df.columns)
+    spark = df.sparkSession
+    rules_df = spark.createDataFrame(
+        rules, f"_d {dict(clean.dtypes)[domain_col]}, _s {dict(clean.dtypes)[score_col]}, _thr long"
+    )
+    h = _keyed_hash_int(F.col(id_col), seed)
+    return (
+        clean.join(
+            F.broadcast(rules_df),
+            (F.col(domain_col) == F.col("_d")) & (F.col(score_col) == F.col("_s")),
+        )
+        .filter(h < F.col("_thr"))
+        .select(df.columns)
+    )
+
+
 def cluster_safe_split(
     docs: DataFrame,
     components: DataFrame,

@@ -2981,3 +2981,58 @@ def upsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "epoch")
         .orderBy("doc_id", "epoch")
     )
+
+
+# Token-budget curation (operators/sampling.py::token_budget_select): the
+# driver-side bucket walk is a windowed cumulative sum in SQL — whole
+# buckets below budget keep threshold 2^32, the single boundary bucket a
+# fractional HUGEINT threshold, the rest 0. All-integer, replayed exactly.
+_TOKEN_BUDGET_SQL = """
+WITH clean AS (
+  SELECT doc_id, lang, doc_id % 8 AS score, CAST(n_chars AS BIGINT) AS toks
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0 AND lang IN ('en', 'de')
+),
+b(lang, budget) AS (VALUES ('en', 30000), ('de', 50000)),
+agg AS (SELECT lang, score, sum(toks) AS btoks FROM clean GROUP BY lang, score),
+walk AS (
+  SELECT lang, score, btoks,
+         sum(btoks) OVER (PARTITION BY lang ORDER BY score DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM agg
+),
+thr AS (
+  SELECT w.lang, w.score,
+         CASE WHEN cum <= budget THEN CAST(4294967296 AS HUGEINT)
+              WHEN cum - btoks < budget
+                THEN (CAST(budget - (cum - btoks) AS HUGEINT) * 4294967296) // btoks
+              ELSE 0 END AS thr
+  FROM walk w JOIN b ON w.lang = b.lang
+)
+SELECT c.doc_id, c.lang, CAST(c.score AS BIGINT) AS score
+FROM clean c JOIN thr ON c.lang = thr.lang AND c.score = thr.score
+WHERE cast(('0x' || substring(md5('tbq1:' || cast(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < thr.thr
+ORDER BY c.doc_id
+"""
+
+
+@register("token_budget_documents", _TOKEN_BUDGET_SQL)
+def token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Select the best N tokens per domain' curation: fill en/de token
+    budgets best-score-first (score = doc_id % 8 stands in for a quality
+    model, n_chars for the token count). No global sort — a counts-only
+    bucket aggregation plans driver-side, then a broadcast rule join
+    filters the corpus map-side."""
+    from data_check_spark.operators.sampling import token_budget_select
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("score", F.col("doc_id") % 8)
+        .select("doc_id", "lang", "score", "n_chars")
+    )
+    out = token_budget_select(
+        docs, id_col="doc_id", domain_col="lang", score_col="score",
+        token_col="n_chars", budgets={"en": 30000, "de": 50000}, seed="tbq1",
+    )
+    return out.select("doc_id", "lang", "score").orderBy("doc_id")

@@ -296,3 +296,113 @@ def test_upsample_clobber_guard(spark):
     df = spark.createDataFrame([(1, "en", 0)], "doc_id long, lang string, epoch int")
     with pytest.raises(ValueError, match="epoch"):
         upsample_domains(df, id_col="doc_id", domain_col="lang", factors_bp={})
+
+
+def _replay_token_budget(rows, budgets, seed):
+    """Independent pure-python replay of token_budget_select's contract."""
+    import hashlib
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    for i, d, s, t in rows:
+        if s is None or t is None or t <= 0 or d not in budgets:
+            continue
+        sums[(d, s)] += t
+    by_domain = defaultdict(list)
+    for (d, s), t in sums.items():
+        by_domain[d].append((s, t))
+    rules = {}
+    for d, buckets in by_domain.items():
+        remaining = budgets[d]
+        for s, t in sorted(buckets, reverse=True):
+            if remaining <= 0:
+                break
+            if t <= remaining:
+                rules[(d, s)] = 1 << 32
+                remaining -= t
+            else:
+                rules[(d, s)] = (remaining << 32) // t
+                remaining = 0
+    keep = set()
+    for i, d, s, t in rows:
+        if s is None or t is None or t <= 0:
+            continue
+        thr = rules.get((d, s))
+        if thr is not None and int(
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16
+        ) < thr:
+            keep.add(i)
+    return keep
+
+
+def test_token_budget_select_exact_replay(spark):
+    from data_check_spark.operators.sampling import token_budget_select
+
+    # en: 4 score buckets x 50 docs x 100 tokens = 5000/bucket; budget 12500
+    # keeps scores 3,2 whole, HALF of score 1 (fractional boundary), drops 0.
+    # de: total 2000 < budget 50000 -> everything kept. fr: no budget -> out.
+    rows = []
+    for i in range(200):
+        rows.append((i, "en", i % 4, 100))
+    for i in range(200, 220):
+        rows.append((i, "de", i % 2, 100))
+    for i in range(220, 240):
+        rows.append((i, "fr", 1, 100))
+    rows += [(500, "en", None, 100), (501, "en", 3, None), (502, "en", 3, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, s int, toks int")
+    budgets = {"en": 12500, "de": 50000}
+    out = token_budget_select(
+        df, id_col="doc_id", domain_col="dom", score_col="s",
+        token_col="toks", budgets=budgets, seed="tb9",
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert got == _replay_token_budget(rows, budgets, "tb9")
+    # structural spot-checks: whole-kept buckets, whole-kept domain, drops
+    assert {i for i in range(200) if i % 4 >= 2} <= got        # en scores 3,2
+    assert set(range(200, 220)) <= got                          # all of de
+    assert not any(i % 4 == 0 for i in got if i < 200)          # en score 0 gone
+    assert not (got & set(range(220, 240)))                     # fr dropped
+    assert not (got & {500, 501, 502})                          # null/zero rows
+    # fractional boundary: ~half of en score-1 docs (50 of them) survive
+    n_boundary = sum(1 for i in got if i < 200 and i % 4 == 1)
+    assert 10 <= n_boundary <= 40  # E=25, binomial; generous bounds
+
+
+def test_token_budget_zero_budget_and_guards(spark):
+    import pytest
+
+    from data_check_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, "en", 5, 10), (2, "en", 4, 10)], "doc_id long, dom string, s int, toks int"
+    )
+    out = token_budget_select(
+        df, id_col="doc_id", domain_col="dom", score_col="s",
+        token_col="toks", budgets={"en": 0},
+    )
+    assert out.count() == 0
+    assert out.columns == df.columns  # empty frame keeps the input schema
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_select(
+            df, id_col="doc_id", domain_col="dom", score_col="s",
+            token_col="toks", budgets={"en": -1},
+        )
+
+
+def test_token_budget_plan_broadcast_no_sort(spark):
+    from data_check_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(i, "en", i % 3, 10) for i in range(300)],
+        "doc_id long, dom string, s int, toks int",
+    )
+    out = token_budget_select(
+        df, id_col="doc_id", domain_col="dom", score_col="s",
+        token_col="toks", budgets={"en": 1500},
+    )
+    out.collect()  # finalize AQE
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus is filtered via a broadcast of the tiny rule frame —
+    # never globally sorted, never sort-merge joined
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
