@@ -91,6 +91,11 @@ AUDITED = [
      "One counts-only groupBy(day) pass with map-side partials; the "
      "trailing window then runs over the tiny per-day frame (365 rows/yr "
      "regardless of corpus size) — its single partition is deliberate."),
+    ("token_budget_documents",
+     "Token-budget curation with NO global sort: one counts-only "
+     "(domain, score-bucket) aggregation plans the cut; the corpus is then "
+     "filtered through a BroadcastHashJoin against the tiny rule frame — "
+     "no SortMergeJoin, no per-domain single-reducer running sum."),
 ]
 
 
