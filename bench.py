@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "upsample_documents",
     "cluster_split_documents",
     "rolling_hash_documents",
+    "token_budget_documents",
+    "corpus_shuffle_documents",
 ]
 
 

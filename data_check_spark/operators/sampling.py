@@ -316,6 +316,44 @@ def token_budget_select(
     )
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str,
+    n_shards: int,
+    seed: str = "sh0",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards (shard, pos).
+
+    Pretraining wants the corpus in a random-but-REPRODUCIBLE order: a
+    ``rand()`` sort changes across retries and engines, and a single
+    global ORDER BY funnels 100 TB through one sort. Here the order is a
+    pure function of (seed, id): shard = (hash32 * n_shards) >> 32
+    (balanced, no sampling step), pos = rank of the hash within the
+    shard (ties broken by id). The only exchange is keyed by shard; each
+    reducer sorts just corpus/n_shards rows — raise ``n_shards`` until a
+    shard fits an executor. Re-shuffling with a new seed is a fresh epoch
+    order at the cost of one keyed shuffle.
+    """
+    if n_shards < 1 or n_shards > (1 << 31):
+        raise ValueError(f"n_shards must be in [1, 2^31], got {n_shards}")
+    clobbered = {"shard", "pos"} & set(df.columns)
+    if clobbered:
+        raise ValueError(
+            f"input already has column(s) {sorted(clobbered)}; rename them "
+            "first (corpus_shuffle adds its own 'shard' and 'pos')"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        df.withColumn("_h", _keyed_hash_int(F.col(id_col), seed))
+        .withColumn("shard", F.shiftright(F.col("_h") * F.lit(n_shards), 32))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )
+
+
 def cluster_safe_split(
     docs: DataFrame,
     components: DataFrame,

@@ -3036,3 +3036,36 @@ def token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_col="n_chars", budgets={"en": 30000, "de": 50000}, seed="tbq1",
     )
     return out.select("doc_id", "lang", "score").orderBy("doc_id")
+
+
+# Deterministic corpus shuffle (operators/sampling.py::corpus_shuffle):
+# shard = (hash32 * n) >> 32 and pos = rank within shard are pure integer
+# functions of (seed, doc_id) — DuckDB reproduces the full shard layout.
+_CORPUS_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         cast(('0x' || substring(md5('shq1:' || cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, lang,
+       (hv * 8) // 4294967296 AS shard,
+       row_number() OVER (PARTITION BY (hv * 8) // 4294967296
+                          ORDER BY hv, doc_id) AS pos
+FROM h
+ORDER BY shard, pos
+"""
+
+
+@register("corpus_shuffle_documents", _CORPUS_SHUFFLE_SQL)
+def corpus_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle into 8 shards: every doc gets a
+    (shard, pos) that is a pure function of (seed, doc_id) — retries,
+    engines and input partitionings all agree. One keyed exchange; each
+    reducer sorts only its shard, never the whole corpus."""
+    from data_check_spark.operators.sampling import corpus_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        corpus_shuffle(docs, id_col="doc_id", n_shards=8, seed="shq1")
+        .orderBy("shard", "pos")
+    )

@@ -406,3 +406,58 @@ def test_token_budget_plan_broadcast_no_sort(spark):
     # never globally sorted, never sort-merge joined
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_corpus_shuffle_exact_replay_and_balance(spark):
+    import hashlib
+
+    from data_check_spark.operators.sampling import corpus_shuffle
+
+    n = 2000
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(n)], "doc_id long, txt string")
+    out = corpus_shuffle(df, id_col="doc_id", n_shards=8, seed="sh9")
+    got = {r.doc_id: (r.shard, r.pos) for r in out.collect()}
+    # independent replay: shard = (h*8)>>32, pos = rank of (h, id) in shard
+    hv = {i: int(hashlib.md5(f"sh9:{i}".encode()).hexdigest()[:8], 16) for i in range(n)}
+    by_shard = {}
+    for i in range(n):
+        by_shard.setdefault((hv[i] * 8) >> 32, []).append(i)
+    want = {}
+    for s, members in by_shard.items():
+        for pos, i in enumerate(sorted(members, key=lambda i: (hv[i], i)), start=1):
+            want[i] = (s, pos)
+    assert got == want
+    # shards are balanced: each within 4 sd of n/8
+    from collections import Counter
+    c = Counter(s for s, _ in got.values())
+    assert set(c) == set(range(8))
+    assert all(abs(v - 250) < 70 for v in c.values())
+    # stable under input repartitioning (order is a function of the key only)
+    got2 = {r.doc_id: (r.shard, r.pos)
+            for r in corpus_shuffle(df.repartition(7), id_col="doc_id",
+                                    n_shards=8, seed="sh9").collect()}
+    assert got2 == got
+
+
+def test_corpus_shuffle_plan_one_keyed_exchange(spark):
+    from data_check_spark.operators.sampling import corpus_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = corpus_shuffle(df, id_col="doc_id", n_shards=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one exchange, keyed by shard — never a single-partition global sort
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_corpus_shuffle_guards(spark):
+    import pytest
+
+    from data_check_spark.operators.sampling import corpus_shuffle
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="n_shards"):
+        corpus_shuffle(df, id_col="doc_id", n_shards=0)
+    with pytest.raises(ValueError, match="shard"):
+        corpus_shuffle(df.withColumn("shard", df.doc_id), id_col="doc_id", n_shards=2)
