@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "rolling_hash_documents",
     "token_budget_documents",
     "corpus_shuffle_documents",
+    "voiced_segments_documents",
 ]
 
 

@@ -268,6 +268,132 @@ def synth_square_pcm(
     return df.mapInPandas(run, schema=schema)
 
 
+def synth_two_burst_pcm(
+    df: DataFrame,
+    *,
+    lead_col: str = "lead",
+    w1_col: str = "w1",
+    gap_col: str = "gap",
+    w2_col: str = "w2",
+    amp_col: str = "amp",
+    half_period_col: str = "k",
+    out_col: str = "bytes",
+) -> DataFrame:
+    """Square-wave payload with an interior silence gap (two bursts).
+
+    Layout: ``lead`` zero samples, a ±``amp`` square burst of ``w1``
+    samples, ``gap`` zeros, a second burst of ``w2`` samples. The sibling
+    of :func:`synth_square_pcm` for exercising SEGMENTATION: a single
+    burst can never split into two voiced runs, so the closed-form oracle
+    for :func:`voiced_segments` needs a fixture whose silence boundaries
+    are analytic in the parameters. Same int16-LE contract.
+    """
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, {out_col} binary"
+
+    def burst(w: int, amp: int, k: int) -> np.ndarray:
+        j = np.arange(max(w, 0), dtype=np.int64)
+        return np.where((j // k) % 2 == 0, amp, -amp)
+
+    def run(batches):
+        for pdf in batches:
+            payloads: list[bytes] = []
+            for lead, w1, gap, w2, amp, k in zip(
+                pdf[lead_col], pdf[w1_col], pdf[gap_col], pdf[w2_col],
+                pdf[amp_col], pdf[half_period_col],
+            ):
+                lead, w1, gap, w2 = int(lead), int(w1), int(gap), int(w2)
+                amp, k = int(amp), max(int(k), 1)
+                x = np.concatenate([
+                    np.zeros(max(lead, 0), dtype=np.int64),
+                    burst(w1, amp, k),
+                    np.zeros(max(gap, 0), dtype=np.int64),
+                    burst(w2, amp, k),
+                ])
+                payloads.append(x.astype("<i2").tobytes())
+            out = pdf.copy()
+            out[out_col] = payloads
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def voiced_segments(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    frame_samples: int = 64,
+    min_energy: int = 1,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Voiced-segment extraction (VAD-lite) over framed int16 PCM.
+
+    The curation stage between ingest and transcription: split each clip
+    into fixed ``frame_samples`` windows (the tail partial window counts),
+    mark a window voiced when its energy (sum of squared samples, exact
+    int64) >= ``min_energy``, and emit one row per MAXIMAL voiced run —
+    (seg_idx, start_frame, end_frame inclusive, start_sample,
+    end_sample = min(n, (end_frame+1)·frame), n_frames, energy of the
+    run). Silence shorter than one full frame does not split a run.
+
+    All-zero, empty, NULL and odd-length (undecodable) payloads emit no
+    rows — a validation rule flags undecodables upstream; this operator's
+    contract is "segments that exist". One mapInPandas pass, integer
+    arithmetic end-to-end (cross-engine exact); the binary dies here.
+    Fan-out is #segments per clip — output rows replicate the kept
+    columns, never the payload.
+    """
+    if frame_samples < 1:
+        raise ValueError(f"frame_samples must be >= 1, got {frame_samples}")
+    kept = keep if keep is not None else [
+        f.name for f in df.schema.fields if f.name != bytes_col
+    ]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in kept
+    )
+    schema = (
+        f"{fields}, seg_idx int, start_frame bigint, end_frame bigint,"
+        " start_sample bigint, end_sample bigint, n_frames bigint, energy bigint"
+    )
+    W = frame_samples
+
+    def run(batches):
+        for pdf in batches:
+            rows_idx: list[int] = []
+            segs: list[tuple[int, int, int, int]] = []  # (seg_idx, s, e, energy)
+            sizes: list[int] = []
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for i in range(len(pdf)):
+                b = payloads[i]
+                if b is None or len(b) % 2 != 0 or len(b) == 0:
+                    continue
+                x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                n = x.size
+                nf = -(-n // W)
+                padded = np.zeros(nf * W, dtype=np.int64)
+                padded[:n] = x
+                fe = (padded * padded).reshape(nf, W).sum(axis=1)
+                voiced = (fe >= min_energy).astype(np.int8)
+                edges = np.flatnonzero(np.diff(np.concatenate([[0], voiced, [0]])))
+                for si, (s, e) in enumerate(zip(edges[0::2], edges[1::2] - 1)):
+                    rows_idx.append(i)
+                    sizes.append(n)
+                    segs.append((si, int(s), int(e), int(fe[s:e + 1].sum())))
+            out = pdf.iloc[rows_idx][kept].reset_index(drop=True)
+            out["seg_idx"] = pd.array([s[0] for s in segs], dtype="int32")
+            out["start_frame"] = pd.array([s[1] for s in segs], dtype="int64")
+            out["end_frame"] = pd.array([s[2] for s in segs], dtype="int64")
+            out["start_sample"] = pd.array([s[1] * W for s in segs], dtype="int64")
+            out["end_sample"] = pd.array(
+                [min(n, (s[2] + 1) * W) for n, s in zip(sizes, segs)], dtype="int64"
+            )
+            out["n_frames"] = pd.array([s[2] - s[1] + 1 for s in segs], dtype="int64")
+            out["energy"] = pd.array([s[3] for s in segs], dtype="int64")
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def pcm_stats(df: DataFrame, *, bytes_col: str = "bytes", keep: list[str] | None = None) -> DataFrame:
     """Integer-exact per-clip QC stats decoded from raw int16-LE PCM bytes.
 

@@ -1792,6 +1792,67 @@ def audio_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio.pcm_stats(pcm, keep=["doc_id"])
 
 
+# Voiced-segment extraction (operators/audio.py::voiced_segments) under the
+# value-level oracle: two square bursts with an interior silence gap, all
+# boundaries md5-derived MULTIPLES OF the 64-sample frame, so every segment
+# edge, frame count and run energy has an exact integer closed form — DuckDB
+# verifies the real framed decode + run-collapsing without touching audio.
+_VOICED_SEGMENTS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         64 * (CAST(('0x' || substr(md5(doc_id || ':sl'), 1, 15)) AS BIGINT) % 4) AS lead,
+         64 * (2 + CAST(('0x' || substr(md5(doc_id || ':w1'), 1, 15)) AS BIGINT) % 6) AS w1,
+         64 * (1 + CAST(('0x' || substr(md5(doc_id || ':sg'), 1, 15)) AS BIGINT) % 3) AS gap,
+         1 + CAST(('0x' || substr(md5(doc_id || ':w2'), 1, 15)) AS BIGINT) % 500 AS w2,
+         1000 + CAST(('0x' || substr(md5(doc_id || ':sa'), 1, 15)) AS BIGINT) % 31000 AS amp
+  FROM documents
+)
+SELECT doc_id, CAST(0 AS INT) AS seg_idx,
+       lead // 64 AS start_frame, (lead + w1) // 64 - 1 AS end_frame,
+       lead AS start_sample, lead + w1 AS end_sample,
+       w1 // 64 AS n_frames, w1 * amp * amp AS energy
+FROM p
+UNION ALL
+SELECT doc_id, CAST(1 AS INT),
+       (lead + w1 + gap) // 64,
+       (lead + w1 + gap + w2 - 1) // 64,
+       lead + w1 + gap,
+       lead + w1 + gap + w2,
+       (lead + w1 + gap + w2 - 1) // 64 - (lead + w1 + gap) // 64 + 1,
+       w2 * amp * amp
+FROM p
+ORDER BY doc_id, seg_idx
+"""
+
+
+@register("voiced_segments_documents", _VOICED_SEGMENTS_SQL)
+def voiced_segments_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation (VAD-lite) over real synthesized PCM: per-clip
+    voiced runs with frame/sample boundaries and run energy, two chained
+    Arrow stages (synth then segment) over one repartitioned scan — the
+    binary column is born and dies inside the python stages."""
+    from data_check_spark.operators import audio as _audio
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+
+    def h(tag: str) -> F.Column:
+        return _dedup._portable_hash60(F.concat(sid, F.lit(tag)))
+
+    params = docs.select(
+        "doc_id",
+        (F.lit(64) * (h(":sl") % 4)).alias("lead"),
+        (F.lit(64) * (F.lit(2) + h(":w1") % 6)).alias("w1"),
+        (F.lit(64) * (F.lit(1) + h(":sg") % 3)).alias("gap"),
+        (F.lit(1) + h(":w2") % 500).alias("w2"),
+        (F.lit(1000) + h(":sa") % 31000).alias("amp"),
+        (F.lit(4) + h(":sk") % 28).alias("k"),
+    )
+    pcm = _audio.synth_two_burst_pcm(params)
+    segs = _audio.voiced_segments(pcm, frame_samples=64, keep=["doc_id"])
+    return segs.orderBy("doc_id", "seg_idx")
+
+
 _ROLLING_HOUR_SQL = """
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

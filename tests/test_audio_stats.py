@@ -97,3 +97,97 @@ def test_audio_stats_query_python_md5_crosscheck(spark):
         expect = _closed_form(n, lead, amp, k)
         for col, val in expect.items():
             assert row[col] == val, (doc_id, col, row[col], val)
+
+
+# ---------------------------------------------------------------- segments
+
+
+def _segments_replay(payload, W, min_energy):
+    """Pure-python replay of voiced_segments' framing/run contract."""
+    import numpy as np
+
+    if payload is None or len(payload) % 2 != 0 or len(payload) == 0:
+        return []
+    x = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+    n = x.size
+    nf = -(-n // W)
+    fe = [int((x[f * W:(f + 1) * W] ** 2).sum()) for f in range(nf)]
+    segs, run = [], None
+    for f in range(nf + 1):
+        voiced = f < nf and fe[f] >= min_energy
+        if voiced and run is None:
+            run = f
+        elif not voiced and run is not None:
+            s, e = run, f - 1
+            segs.append((len(segs), s, e, s * W, min(n, (e + 1) * W),
+                         e - s + 1, sum(fe[s:e + 1])))
+            run = None
+    return segs
+
+
+def _pack16(vals):
+    import numpy as np
+
+    return np.asarray(vals, dtype="<i2").tobytes()
+
+
+def test_voiced_segments_runs_and_edges(spark):
+    from data_check_spark.operators.audio import voiced_segments
+
+    W = 4
+    payloads = {
+        # two bursts split by one full silent frame
+        1: _pack16([0] * 4 + [100] * 4 + [0] * 4 + [100] * 6),
+        # sub-frame interior silence (2 zeros inside a frame): ONE run
+        2: _pack16([100, 100, 0, 0, 100, 100, 100, 100]),
+        # tail partial frame voiced; end_sample == n, not the frame edge
+        3: _pack16([0] * 4 + [100] * 3),
+        # all silence -> no rows
+        4: _pack16([0] * 12),
+        # empty payload -> no rows
+        5: b"",
+        # odd length (undecodable) -> no rows
+        6: b"\x01\x02\x03",
+        # NULL -> no rows
+        7: None,
+    }
+    df = spark.createDataFrame(list(payloads.items()), "clip_id long, bytes binary")
+    out = voiced_segments(df, frame_samples=W).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.clip_id, []).append(
+            (r.seg_idx, r.start_frame, r.end_frame, r.start_sample,
+             r.end_sample, r.n_frames, r.energy))
+    for cid in payloads:
+        want = _segments_replay(payloads[cid], W, 1)
+        assert sorted(got.get(cid, [])) == want, (cid, got.get(cid), want)
+    assert len(got[1]) == 2          # the gap splits
+    assert len(got[2]) == 1          # sub-frame silence does not
+    assert got[3][0][4] == 7         # end_sample clipped to n
+    assert 4 not in got and 5 not in got and 6 not in got and 7 not in got
+
+
+def test_voiced_segments_min_energy_threshold(spark):
+    from data_check_spark.operators.audio import voiced_segments
+
+    # frame energies: [4*10^2=400, 4*100^2=40000]
+    df = spark.createDataFrame(
+        [(1, _pack16([10] * 4 + [100] * 4))], "clip_id long, bytes binary"
+    )
+    out = voiced_segments(df, frame_samples=4, min_energy=1000).collect()
+    assert [(r.start_frame, r.end_frame) for r in out] == [(1, 1)]
+    with __import__("pytest").raises(ValueError, match="frame_samples"):
+        voiced_segments(df, frame_samples=0)
+
+
+def test_two_burst_synth_layout(spark):
+    import numpy as np
+
+    from data_check_spark.operators.audio import synth_two_burst_pcm
+
+    df = spark.createDataFrame(
+        [(4, 6, 5, 3, 7, 2)], "lead int, w1 int, gap int, w2 int, amp int, k int"
+    )
+    b = synth_two_burst_pcm(df).collect()[0]["bytes"]
+    x = np.frombuffer(b, dtype="<i2").astype(int).tolist()
+    assert x == ([0] * 4 + [7, 7, -7, -7, 7, 7] + [0] * 5 + [7, 7, -7])

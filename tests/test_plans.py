@@ -173,3 +173,16 @@ def test_media_feature_extract_single_python_stage(spark):
     assert plan.count("MapInPandas") == 1
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_voiced_segments_chained_python_stages(spark):
+    """synth -> segment are chained Arrow stages over ONE scan, like
+    audio_stats; the per-clip segment fan-out happens inside the second
+    python stage, never via a join or an extra shuffle. The final sort is
+    the query's deterministic output ORDER BY."""
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["voiced_segments_documents"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 2
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan

@@ -91,6 +91,11 @@ AUDITED = [
      "One counts-only groupBy(day) pass with map-side partials; the "
      "trailing window then runs over the tiny per-day frame (365 rows/yr "
      "regardless of corpus size) — its single partition is deliberate."),
+    ("voiced_segments_documents",
+     "Two chained Arrow python stages (burst synth, then framed "
+     "segmentation) over one repartitioned scan — the segment fan-out "
+     "happens inside the second stage, no join, no shuffle between them; "
+     "the binary column is born and dies inside the python stages."),
     ("token_budget_documents",
      "Token-budget curation with NO global sort: one counts-only "
      "(domain, score-bucket) aggregation plans the cut; the corpus is then "
