@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "token_budget_documents",
     "corpus_shuffle_documents",
     "voiced_segments_documents",
+    "audio_fingerprint_documents",
 ]
 
 

@@ -394,6 +394,79 @@ def voiced_segments(
     return df.mapInPandas(run, schema=schema)
 
 
+def audio_fingerprint(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    frame_samples: int = 64,
+    levels: int = 16,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Gain-invariant acoustic fingerprint for audio deduplication.
+
+    Audio corpora carry duplicates the byte-level md5 misses: the same
+    recording re-encoded at a different volume. This fingerprints the
+    ENERGY SHAPE instead of the bytes: per ``frame_samples`` window the
+    int64 energy e_f, quantized against the clip's loudest frame as
+    q_f = (levels·e_f) // e_max. The division is exact under any common
+    scale factor — x → c·x multiplies every e_f and e_max by c², and
+    floor(a·c²/(b·c²)) ≡ floor(a/b) — so an integer-gain copy produces
+    the IDENTICAL profile, bit-for-bit, on every engine. Emits
+    (n_frames, profile = comma-joined q_f, fingerprint = md5(profile));
+    dedup = group/join on ``fingerprint`` (128 bits shuffle, never the
+    profile or the audio — same shape as text exact-dedup,
+    operators/dedup.py). All-silent clips quantize to an all-zero
+    profile; NULL/odd-length (undecodable) payloads get NULL stats
+    rather than dropping the row (consumers join back by id). One
+    mapInPandas pass; the binary dies here.
+    """
+    if frame_samples < 1 or levels < 1:
+        raise ValueError(
+            f"frame_samples and levels must be >= 1, got {frame_samples}, {levels}"
+        )
+    kept = keep if keep is not None else [
+        f.name for f in df.schema.fields if f.name != bytes_col
+    ]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in kept
+    )
+    schema = f"{fields}, n_frames bigint, profile string, fingerprint string"
+    W = frame_samples
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            m = len(pdf)
+            nf_s: list[int | None] = [None] * m
+            prof_s: list[str | None] = [None] * m
+            fp_s: list[str | None] = [None] * m
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for i in range(m):
+                b = payloads[i]
+                if b is None or len(b) % 2 != 0 or len(b) == 0:
+                    continue
+                x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                n = x.size
+                nf = -(-n // W)
+                padded = np.zeros(nf * W, dtype=np.int64)
+                padded[:n] = x
+                fe = (padded * padded).reshape(nf, W).sum(axis=1)
+                e_max = int(fe.max())
+                q = (levels * fe) // e_max if e_max > 0 else np.zeros(nf, dtype=np.int64)
+                profile = ",".join(str(int(v)) for v in q)
+                nf_s[i] = nf
+                prof_s[i] = profile
+                fp_s[i] = hashlib.md5(profile.encode()).hexdigest()
+            out = pdf[kept].copy()
+            out["n_frames"] = pd.array(nf_s, dtype="Int64")
+            out["profile"] = prof_s
+            out["fingerprint"] = fp_s
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def pcm_stats(df: DataFrame, *, bytes_col: str = "bytes", keep: list[str] | None = None) -> DataFrame:
     """Integer-exact per-clip QC stats decoded from raw int16-LE PCM bytes.
 

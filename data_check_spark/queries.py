@@ -1853,6 +1853,79 @@ def voiced_segments_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segs.orderBy("doc_id", "seg_idx")
 
 
+# Gain-invariant acoustic fingerprint (operators/audio.py::audio_fingerprint):
+# each doc is synthesized at TWO gains (amp and amp·g); the quantized
+# energy profile q_f = (16·e_f) // e_max is amp-free in closed form
+# (floor(a·c²/(b·c²)) ≡ floor(a/b)), so DuckDB predicts ONE profile per doc
+# and the oracle match proves the gain copies collide, cross-engine.
+_AUDIO_FP_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         64 * (CAST(('0x' || substr(md5(doc_id || ':sl'), 1, 15)) AS BIGINT) % 4) AS lead,
+         64 * (2 + CAST(('0x' || substr(md5(doc_id || ':w1'), 1, 15)) AS BIGINT) % 6) AS w1,
+         64 * (1 + CAST(('0x' || substr(md5(doc_id || ':sg'), 1, 15)) AS BIGINT) % 3) AS gap,
+         1 + CAST(('0x' || substr(md5(doc_id || ':w2'), 1, 15)) AS BIGINT) % 500 AS w2
+  FROM documents
+),
+prof AS (
+  SELECT doc_id,
+         (lead + w1 + gap + w2 + 63) // 64 AS n_frames,
+         rtrim(repeat('0,', CAST(lead // 64 AS INT))
+               || repeat('16,', CAST(w1 // 64 AS INT))
+               || repeat('0,', CAST(gap // 64 AS INT))
+               || repeat('16,', CAST(w2 // 64 AS INT))
+               || CASE WHEN w2 % 64 > 0
+                       THEN cast((16 * (w2 % 64)) // 64 AS VARCHAR) || ','
+                       ELSE '' END,
+               ',') AS profile
+  FROM p
+)
+SELECT doc_id, g.gain, n_frames, profile, md5(profile) AS fingerprint
+FROM prof CROSS JOIN (VALUES (0), (1)) AS g(gain)
+ORDER BY doc_id, gain
+"""
+
+
+@register("audio_fingerprint_documents", _AUDIO_FP_SQL)
+def audio_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic dedup fingerprints over real synthesized PCM: every doc
+    rendered at two volumes (amp, amp·g with g in 2..4, kept inside
+    int16) must fingerprint identically — the audio analog of text
+    exact-dedup, robust to re-encoding gain. Single scan; the gain
+    fan-out is a map-side explode; two chained Arrow stages."""
+    from data_check_spark.operators import audio as _audio
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+
+    def h(tag: str) -> F.Column:
+        return _dedup._portable_hash60(F.concat(sid, F.lit(tag)))
+
+    params = docs.select(
+        "doc_id",
+        (F.lit(64) * (h(":sl") % 4)).alias("lead"),
+        (F.lit(64) * (F.lit(2) + h(":w1") % 6)).alias("w1"),
+        (F.lit(64) * (F.lit(1) + h(":sg") % 3)).alias("gap"),
+        (F.lit(1) + h(":w2") % 500).alias("w2"),
+        (F.lit(500) + h(":fa") % 7500).alias("amp_base"),
+        (F.lit(2) + h(":fg") % 3).alias("g"),
+        (F.lit(4) + h(":sk") % 28).alias("k"),
+    )
+    variants = (
+        params.withColumn("gain", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn(
+            "amp",
+            F.when(F.col("gain") == 1, F.col("amp_base") * F.col("g"))
+            .otherwise(F.col("amp_base")),
+        )
+    )
+    pcm = _audio.synth_two_burst_pcm(variants)
+    fp = _audio.audio_fingerprint(pcm, frame_samples=64, keep=["doc_id", "gain"])
+    return fp.select(
+        "doc_id", "gain", "n_frames", "profile", "fingerprint"
+    ).orderBy("doc_id", "gain")
+
+
 _ROLLING_HOUR_SQL = """
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

@@ -191,3 +191,58 @@ def test_two_burst_synth_layout(spark):
     b = synth_two_burst_pcm(df).collect()[0]["bytes"]
     x = np.frombuffer(b, dtype="<i2").astype(int).tolist()
     assert x == ([0] * 4 + [7, 7, -7, -7, 7, 7] + [0] * 5 + [7, 7, -7])
+
+
+# ------------------------------------------------------------ fingerprint
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    import hashlib
+
+    import numpy as np
+
+    from data_check_spark.operators.audio import audio_fingerprint
+
+    base = [0] * 4 + [100, -100, 50, 25] + [0] * 4 + [75] * 6
+    rows = [
+        (1, _pack16(base)),
+        (2, _pack16([v * 5 for v in base])),          # gain x5: same shape
+        (3, _pack16([0] * 4 + [100] * 14)),            # different content
+        (4, _pack16([0] * 8)),                         # all silence
+        (5, None),                                     # undecodable
+        (6, b"\x01\x02\x03"),                          # odd length
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, bytes binary")
+    got = {r.clip_id: r for r in
+           audio_fingerprint(df, frame_samples=4).collect()}
+    assert got[1].fingerprint == got[2].fingerprint      # gain copies collide
+    assert got[1].profile == got[2].profile
+    assert got[3].fingerprint != got[1].fingerprint      # content differs
+    assert got[4].profile == "0,0"                       # silence: all zeros
+    assert got[5].fingerprint is None and got[6].fingerprint is None
+    assert got[5].n_frames is None
+    # exact replay of clip 1: frame energies over W=4, q = 16*e // e_max
+    x = np.asarray(base, dtype=np.int64)
+    nf = -(-len(base) // 4)  # ceil: the padded tail frame counts
+    fe = [int((x[f * 4:(f + 1) * 4] ** 2).sum()) for f in range(nf)]
+    q = [16 * e // max(fe) for e in fe]
+    profile = ",".join(map(str, q))
+    assert got[1].profile == profile
+    assert got[1].fingerprint == hashlib.md5(profile.encode()).hexdigest()
+    assert got[1].n_frames == nf
+
+
+def test_audio_fingerprint_dedup_composes(spark):
+    """The fingerprint column feeds the standard exact-dedup machinery:
+    gain-duplicates land in one group, first id wins."""
+    from data_check_spark.operators.audio import audio_fingerprint
+    from data_check_spark.operators.dedup import exact_duplicate_groups
+
+    base = [10, -20, 30, -40] * 4 + [5, -5] * 8
+    rows = [(1, _pack16(base)), (2, _pack16([v * 3 for v in base])),
+            (3, _pack16([99] * 8 + [1] * 24))]
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary")
+    fp = audio_fingerprint(df, frame_samples=8).select("doc_id", "fingerprint")
+    groups = exact_duplicate_groups(fp, id_col="doc_id", text_col="fingerprint")
+    got = [(r["n_docs"], r["keep_id"]) for r in groups.collect()]
+    assert got == [(2, 1)]  # the gain pair {1,2} is one group, first wins

@@ -96,6 +96,10 @@ AUDITED = [
      "segmentation) over one repartitioned scan — the segment fan-out "
      "happens inside the second stage, no join, no shuffle between them; "
      "the binary column is born and dies inside the python stages."),
+    ("audio_fingerprint_documents",
+     "Acoustic-dedup fingerprints: the two-gain fan-out is a map-side "
+     "explode in the scan projection (one scan, no self-join); synth and "
+     "fingerprint are chained Arrow stages with no shuffle between them."),
     ("token_budget_documents",
      "Token-budget curation with NO global sort: one counts-only "
      "(domain, score-bucket) aggregation plans the cut; the corpus is then "
