@@ -318,6 +318,31 @@ def synth_two_burst_pcm(
     return df.mapInPandas(run, schema=schema)
 
 
+def _frame_energies(payload, W: int):
+    """Shared framed-decode step for the segmentation/fingerprint family:
+    int16-LE decode, zero-pad to the ceil frame, per-frame int64 energy.
+    Returns (n_samples, energies) or None for undecodable payloads
+    (NULL / odd-length / empty) — each caller routes those per its own
+    contract (no rows vs NULL stats)."""
+    if payload is None or len(payload) % 2 != 0 or len(payload) == 0:
+        return None
+    x = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+    n = x.size
+    nf = -(-n // W)
+    padded = np.zeros(nf * W, dtype=np.int64)
+    padded[:n] = x
+    return n, (padded * padded).reshape(nf, W).sum(axis=1)
+
+
+def _guard_emitted(kept: list[str], emitted: tuple[str, ...], op: str) -> None:
+    clobbered = set(kept) & set(emitted)
+    if clobbered:
+        raise ValueError(
+            f"input column(s) {sorted(clobbered)} collide with {op}'s output "
+            f"columns {list(emitted)}; rename or drop them first"
+        )
+
+
 def voiced_segments(
     df: DataFrame,
     *,
@@ -348,6 +373,9 @@ def voiced_segments(
     kept = keep if keep is not None else [
         f.name for f in df.schema.fields if f.name != bytes_col
     ]
+    emitted = ("seg_idx", "start_frame", "end_frame", "start_sample",
+               "end_sample", "n_frames", "energy")
+    _guard_emitted(kept, emitted, "voiced_segments")
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in kept
     )
@@ -364,15 +392,10 @@ def voiced_segments(
             sizes: list[int] = []
             payloads = pdf[bytes_col].to_numpy(dtype=object)
             for i in range(len(pdf)):
-                b = payloads[i]
-                if b is None or len(b) % 2 != 0 or len(b) == 0:
+                decoded = _frame_energies(payloads[i], W)
+                if decoded is None:
                     continue
-                x = np.frombuffer(b, dtype="<i2").astype(np.int64)
-                n = x.size
-                nf = -(-n // W)
-                padded = np.zeros(nf * W, dtype=np.int64)
-                padded[:n] = x
-                fe = (padded * padded).reshape(nf, W).sum(axis=1)
+                n, fe = decoded
                 voiced = (fe >= min_energy).astype(np.int8)
                 edges = np.flatnonzero(np.diff(np.concatenate([[0], voiced, [0]])))
                 for si, (s, e) in enumerate(zip(edges[0::2], edges[1::2] - 1)):
@@ -427,6 +450,7 @@ def audio_fingerprint(
     kept = keep if keep is not None else [
         f.name for f in df.schema.fields if f.name != bytes_col
     ]
+    _guard_emitted(kept, ("n_frames", "profile", "fingerprint"), "audio_fingerprint")
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in kept
     )
@@ -443,15 +467,11 @@ def audio_fingerprint(
             fp_s: list[str | None] = [None] * m
             payloads = pdf[bytes_col].to_numpy(dtype=object)
             for i in range(m):
-                b = payloads[i]
-                if b is None or len(b) % 2 != 0 or len(b) == 0:
+                decoded = _frame_energies(payloads[i], W)
+                if decoded is None:
                     continue
-                x = np.frombuffer(b, dtype="<i2").astype(np.int64)
-                n = x.size
-                nf = -(-n // W)
-                padded = np.zeros(nf * W, dtype=np.int64)
-                padded[:n] = x
-                fe = (padded * padded).reshape(nf, W).sum(axis=1)
+                _, fe = decoded
+                nf = fe.size
                 e_max = int(fe.max())
                 q = (levels * fe) // e_max if e_max > 0 else np.zeros(nf, dtype=np.int64)
                 profile = ",".join(str(int(v)) for v in q)
@@ -487,6 +507,9 @@ def pcm_stats(df: DataFrame, *, bytes_col: str = "bytes", keep: list[str] | None
     like the engine's wide pass, the binary column dies here).
     """
     kept = keep if keep is not None else [f.name for f in df.schema.fields if f.name != bytes_col]
+    _guard_emitted(
+        kept, ("n_samples", "lead_silence", "peak_abs", "dc_sum", "energy"), "pcm_stats"
+    )
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in kept
     )

@@ -334,14 +334,20 @@ def corpus_shuffle(
     reducer sorts just corpus/n_shards rows — raise ``n_shards`` until a
     shard fits an executor. Re-shuffling with a new seed is a fresh epoch
     order at the cost of one keyed shuffle.
+
+    ``id_col`` must be UNIQUE (run exact dedup first): rows sharing an id
+    (or multiple NULL ids, which hash to one sentinel) tie on the full
+    sort key, and which copy takes which ``pos`` is engine-arbitrary —
+    only the (id → shard) assignment and the pos SET stay deterministic.
     """
     if n_shards < 1 or n_shards > (1 << 31):
         raise ValueError(f"n_shards must be in [1, 2^31], got {n_shards}")
-    clobbered = {"shard", "pos"} & set(df.columns)
+    clobbered = {"shard", "pos", "_h"} & set(df.columns)
     if clobbered:
         raise ValueError(
             f"input already has column(s) {sorted(clobbered)}; rename them "
-            "first (corpus_shuffle adds its own 'shard' and 'pos')"
+            "first (corpus_shuffle adds 'shard' and 'pos' and uses '_h' "
+            "internally)"
         )
     from pyspark.sql import Window
 

@@ -1776,20 +1776,49 @@ def audio_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators import audio as _audio
 
     docs = _docs_parallel(spark, sf_dir).select("doc_id")
-    sid = F.col("doc_id").cast("string")
-
-    def h(tag: str) -> F.Column:
-        return _dedup._portable_hash60(F.concat(sid, F.lit(tag)))
-
     params = docs.select(
         "doc_id",
-        (F.lit(800) + h(":n") % 1600).alias("n"),
-        (h(":l") % 200).alias("lead"),
-        (F.lit(1000) + h(":a") % 31000).alias("amp"),
-        (F.lit(4) + h(":k") % 28).alias("k"),
+        (F.lit(800) + _doc_h(":n") % 1600).alias("n"),
+        (_doc_h(":l") % 200).alias("lead"),
+        (F.lit(1000) + _doc_h(":a") % 31000).alias("amp"),
+        (F.lit(4) + _doc_h(":k") % 28).alias("k"),
     )
     pcm = _audio.synth_square_pcm(params)
     return _audio.pcm_stats(pcm, keep=["doc_id"])
+
+
+# Two-burst fixture geometry, shared by the voiced-segment and fingerprint
+# oracles: lead / burst1 / gap are frame-aligned (multiples of 64) so every
+# segment edge is analytic; burst2 is arbitrary-length (exercises the tail
+# partial frame). ONE definition per engine — the Spark builder and this SQL
+# fragment must stay in lockstep or the two oracles test different fixtures.
+_BURST_GEOM_SQL = """
+  SELECT doc_id,
+         64 * (CAST(('0x' || substr(md5(doc_id || ':sl'), 1, 15)) AS BIGINT) % 4) AS lead,
+         64 * (2 + CAST(('0x' || substr(md5(doc_id || ':w1'), 1, 15)) AS BIGINT) % 6) AS w1,
+         64 * (1 + CAST(('0x' || substr(md5(doc_id || ':sg'), 1, 15)) AS BIGINT) % 3) AS gap,
+         1 + CAST(('0x' || substr(md5(doc_id || ':w2'), 1, 15)) AS BIGINT) % 500 AS w2
+  FROM documents
+"""
+
+
+def _doc_h(tag: str) -> F.Column:
+    """md5-derived 60-bit param for a doc (portable: DuckDB analog is
+    CAST(('0x' || substr(md5(doc_id || tag), 1, 15)) AS BIGINT))."""
+    return _dedup._portable_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(tag))
+    )
+
+
+def _burst_geometry(docs: DataFrame) -> DataFrame:
+    """Spark side of _BURST_GEOM_SQL (same tags, offsets and moduli)."""
+    return docs.select(
+        "doc_id",
+        (F.lit(64) * (_doc_h(":sl") % 4)).alias("lead"),
+        (F.lit(64) * (F.lit(2) + _doc_h(":w1") % 6)).alias("w1"),
+        (F.lit(64) * (F.lit(1) + _doc_h(":sg") % 3)).alias("gap"),
+        (F.lit(1) + _doc_h(":w2") % 500).alias("w2"),
+    )
 
 
 # Voiced-segment extraction (operators/audio.py::voiced_segments) under the
@@ -1797,15 +1826,12 @@ def audio_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundaries md5-derived MULTIPLES OF the 64-sample frame, so every segment
 # edge, frame count and run energy has an exact integer closed form — DuckDB
 # verifies the real framed decode + run-collapsing without touching audio.
-_VOICED_SEGMENTS_SQL = """
-WITH p AS (
-  SELECT doc_id,
-         64 * (CAST(('0x' || substr(md5(doc_id || ':sl'), 1, 15)) AS BIGINT) % 4) AS lead,
-         64 * (2 + CAST(('0x' || substr(md5(doc_id || ':w1'), 1, 15)) AS BIGINT) % 6) AS w1,
-         64 * (1 + CAST(('0x' || substr(md5(doc_id || ':sg'), 1, 15)) AS BIGINT) % 3) AS gap,
-         1 + CAST(('0x' || substr(md5(doc_id || ':w2'), 1, 15)) AS BIGINT) % 500 AS w2,
+_VOICED_SEGMENTS_SQL = f"""
+WITH geom AS ({_BURST_GEOM_SQL}),
+p AS (
+  SELECT geom.*,
          1000 + CAST(('0x' || substr(md5(doc_id || ':sa'), 1, 15)) AS BIGINT) % 31000 AS amp
-  FROM documents
+  FROM geom
 )
 SELECT doc_id, CAST(0 AS INT) AS seg_idx,
        lead // 64 AS start_frame, (lead + w1) // 64 - 1 AS end_frame,
@@ -1834,19 +1860,10 @@ def voiced_segments_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators import audio as _audio
 
     docs = _docs_parallel(spark, sf_dir).select("doc_id")
-    sid = F.col("doc_id").cast("string")
-
-    def h(tag: str) -> F.Column:
-        return _dedup._portable_hash60(F.concat(sid, F.lit(tag)))
-
-    params = docs.select(
-        "doc_id",
-        (F.lit(64) * (h(":sl") % 4)).alias("lead"),
-        (F.lit(64) * (F.lit(2) + h(":w1") % 6)).alias("w1"),
-        (F.lit(64) * (F.lit(1) + h(":sg") % 3)).alias("gap"),
-        (F.lit(1) + h(":w2") % 500).alias("w2"),
-        (F.lit(1000) + h(":sa") % 31000).alias("amp"),
-        (F.lit(4) + h(":sk") % 28).alias("k"),
+    params = (
+        _burst_geometry(docs)
+        .withColumn("amp", F.lit(1000) + _doc_h(":sa") % 31000)
+        .withColumn("k", F.lit(4) + _doc_h(":sk") % 28)
     )
     pcm = _audio.synth_two_burst_pcm(params)
     segs = _audio.voiced_segments(pcm, frame_samples=64, keep=["doc_id"])
@@ -1858,15 +1875,8 @@ def voiced_segments_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # energy profile q_f = (16·e_f) // e_max is amp-free in closed form
 # (floor(a·c²/(b·c²)) ≡ floor(a/b)), so DuckDB predicts ONE profile per doc
 # and the oracle match proves the gain copies collide, cross-engine.
-_AUDIO_FP_SQL = """
-WITH p AS (
-  SELECT doc_id,
-         64 * (CAST(('0x' || substr(md5(doc_id || ':sl'), 1, 15)) AS BIGINT) % 4) AS lead,
-         64 * (2 + CAST(('0x' || substr(md5(doc_id || ':w1'), 1, 15)) AS BIGINT) % 6) AS w1,
-         64 * (1 + CAST(('0x' || substr(md5(doc_id || ':sg'), 1, 15)) AS BIGINT) % 3) AS gap,
-         1 + CAST(('0x' || substr(md5(doc_id || ':w2'), 1, 15)) AS BIGINT) % 500 AS w2
-  FROM documents
-),
+_AUDIO_FP_SQL = f"""
+WITH p AS ({_BURST_GEOM_SQL}),
 prof AS (
   SELECT doc_id,
          (lead + w1 + gap + w2 + 63) // 64 AS n_frames,
@@ -1896,20 +1906,11 @@ def audio_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators import audio as _audio
 
     docs = _docs_parallel(spark, sf_dir).select("doc_id")
-    sid = F.col("doc_id").cast("string")
-
-    def h(tag: str) -> F.Column:
-        return _dedup._portable_hash60(F.concat(sid, F.lit(tag)))
-
-    params = docs.select(
-        "doc_id",
-        (F.lit(64) * (h(":sl") % 4)).alias("lead"),
-        (F.lit(64) * (F.lit(2) + h(":w1") % 6)).alias("w1"),
-        (F.lit(64) * (F.lit(1) + h(":sg") % 3)).alias("gap"),
-        (F.lit(1) + h(":w2") % 500).alias("w2"),
-        (F.lit(500) + h(":fa") % 7500).alias("amp_base"),
-        (F.lit(2) + h(":fg") % 3).alias("g"),
-        (F.lit(4) + h(":sk") % 28).alias("k"),
+    params = (
+        _burst_geometry(docs)
+        .withColumn("amp_base", F.lit(500) + _doc_h(":fa") % 7500)
+        .withColumn("g", F.lit(2) + _doc_h(":fg") % 3)
+        .withColumn("k", F.lit(4) + _doc_h(":sk") % 28)
     )
     variants = (
         params.withColumn("gain", F.explode(F.array(F.lit(0), F.lit(1))))

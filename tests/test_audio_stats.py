@@ -246,3 +246,27 @@ def test_audio_fingerprint_dedup_composes(spark):
     groups = exact_duplicate_groups(fp, id_col="doc_id", text_col="fingerprint")
     got = [(r["n_docs"], r["keep_id"]) for r in groups.collect()]
     assert got == [(2, 1)]  # the gain pair {1,2} is one group, first wins
+
+
+def test_emitted_column_guards(spark):
+    """Kept input columns colliding with an operator's output columns are a
+    loud ValueError, not an executor-side schema mismatch (pcm_stats emits
+    'energy' too, so chaining pcm_stats -> voiced_segments without a rename
+    hits exactly this)."""
+    import pytest
+
+    from data_check_spark.operators.audio import (
+        audio_fingerprint,
+        pcm_stats,
+        voiced_segments,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"\x00\x00", 5)], "clip_id long, bytes binary, energy long"
+    )
+    with pytest.raises(ValueError, match="energy"):
+        voiced_segments(df)
+    with pytest.raises(ValueError, match="profile"):
+        audio_fingerprint(df.withColumnRenamed("energy", "profile"))
+    with pytest.raises(ValueError, match="n_samples"):
+        pcm_stats(df.withColumnRenamed("energy", "n_samples"))
