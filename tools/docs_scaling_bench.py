@@ -8,9 +8,11 @@ planted exact/near duplicates), fresh JVM per parallelism level, untimed
 warm-up, best-of-3 in-process repeats, and a result-identity check across
 levels.
 
-Measured job (one timed block, four chained actions):
+Measured job (one timed block, seven chained actions):
   fused curation scan (token stats + quality + lang-ID + first-wins dedup)
-  -> exact duplicate rows -> MinHash-LSH near-dup pairs -> SimHash pairs.
+  -> exact duplicate rows -> MinHash-LSH near-dup pairs -> SimHash pairs
+  -> sequence packing -> unigram rarity -> audio burst synth + voiced
+  segmentation (the mapInPandas family).
 
 Writes BENCH/DOCS_SCALING.md and prints one JSON line.
 
@@ -87,7 +89,26 @@ def run_pipeline(docs) -> dict:
             .agg(F.sum("n_oov").alias("s"))
             .collect()[0]["s"]
         ),
+        # audio family: per-doc two-burst PCM synthesis -> framed voiced
+        # segmentation (two chained Arrow stages; counts deterministic, so
+        # identity across levels covers the mapInPandas path too)
+        "audio_segments": _audio_segments(docs),
     }
+
+
+def _audio_segments(docs) -> int:
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators import audio as A
+    from data_check_spark.queries import _burst_geometry, _doc_h
+
+    geom = (
+        _burst_geometry(docs.select("doc_id"))
+        .withColumn("amp", F.lit(1000) + _doc_h(":sa") % 31000)
+        .withColumn("k", F.lit(4) + _doc_h(":sk") % 28)
+    )
+    pcm = A.synth_two_burst_pcm(geom)
+    return A.voiced_segments(pcm, frame_samples=64, keep=["doc_id"]).count()
 
 
 def worker(cpus: int, root: str, repeats: int) -> None:
@@ -110,7 +131,7 @@ def worker(cpus: int, root: str, repeats: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=60_000)
+    ap.add_argument("--rows", type=int, default=120_000)
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--context-cores", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
@@ -155,7 +176,8 @@ def main() -> None:
         "pure-hash word sequences, ~3% planted exact duplicates of a 64-doc pool,",
         "~2% near duplicates), identical parquet input for every run. Job: fused",
         "curation scan -> exact dedup -> MinHash-LSH pairs -> SimHash pairs ->",
-        "sequence packing (distributed prefix sum) -> unigram rarity, one",
+        "sequence packing (distributed prefix sum) -> unigram rarity ->",
+        "audio burst synth + voiced segmentation (chained Arrow stages), one",
         "timed block. Same protocol as BENCH/BASELINE.md (fresh JVM per level,",
         "untimed warm-up, best of 3 in-process repeats).",
         "",
@@ -175,10 +197,11 @@ def main() -> None:
         f"({'/'.join(rn['counts'])} = "
         f"{'/'.join(str(v) for v in rn['counts'].values())}).",
         "",
-        "Variance note: below ~60k docs the 4N job is only seconds long and",
-        "the serial per-query planning overhead plus host noise dominates the",
-        "efficiency measurement (a 30k run once measured 0.66 with identical",
-        "result counts). Use --rows >= 60000 and, as with the clip harness,",
+        "Variance note: at short job lengths the serial per-query planning",
+        "overhead plus host noise dominates the efficiency measurement (a 30k",
+        "run once measured 0.66, a 60k run 0.74 after the audio stage joined",
+        "the block — identical result counts both times). Use --rows >= 120000",
+        "and, as with the clip harness,",
         "treat scaling conclusions as best-of-N, never a single short run",
         "(CLAUDE.md).",
         "",
