@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "corpus_shuffle_documents",
     "voiced_segments_documents",
     "audio_fingerprint_documents",
+    "audio_batching_documents",
 ]
 
 

@@ -2546,6 +2546,52 @@ def sequence_packing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_assignments(_docs_parallel(spark, sf_dir), budget=2048)
 
 
+# Duration-budget batching for audio training (the packing operator with
+# dur_ms as the length unit): 60s batches over md5-derived clip durations,
+# same distributed prefix sum, same oracle replay with a windowed cumsum.
+_AUDIO_BATCH_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         500 + CAST(('0x' || substr(md5(doc_id || ':dur'), 1, 15)) AS BIGINT) % 29500 AS dur_ms
+  FROM documents
+), c AS (
+  SELECT doc_id, dur_ms,
+         coalesce(CAST(sum(dur_ms) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS before
+  FROM t
+)
+SELECT doc_id, dur_ms,
+       before // 60000 AS batch_id,
+       before % 60000 AS batch_offset_ms,
+       CAST(CASE WHEN dur_ms > 0
+                  AND (before + dur_ms - 1) // 60000 > before // 60000
+            THEN 1 ELSE 0 END AS INT) AS spans_boundary
+FROM c
+"""
+
+
+@register("audio_batching_documents", _AUDIO_BATCH_SQL)
+def audio_batching_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-bucketed batch layout for audio training: clips (0.5-30s,
+    md5-derived) packed into 60-second batches in id order via the same
+    distributed prefix sum as token packing — no global window, the
+    shuffles move only (id, dur_ms) pairs."""
+    from data_check_spark.operators.packing import pack_assignments
+
+    clips = _docs_parallel(spark, sf_dir).select("doc_id").withColumn(
+        "dur_ms", F.lit(500) + _doc_h(":dur") % 29500
+    )
+    out = pack_assignments(clips, budget=60000, n_tokens_col="dur_ms")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").alias("dur_ms"),
+        F.col("pack_id").alias("batch_id"),
+        F.col("pack_offset").alias("batch_offset_ms"),
+        "spans_boundary",
+    )
+
+
 # Unigram corpus-frequency rarity (text.unigram_rarity): vocabulary head of
 # the 20 most frequent lowercased tokens (ties broken by token), then exact
 # integer OOV / frequency-mass statistics per document.
