@@ -284,6 +284,14 @@ def token_budget_select(
         .agg(F.sum(F.col(token_col).cast("long")).alias("_toks"))
         .collect()
     )
+    if len(agg) > 100_000:
+        # the driver walk and the broadcast rule frame are sized by
+        # #domains x #score-values; a high-cardinality score column means
+        # the caller passed a raw float score instead of a quantized bucket
+        raise ValueError(
+            f"{len(agg)} (domain, score) buckets — quantize {score_col!r} to a "
+            "small integer range (see docstring) before budget selection"
+        )
     by_domain: dict[str, list] = {}
     for r in agg:
         by_domain.setdefault(r["_d"], []).append((r["_s"], r["_toks"]))
