@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "voiced_segments_documents",
     "audio_fingerprint_documents",
     "audio_batching_documents",
+    "audio_curation_documents",
 ]
 
 

@@ -1875,10 +1875,12 @@ def voiced_segments_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # energy profile q_f = (16·e_f) // e_max is amp-free in closed form
 # (floor(a·c²/(b·c²)) ≡ floor(a/b)), so DuckDB predicts ONE profile per doc
 # and the oracle match proves the gain copies collide, cross-engine.
-_AUDIO_FP_SQL = f"""
-WITH p AS ({_BURST_GEOM_SQL}),
-prof AS (
-  SELECT doc_id,
+# Amplitude-free closed-form quantized energy profile of the two-burst
+# fixture (q = 16·e // e_max; full burst frames hit e_max, the tail frame
+# quantizes to 16·(w2%64)//64, silence to 0) — shared by the fingerprint
+# and curation oracles. Carries w1/w2 through for voiced-span closed forms.
+_BURST_PROF_SQL = f"""
+  SELECT doc_id, w1, w2,
          (lead + w1 + gap + w2 + 63) // 64 AS n_frames,
          rtrim(repeat('0,', CAST(lead // 64 AS INT))
                || repeat('16,', CAST(w1 // 64 AS INT))
@@ -1888,8 +1890,11 @@ prof AS (
                        THEN cast((16 * (w2 % 64)) // 64 AS VARCHAR) || ','
                        ELSE '' END,
                ',') AS profile
-  FROM p
-)
+  FROM ({_BURST_GEOM_SQL})
+"""
+
+_AUDIO_FP_SQL = f"""
+WITH prof AS ({_BURST_PROF_SQL})
 SELECT doc_id, g.gain, n_frames, profile, md5(profile) AS fingerprint
 FROM prof CROSS JOIN (VALUES (0), (1)) AS g(gain)
 ORDER BY doc_id, gain
@@ -1905,14 +1910,24 @@ def audio_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is a map-side explode; two chained Arrow stages."""
     from data_check_spark.operators import audio as _audio
 
-    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    pcm = _audio.synth_two_burst_pcm(_gain_variants(_docs_parallel(spark, sf_dir)))
+    fp = _audio.audio_fingerprint(pcm, frame_samples=64, keep=["doc_id", "gain"])
+    return fp.select(
+        "doc_id", "gain", "n_frames", "profile", "fingerprint"
+    ).orderBy("doc_id", "gain")
+
+
+def _gain_variants(docs: DataFrame) -> DataFrame:
+    """Each doc's two-burst geometry at gains 0/1 (amp, amp·g ≤ int16 max);
+    the map-side explode fan-out shared by the fingerprint and curation
+    queries — the ONLY Spark-side counterpart of _AUDIO_FP_SQL's CROSS JOIN."""
     params = (
-        _burst_geometry(docs)
+        _burst_geometry(docs.select("doc_id"))
         .withColumn("amp_base", F.lit(500) + _doc_h(":fa") % 7500)
         .withColumn("g", F.lit(2) + _doc_h(":fg") % 3)
         .withColumn("k", F.lit(4) + _doc_h(":sk") % 28)
     )
-    variants = (
+    return (
         params.withColumn("gain", F.explode(F.array(F.lit(0), F.lit(1))))
         .withColumn(
             "amp",
@@ -1920,11 +1935,78 @@ def audio_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("amp_base")),
         )
     )
+
+
+# End-to-end audio curation under one oracle: gain-duplicate removal
+# (first-wins on the acoustic fingerprint — cross-doc profile collisions
+# are kept faithfully, DuckDB replays the same group-min), voiced-span
+# measurement per surviving clip (closed form w1 + w2: segment spans are
+# frame-aligned at the start and sample-exact at the tail), then
+# duration-budget batch layout over survivors in id order.
+_AUDIO_CURATION_SQL = f"""
+WITH prof AS ({_BURST_PROF_SQL}),
+pairs AS (
+  SELECT doc_id, g.gain, profile, w1, w2
+  FROM prof CROSS JOIN (VALUES (0), (1)) AS g(gain)
+),
+surv AS (
+  SELECT doc_id, w1 + w2 AS voiced_samples
+  FROM (
+    SELECT doc_id, w1, w2,
+           row_number() OVER (PARTITION BY profile ORDER BY doc_id, gain) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+c AS (
+  SELECT doc_id, voiced_samples,
+         coalesce(CAST(sum(voiced_samples) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS before
+  FROM surv
+)
+SELECT doc_id, voiced_samples,
+       before // 50000 AS batch_id,
+       CAST(CASE WHEN voiced_samples > 0
+                  AND (before + voiced_samples - 1) // 50000 > before // 50000
+            THEN 1 ELSE 0 END AS INT) AS spans_boundary
+FROM c
+"""
+
+
+@register("audio_curation_documents", _AUDIO_CURATION_SQL)
+def audio_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio analog of corpus_curation_documents, three stages in one
+    plan: (1) drop gain-duplicates by acoustic fingerprint (first-wins,
+    the fingerprint — 128 bits — is the only wide-ish thing shuffled);
+    (2) measure each survivor's voiced span from its segments; (3) lay
+    survivors into 50k-sample training batches via the distributed prefix
+    sum. The PCM is synthesized per python stage and never shuffled."""
+    from data_check_spark.operators import audio as _audio
+    from data_check_spark.operators.packing import pack_assignments
+
+    variants = _gain_variants(_docs_parallel(spark, sf_dir))
     pcm = _audio.synth_two_burst_pcm(variants)
     fp = _audio.audio_fingerprint(pcm, frame_samples=64, keep=["doc_id", "gain"])
-    return fp.select(
-        "doc_id", "gain", "n_frames", "profile", "fingerprint"
-    ).orderBy("doc_id", "gain")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id", "gain")
+    surv = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "gain")
+    )
+    segs = _audio.voiced_segments(pcm, frame_samples=64, keep=["doc_id", "gain"])
+    sv = (
+        segs.join(surv, ["doc_id", "gain"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("end_sample") - F.col("start_sample")).alias("voiced_samples"))
+    )
+    out = pack_assignments(sv, budget=50_000, id_col="doc_id",
+                           n_tokens_col="voiced_samples")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").alias("voiced_samples"),
+        F.col("pack_id").alias("batch_id"),
+        "spans_boundary",
+    )
 
 
 _ROLLING_HOUR_SQL = """
