@@ -192,6 +192,34 @@ def ivf_ann_topk(
     centroids travel as a broadcast literal (n_lists × dim doubles). Recall
     dial: ``n_probe``/``n_lists`` — at n_probe=n_lists this degrades to the
     exact scan."""
+    assigned, centroids = build_ivf_index(
+        vectors, id_col=id_col, vec_col=vec_col, n_lists=n_lists,
+        kmeans_iter=kmeans_iter, seed=seed,
+    )
+    return ivf_search(
+        assigned, centroids, queries, k=k,
+        q_id_col=q_id_col, q_vec_col=q_vec_col, n_probe=n_probe,
+    )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    kmeans_iter: int = 5,
+    seed: int = 7,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Train the IVF coarse quantizer once; returns (assigned, centroids).
+
+    ``assigned`` is the (_vid, _vv, _cell) inverted file and ``centroids``
+    the n_lists × dim list the probe step needs. Splitting build from
+    search is how an index is actually used at scale — the corpus-side
+    k-means + assignment pass runs ONCE, then any number of query batches
+    probe it (see :func:`save_ivf_index` / :func:`load_ivf_index` for the
+    persisted form, partitioned by cell so a probe that filters on cells
+    prunes file partitions)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -200,6 +228,42 @@ def ivf_ann_topk(
     model = KMeans(k=n_lists, seed=seed, maxIter=kmeans_iter, featuresCol="_feat").fit(ml_df)
     assigned = model.transform(ml_df).select("_vid", "_vv", F.col("prediction").alias("_cell"))
     centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def save_ivf_index(assigned: DataFrame, centroids: list[list[float]], path: str) -> None:
+    """Persist the inverted file partitioned by cell + the centroid table.
+
+    Cell partitioning means a search that probes few cells reads few file
+    partitions (PartitionFilters at the scan). Centroids are a tiny
+    n_lists-row parquet — no JSON sidecar, same reader everywhere."""
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/cells")
+    spark = assigned.sparkSession
+    rows = [(i, c) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Inverse of :func:`save_ivf_index`."""
+    assigned = spark.read.parquet(f"{path}/cells")
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return assigned, [list(r["centroid"]) for r in cent_rows]
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a built IVF index: n_probe nearest centroids per query, exact
+    cosine re-rank of only the probed cells (see :func:`ivf_ann_topk`)."""
 
     def _sq_dist(vec: Column, center: list[float]) -> Column:
         # ONE SQL array literal per centroid — element-wise F.lit in a loop
