@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "audio_fingerprint_documents",
     "audio_batching_documents",
     "audio_curation_documents",
+    "speech_rate_documents",
 ]
 
 

@@ -487,6 +487,64 @@ def audio_fingerprint(
     return df.mapInPandas(run, schema=schema)
 
 
+def speech_rate(
+    df: DataFrame,
+    *,
+    tokens_col: str = "n_tokens",
+    voiced_col: str = "voiced_samples",
+    sr_col: str = "sr_hz",
+    min_mtps: int = 1_000,
+    max_mtps: int = 6_000,
+) -> DataFrame:
+    """Transcript↔audio speech-rate consistency (cross-modal QC screen).
+
+    The standard ASR-corpus sanity check: a transcript whose token count is
+    implausible for the clip's VOICED duration signals a mispaired or
+    hallucinated transcript (too fast) or untranscribed speech (too slow /
+    zero tokens). Consumes columns that upstream stages already produced —
+    whitespace token count (text.token_stats), voiced sample count
+    (sum over :func:`voiced_segments` spans) and the sample rate — so it is
+    a pure JVM projection: no UDF, no shuffle, no re-decode of audio.
+
+    Adds ``rate_mtps`` (milli-tokens per voiced second, exact integer
+    ``tokens·sr·1000 div voiced_samples`` — truncating div ≡ flooring ``//``
+    because every operand is non-negative, so the value hash-compares across
+    engines) and ``status``:
+
+    - ``empty``         no tokens AND no voiced audio (nothing to check)
+    - ``no_audio``      tokens present but voiced/sr NULL or no voiced span
+      (undecodable or all-silent clip — the transcript claims speech)
+    - ``untranscribed`` voiced audio present but zero tokens
+    - ``too_fast`` / ``too_slow`` / ``ok``  rate vs [min_mtps, max_mtps]
+
+    NULL token counts coerce to 0 (missing transcript = empty transcript,
+    the engine-wide blank coercion). Defaults bound normal speech at
+    1-6 tokens/sec; callers tune per corpus.
+    """
+    if min_mtps > max_mtps:
+        raise ValueError(f"min_mtps {min_mtps} > max_mtps {max_mtps}")
+    toks = F.coalesce(F.col(tokens_col).cast("bigint"), F.lit(0))
+    voiced = F.col(voiced_col).cast("bigint")
+    sr = F.col(sr_col).cast("bigint")
+    has_audio = voiced.isNotNull() & (voiced > 0) & sr.isNotNull() & (sr > 0)
+    rate = F.when(
+        has_audio, F.expr(
+            f"(coalesce(cast({tokens_col} as bigint), 0)"
+            f" * cast({sr_col} as bigint) * 1000)"
+            f" div cast({voiced_col} as bigint)"
+        )
+    )
+    status = (
+        F.when(~has_audio & (toks == 0), F.lit("empty"))
+        .when(~has_audio, F.lit("no_audio"))
+        .when(toks == 0, F.lit("untranscribed"))
+        .when(rate > F.lit(max_mtps), F.lit("too_fast"))
+        .when(rate < F.lit(min_mtps), F.lit("too_slow"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumn("rate_mtps", rate).withColumn("status", status)
+
+
 def pcm_stats(df: DataFrame, *, bytes_col: str = "bytes", keep: list[str] | None = None) -> DataFrame:
     """Integer-exact per-clip QC stats decoded from raw int16-LE PCM bytes.
 

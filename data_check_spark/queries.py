@@ -2009,6 +2009,77 @@ def audio_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-modal transcript↔audio consistency (operators/audio.py::speech_rate):
+# each doc gets a synthesized clip whose VOICED span has the closed form
+# w1 + w2 (the voiced_segments fixture), a md5-derived sample rate, and its
+# own text as the transcript; the rate band is tuned to the fixture's scale
+# so all of too_fast/ok/too_slow/untranscribed occur. DuckDB recomputes the
+# rate analytically — the Spark side measures it from the real framed decode.
+_SPEECH_RATE_MIN_MTPS = 1_000_000
+_SPEECH_RATE_MAX_MTPS = 20_000_000
+
+_SPEECH_RATE_SQL = rf"""
+WITH geom AS ({_BURST_GEOM_SQL}),
+v AS (
+  SELECT doc_id, w1 + w2 AS voiced_samples,
+         8000 * (1 + CAST(('0x' || substr(md5(doc_id || ':sr'), 1, 15)) AS BIGINT) % 5) AS sr_hz
+  FROM geom
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT v.doc_id, t.n_tokens, v.voiced_samples, v.sr_hz,
+         (coalesce(t.n_tokens, 0) * v.sr_hz * 1000) // v.voiced_samples AS rate_mtps
+  FROM v JOIN t USING (doc_id)
+)
+SELECT doc_id, n_tokens, voiced_samples, sr_hz, rate_mtps,
+       CASE WHEN coalesce(n_tokens, 0) = 0 THEN 'untranscribed'
+            WHEN rate_mtps > {_SPEECH_RATE_MAX_MTPS} THEN 'too_fast'
+            WHEN rate_mtps < {_SPEECH_RATE_MIN_MTPS} THEN 'too_slow'
+            ELSE 'ok' END AS status
+FROM r
+ORDER BY doc_id
+"""
+
+
+@register("speech_rate_documents", _SPEECH_RATE_SQL)
+def speech_rate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal QC: transcript token count vs measured voiced duration
+    (tokens per voiced second, integer-exact). The full ASR-corpus screen
+    in one plan: synthesize PCM, segment voiced spans (real framed decode,
+    Arrow stages), aggregate per clip, join the transcript's whitespace
+    token count, and band the rate — mispaired transcripts surface as
+    too_fast, untranscribed speech as zero-token rows. The audio dies in
+    the python stage; only (doc_id, sr_hz, counts) shuffle."""
+    from data_check_spark.operators import audio as _audio
+
+    docs = _docs_parallel(spark, sf_dir)
+    params = (
+        _burst_geometry(docs.select("doc_id"))
+        .withColumn("amp", F.lit(1000) + _doc_h(":sa") % 31000)
+        .withColumn("k", F.lit(4) + _doc_h(":sk") % 28)
+        .withColumn("sr_hz", F.lit(8000) * (F.lit(1) + _doc_h(":sr") % 5))
+    )
+    pcm = _audio.synth_two_burst_pcm(params)
+    segs = _audio.voiced_segments(pcm, frame_samples=64, keep=["doc_id", "sr_hz"])
+    voiced = segs.groupBy("doc_id", "sr_hz").agg(
+        F.sum(F.col("end_sample") - F.col("start_sample")).alias("voiced_samples")
+    )
+    toks = _text.token_stats(docs).select("doc_id", "n_tokens")
+    rated = _audio.speech_rate(
+        voiced.join(toks, "doc_id"),
+        min_mtps=_SPEECH_RATE_MIN_MTPS,
+        max_mtps=_SPEECH_RATE_MAX_MTPS,
+    )
+    return rated.select(
+        "doc_id", "n_tokens", "voiced_samples", "sr_hz", "rate_mtps", "status"
+    ).orderBy("doc_id")
+
+
 _ROLLING_HOUR_SQL = """
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,

@@ -270,3 +270,46 @@ def test_emitted_column_guards(spark):
         audio_fingerprint(df.withColumnRenamed("energy", "profile"))
     with pytest.raises(ValueError, match="n_samples"):
         pcm_stats(df.withColumnRenamed("energy", "n_samples"))
+
+
+def test_speech_rate_bands_and_edges(spark):
+    """Cross-modal speech-rate screen: hand-computed integer rates, band
+    boundaries inclusive, and every degenerate routing (NULL/zero voiced,
+    NULL sr, NULL/zero tokens) lands on its documented status."""
+    from data_check_spark.operators.audio import speech_rate
+
+    rows = [
+        # (id, n_tokens, voiced_samples, sr_hz)
+        (0, 30, 16000, 16000),       # 30 tok / 1 s = 30000 mtps -> too_fast
+        (1, 200, 8000, 16000),       # 200 tok / 0.5 s = 400000 -> too_fast
+        (2, 1, 160000, 16000),       # 1 tok / 10 s = 100 mtps -> too_slow
+        (3, 0, 16000, 16000),        # voiced but no tokens
+        (4, None, 16000, 16000),     # NULL tokens == zero tokens
+        (5, 30, 0, 16000),           # no voiced span
+        (6, 30, None, 16000),        # undecodable clip
+        (7, 30, 16000, None),        # unknown sample rate == no usable audio
+        (8, 0, None, None),          # nothing on either side
+        (9, 7, 16000, 16000),        # 7000 mtps == max boundary -> ok
+        (10, 5, 16000, 16000),       # 5000 mtps == min boundary -> ok
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, n_tokens int, voiced_samples long, sr_hz int"
+    )
+    out = {
+        r["id"]: r
+        for r in speech_rate(df, min_mtps=5_000, max_mtps=7_000).collect()
+    }
+    assert (out[0]["rate_mtps"], out[0]["status"]) == (30_000, "too_fast")
+    assert out[1]["status"] == "too_fast" and out[1]["rate_mtps"] == 400_000
+    assert (out[2]["rate_mtps"], out[2]["status"]) == (100, "too_slow")
+    assert (out[3]["rate_mtps"], out[3]["status"]) == (0, "untranscribed")
+    assert (out[4]["rate_mtps"], out[4]["status"]) == (0, "untranscribed")
+    for i in (5, 6, 7):
+        assert (out[i]["rate_mtps"], out[i]["status"]) == (None, "no_audio")
+    assert (out[8]["rate_mtps"], out[8]["status"]) == (None, "empty")
+    # band boundaries are inclusive on both ends
+    assert (out[9]["rate_mtps"], out[9]["status"]) == (7_000, "ok")
+    assert (out[10]["rate_mtps"], out[10]["status"]) == (5_000, "ok")
+
+    with pytest.raises(ValueError, match="min_mtps"):
+        speech_rate(df, min_mtps=10, max_mtps=5)
