@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "ngram_jaccard_documents",
     "dedup_clusters_documents",
+    "edit_distance_pairs_documents",
     "minhash_near_dup_documents",
     "simhash_near_dup_documents",
     "token_stats_documents",
@@ -76,12 +77,14 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "lsh_ann_embeddings",
     "lsh_embedding_near_dup",
+    "semantic_dedup_embeddings",
     "ivf_ann_embeddings",
     "corpus_curation_documents",
     # profiling / drift / sampling family (round 2)
     "column_stats_orders",
     "numeric_quantiles_lineitem",
     "quantile_drift_lineitem",
+    "iqr_outliers_events",
     "categorical_drift_orders",
     "rate_drift_orders",
     "volume_drift_orders",

@@ -571,3 +571,49 @@ def stop_shingles(
     return (
         sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_df)
     )
+
+
+def edit_distance_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact edit-distance verification of near-dup CANDIDATE pairs — the
+    final filter of a dedup pipeline. Approximate emitters (MinHash bands,
+    SimHash chunks, shingle Jaccard) admit false positives by design;
+    Levenshtein over the candidate texts is the ground-truth similarity,
+    affordable precisely because it runs on the (small) pair set, never
+    all-pairs.
+
+    Returns ``(id_a, id_b, edit_dist, dist_bp)`` — ``dist_bp`` is the
+    distance in integer basis points of the longer text (0 = identical,
+    10000 = nothing shared), truncating division so both engines agree.
+
+    Plan shape: two equi-joins keyed by doc id re-read ONLY the candidate
+    texts (at corpus scale the pair set is orders of magnitude smaller than
+    the corpus, so AQE broadcasts the pair side and the corpus is never
+    shuffled). Levenshtein is the JVM built-in — O(len_a·len_b) per pair,
+    in codegen, zero Python.
+    """
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        # levenshtein once per pair (projection barrier), then derive bp
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").alias("edit_dist"),
+            F.greatest(F.length("_ta"), F.length("_tb")).alias("_longer"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "edit_dist",
+            F.expr("edit_dist * 10000L div greatest(_longer, 1)").alias("dist_bp"),
+        )
+    )

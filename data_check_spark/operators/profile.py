@@ -438,3 +438,72 @@ def key_skew_report(df: DataFrame, key: str, *, top_n: int = 20) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    id_cols: list[str],
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group robust outliers via Tukey's fence: rows whose value falls
+    outside ``[Q1 − 1.5·IQR, Q3 + 1.5·IQR]`` of their OWN group — the
+    classic distribution-shaped row rule a fixed ``range`` check can't
+    express (reference range checks hard-code bounds; this one learns them
+    per partition, the robust-statistics sibling of the drift family).
+
+    Cross-engine exact: values quantize to ``round(x·scale)`` bigints, the
+    exact interpolated quartiles carry ×4 (quarter units, exact in double —
+    same contract as ``numeric_quantiles``), and the fence test multiplies
+    through by 8 so 1.5·IQR is pure int64 (``8·xq < 2·Q1₄ − 3·(Q3₄−Q1₄)``) —
+    no float comparison anywhere, so both engines flag identical rows even
+    AT the fence.
+
+    Plan shape: per-group quartiles are ONE hash aggregate producing
+    O(#groups) rows, broadcast back onto the fact scan — the fact table is
+    never shuffled. Exact ``percentile`` buffers each group's values on the
+    agg side; beyond ~10^8 rows per group swap in ``approx_percentile`` and
+    keep the fence arithmetic (the contract stops being bit-exact, which is
+    why exact is the default here). NaN/±Inf/NULL values are ignored like
+    NULL (ANSI-safe, see ``_finite``).
+    """
+    xq = F.round(_finite(F.col(value_col)) * scale).cast("long")
+    q = (
+        df.groupBy(group_col)
+        .agg(
+            F.percentile(
+                F.round(_finite(F.col(value_col)) * scale).cast("long"),
+                F.array(F.lit(0.25), F.lit(0.75)),
+            ).alias("qs")
+        )
+        .select(
+            group_col,
+            (F.col("qs")[0] * 4).cast("long").alias("q1_4"),
+            (F.col("qs")[1] * 4).cast("long").alias("q3_4"),
+        )
+    )
+    fact = df.select(*id_cols, group_col, xq.alias("v_scaled")).filter(
+        F.col("v_scaled").isNotNull()
+    )
+    iqr4 = F.col("q3_4") - F.col("q1_4")
+    lo8 = 2 * F.col("q1_4") - 3 * iqr4
+    hi8 = 2 * F.col("q3_4") + 3 * iqr4
+    v8 = F.col("v_scaled") * 8
+    return (
+        fact.join(F.broadcast(q), group_col)
+        .withColumn(
+            "side",
+            F.when(v8 < lo8, F.lit("low")).when(v8 > hi8, F.lit("high")),
+        )
+        .filter(F.col("side").isNotNull())
+        .select(
+            F.col(group_col).alias("group_value"),
+            *id_cols,
+            "v_scaled",
+            "q1_4",
+            "q3_4",
+            "side",
+        )
+    )

@@ -621,6 +621,32 @@ def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.dedup_clusters(pairs.select("id_a", "id_b"))
 
 
+# Ground-truth verification of the SAME candidate pair set: exact
+# Levenshtein over the candidate texts (JVM built-in ↔ DuckDB levenshtein —
+# both the classic character-grain DP distance), distance reported in
+# integer basis points of the longer text.
+_EDIT_DISTANCE_SQL = f"""
+WITH pairs AS ({_NGRAM_SQL})
+SELECT p.id_a, p.id_b, levenshtein(a.text, b.text) AS edit_dist,
+       levenshtein(a.text, b.text) * 10000
+           // greatest(greatest(length(a.text), length(b.text)), 1) AS dist_bp
+FROM pairs p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+"""
+
+
+@register("edit_distance_pairs_documents", _EDIT_DISTANCE_SQL)
+def edit_distance_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance verify of near-dup candidates — the final
+    precision filter after approximate pair generation (false positives
+    from banded/bucketed emitters get ground-truthed here, on the small
+    pair set only, never all-pairs)."""
+    docs = _docs_parallel(spark, sf_dir)
+    pairs = _dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    return _dedup.edit_distance_verify(pairs, docs)
+
+
 @register(
     "embedding_norms",
     """
@@ -1271,7 +1297,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_embedding_oracle_sql(
     *, n_planes: int = 8, multiprobe: int = 4, max_bucket: int = 256,
-    threshold: float = 0.3, dim: int = 64,
+    threshold: float = 0.3, dim: int = 64, order: bool = True,
 ) -> str:
     """DuckDB mirror of lsh_near_dup_pairs(portable_dim=dim): integer-exact
     signatures from the SAME inlined md5-derived weight table, identical
@@ -1313,7 +1339,7 @@ FROM cand c
 JOIN embeddings a ON a.vec_id = c.id_a
 JOIN embeddings b ON b.vec_id = c.id_b
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
-ORDER BY id_a, id_b
+{"ORDER BY id_a, id_b" if order else ""}
 """
 
 
@@ -1326,6 +1352,59 @@ def lsh_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.lsh_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.3, portable_dim=64
     ).orderBy("id_a", "id_b")
+
+
+# SemDeDup-style semantic dedup: the full embedding-space curation
+# composition — LSH-bucketed near-dup pairs (never all-pairs) → transitive
+# closure → keep ONE canonical copy per semantic cluster; every corpus
+# vector gets a row (singletons are their own kept cluster of size 1).
+# The DuckDB oracle re-derives the identical result from first principles:
+# the portable-signature pair CTE nested inside the recursive-CTE closure.
+_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE pairs AS ({_lsh_embedding_oracle_sql(order=False)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT a, a FROM edges GROUP BY a
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node
+),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT e.vec_id,
+       coalesce(cc.cluster_id, e.vec_id) AS cluster_id,
+       coalesce(s.cluster_size, 1) AS cluster_size,
+       CAST(cc.node IS NULL OR cc.node = cc.cluster_id AS INT) AS kept
+FROM embeddings e
+LEFT JOIN cc ON cc.node = e.vec_id
+LEFT JOIN sizes s ON s.cluster_id = cc.cluster_id
+"""
+
+
+@register("semantic_dedup_embeddings", _SEMANTIC_DEDUP_SQL)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space (semantic) dedup, end to end: LSH near-dup pairs →
+    connected components → first-wins survivor per cluster, joined back to
+    the corpus so singletons surface as kept clusters of size 1. The scale
+    shape is inherited: pair generation is bucketed (no nested-loop join),
+    the closure iterates over only the near-dup subset, and the join-back
+    broadcasts the (small) cluster frame under AQE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = _sim.lsh_near_dup_pairs(emb, threshold=0.3, portable_dim=64)
+    clusters = _graph.dedup_clusters(pairs.select("id_a", "id_b"))
+    return (
+        emb.select("vec_id")
+        .join(clusters, F.col("vec_id") == F.col("doc_id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
+            F.coalesce(F.col("is_canonical"), F.lit(1)).alias("kept"),
+        )
+    )
 
 
 @register(
@@ -2150,6 +2229,36 @@ def quantile_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_drift(
         _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag"
     ).orderBy("group_value", "percentile")
+
+
+_IQR_OUTLIERS_SQL = """
+WITH q AS (
+  SELECT event_type AS g,
+         CAST(quantile_cont(CAST(round(value*100) AS BIGINT), 0.25)*4 AS BIGINT) AS q1_4,
+         CAST(quantile_cont(CAST(round(value*100) AS BIGINT), 0.75)*4 AS BIGINT) AS q3_4
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type AS group_value, e.event_id,
+       CAST(round(e.value*100) AS BIGINT) AS v_scaled, q.q1_4, q.q3_4,
+       CASE WHEN 8*CAST(round(e.value*100) AS BIGINT) < 2*q.q1_4 - 3*(q.q3_4 - q.q1_4)
+            THEN 'low' ELSE 'high' END AS side
+FROM events e JOIN q ON e.event_type = q.g
+WHERE e.value IS NOT NULL
+  AND (8*CAST(round(e.value*100) AS BIGINT) < 2*q.q1_4 - 3*(q.q3_4 - q.q1_4)
+    OR 8*CAST(round(e.value*100) AS BIGINT) > 2*q.q3_4 + 3*(q.q3_4 - q.q1_4))
+"""
+
+
+@register("iqr_outliers_events", _IQR_OUTLIERS_SQL)
+def iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust outliers (Tukey fence over exact quartiles) — the
+    learned-bounds row rule: flags event values outside 1.5·IQR of their
+    event_type's own distribution, integer-exact in both engines."""
+    from data_check_spark.operators.profile import iqr_outliers
+
+    return iqr_outliers(
+        _t(spark, sf_dir, "events"), "value", "event_type", id_cols=["event_id"]
+    )
 
 
 _SAMPLE_RATES = {"en": 0.5, "zh": 0.125, "de": 0.25, "fr": 0.25, "es": 0.25}

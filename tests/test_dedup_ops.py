@@ -221,3 +221,17 @@ def test_minhash_recall_on_planted_docs_corpus(spark):
     assert exact_pairs <= found
     near_recall = len(near_pairs & found) / len(near_pairs)
     assert near_recall >= 0.9, near_recall
+
+
+def test_edit_distance_verify_hand_computed(spark):
+    from data_check_spark.operators.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r for r in edit_distance_verify(pairs, docs).collect()}
+    assert out[(1, 2)]["edit_dist"] == 3  # classic kitten→sitting
+    assert out[(1, 2)]["dist_bp"] == 3 * 10000 // 7  # longer side = 7 chars
+    assert out[(1, 3)]["edit_dist"] == 0 and out[(1, 3)]["dist_bp"] == 0

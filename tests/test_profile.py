@@ -251,3 +251,49 @@ def test_key_skew_report_single_scan(spark):
     assert "Range" not in plan
     assert "Scan ExistingRDD" in plan
     assert rep.count() == 5
+
+
+def test_iqr_outliers_hand_computed(spark):
+    """Group g: values 10×[1..9] plus one 500 — quartiles of the 10 values,
+    fence excludes only the planted extreme. Group h: tight cluster, no
+    outliers."""
+    from data_check_spark.operators.profile import iqr_outliers
+
+    rows = [("g", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 500])]
+    rows += [("h", 100 + i, 50.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, rid int, v double")
+    out = iqr_outliers(df, "v", "grp", id_cols=["rid"]).collect()
+    assert {(r["rid"], r["side"]) for r in out} == {(9, "high")}
+    r = out[0]
+    # quartiles of [100,200,...,900,50000] (scaled ×100) ×4 quarter-units:
+    # interp index p·(n−1): Q1 at 2.25 → 325, Q3 at 6.75 → 775
+    assert (r["q1_4"], r["q3_4"]) == (325 * 4, 775 * 4)
+    assert r["v_scaled"] == 50000
+
+
+def test_iqr_outliers_null_nan_ignored(spark):
+    from data_check_spark.operators.profile import iqr_outliers
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 2.0), ("g", 3, 3.0), ("g", 4, None),
+         ("g", 5, float("nan"))],
+        "grp string, rid int, v double",
+    )
+    out = iqr_outliers(df, "v", "grp", id_cols=["rid"]).collect()
+    assert out == []  # NULL/NaN rows neither flagged nor crash ANSI casts
+
+
+def test_iqr_outliers_plan_broadcasts_fences(spark):
+    """The per-group fence frame must broadcast — the fact side is never
+    shuffled for the join."""
+    from data_check_spark.operators.profile import iqr_outliers
+
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(20)], "grp string, rid int, v double"
+    )
+    plan = (
+        iqr_outliers(df, "v", "grp", id_cols=["rid"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

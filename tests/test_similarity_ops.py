@@ -276,3 +276,33 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(_cell" in plan
+
+
+def test_semantic_dedup_embeddings_invariants(spark):
+    """End-to-end semantic dedup: every corpus vector appears exactly once,
+    exactly one kept copy per cluster, the kept copy is the cluster's min id
+    (first-wins), and singleton rows are their own kept size-1 cluster."""
+    from data_check_spark.queries import semantic_dedup_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = semantic_dedup_embeddings(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == emb.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m["kept"] == 1]
+        assert len(kept) == 1 and kept[0]["vec_id"] == cid == min(m["vec_id"] for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)
+    # the sf0.001 corpus has planted near-dups: at least one real cluster
+    assert any(len(m) > 1 for m in by_cluster.values())
+
+
+def test_semantic_dedup_plan_no_nested_loop(spark):
+    from data_check_spark.queries import semantic_dedup_embeddings
+
+    out = semantic_dedup_embeddings(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
