@@ -160,6 +160,16 @@ def _dispatch_set_rule(
             snr_db_min=p.get("snr_db_min", 30.0), cap_ms=p.get("cap_ms", 100),
             gate=gate, partition_col=partition_col,
         )
+    if rule.kind == "outlier":
+        from data_check_spark.operators.profile import outlier_violations
+
+        scoped = clips.filter(gate) if gate is not None else clips
+        return outlier_violations(
+            scoped, rule.rule_id, rule.column,
+            partition_col=partition_col,
+            group_col=p.get("group_by"),
+            scale=p.get("scale", 100),
+        )
     if rule.kind == "func_dep":
         scoped = clips.filter(gate) if gate is not None else clips
         return func_dep_violations(
@@ -456,11 +466,18 @@ def run_validation(
         # resume run must compute over all partitions, not just the
         # remaining ones.
         # func_dep too: the violating-key set depends on the whole table.
+        # outlier: fences are per-group — when grouped by the partition
+        # column (the default) each partition's fence is self-contained, so
+        # partition grain; grouped by anything else, the fence spans
+        # partitions and a resume run must learn it over the whole table.
         global_grain = rule.kind in (
             "unique", "aggregate_unique", "cat_drift", "rate_drift", "volume_drift",
             "func_dep",
         ) or (
             rule.kind == "referential" and rule.params.get("mode") == "orphan"
+        ) or (
+            rule.kind == "outlier"
+            and rule.params.get("group_by") not in (None, partition_col)
         )
         dups = None if rule.gate else shared_dups.get(rule.column or "clip_id")
         _t = time.monotonic()
@@ -470,7 +487,7 @@ def run_validation(
                 v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
                                        shared_dups=dups, run_ts=run_ts)
                 if rule.kind in ("unique", "cat_drift", "rate_drift", "volume_drift",
-                                 "func_dep"):
+                                 "func_dep", "outlier"):
                     # Partition-attributed output: rows in completed
                     # partitions were already reported by the run that
                     # checkpointed them. Keep NULL-partition rows — ~isin is

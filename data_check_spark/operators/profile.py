@@ -507,3 +507,47 @@ def iqr_outliers(
             "side",
         )
     )
+
+
+def outlier_violations(
+    df: DataFrame,
+    rule_id: str,
+    column: str,
+    *,
+    id_col: str = "clip_id",
+    partition_col: str | None = "partition",
+    group_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Engine-contract wrapper for :func:`iqr_outliers` — rule kind
+    ``outlier``: one violation per row whose ``column`` value falls outside
+    Tukey's fence of its OWN group's distribution (learned bounds, where a
+    ``range`` rule would hard-code them).
+
+    ``group_col`` defaults to the partition column — "flag rows anomalous
+    for their partition"; pass another column (e.g. ``codec``) to learn
+    fences per category instead. Violations carry the true partition either
+    way."""
+    g = group_col or partition_col
+    if g is None:
+        raise ValueError(f"outlier rule {rule_id} needs a group or partition column")
+    ids = [id_col] if (partition_col is None or g == partition_col) else [id_col, partition_col]
+    out = iqr_outliers(df, column, g, id_cols=ids, scale=scale)
+    if partition_col is None:
+        part: Column = F.lit(None).cast("string")
+    elif g == partition_col:
+        part = F.col("group_value").cast("string")
+    else:
+        part = F.col(partition_col).cast("string")
+    observed = F.concat(
+        F.lit(f"{column}_scaled="), F.col("v_scaled").cast("string"),
+        F.lit("; side="), F.col("side"),
+        F.lit("; fence4=["), F.col("q1_4").cast("string"),
+        F.lit(","), F.col("q3_4").cast("string"), F.lit("]"),
+    )
+    return out.select(
+        F.lit(rule_id).alias("rule_id"),
+        F.col(id_col).cast("string").alias("clip_id"),
+        part.alias("partition"),
+        observed.alias("observed"),
+    )

@@ -58,6 +58,13 @@ Set-oriented kinds (dispatched to operators, not the projection):
                             dependent value per determinant tuple violates;
                             ``grain`` row|group, NULL dependents ignored
                             unless ``count_null_dependent``)
+- ``outlier``             — per-group robust outliers: rows whose ``column``
+                            falls outside Tukey's fence (Q1−1.5·IQR,
+                            Q3+1.5·IQR] of their group's own distribution —
+                            learned bounds where ``range`` hard-codes them.
+                            ``params["group_by"]`` (default: the partition
+                            column), ``params["scale"]`` quantization
+                            (default 100)
 """
 
 from __future__ import annotations
@@ -89,6 +96,7 @@ SET_KINDS = {
     "audio_decode",
     "transcript_match",
     "func_dep",
+    "outlier",
 }
 
 

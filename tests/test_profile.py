@@ -297,3 +297,32 @@ def test_iqr_outliers_plan_broadcasts_fences(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_outlier_engine_rule_kind(spark):
+    """`outlier` dispatches through the catalog: per-partition fences by
+    default, group_by override learns fences per category and still
+    attributes violations to the true partition."""
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    rows = [(f"c{i}", float(v), "wav", "p0")
+            for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 500])]
+    rows += [(f"d{i}", 50.0, "flac", "p1") for i in range(8)]
+    rows += [("d8", 9000.0, "flac", "p1")]
+    df = spark.createDataFrame(rows, "clip_id string, v double, codec string, partition string")
+    catalog = RuleCatalog([
+        Rule("V_OUTLIER", "outlier", "v", {}),
+        Rule("V_OUTLIER_BY_CODEC", "outlier", "v", {"group_by": "codec"}),
+    ])
+    res = run_validation(spark, df, {}, catalog, run_ts="2026-01-01 00:00:00")
+    by_rule = {}
+    for r in res.violations.collect():
+        if r.rule_id.startswith("V_OUTLIER"):
+            by_rule.setdefault(r.rule_id, set()).add((r.clip_id, r.partition))
+    assert by_rule["V_OUTLIER"] == {("c9", "p0"), ("d8", "p1")}
+    # codec grouping coincides with partitions here, but the violation must
+    # still carry the PARTITION, not the codec
+    assert by_rule["V_OUTLIER_BY_CODEC"] == {("c9", "p0"), ("d8", "p1")}
+    verdicts = {r["partition"]: r["passed"] for r in res.verdicts.collect()}
+    assert verdicts == {"p0": False, "p1": False}
