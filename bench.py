@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "lsh_ann_embeddings",
     "lsh_embedding_near_dup",
     "semantic_dedup_embeddings",
+    "label_centroids_embeddings",
     "ivf_ann_embeddings",
     "corpus_curation_documents",
     # profiling / drift / sampling family (round 2)

@@ -485,3 +485,37 @@ def lsh_ann_topk(
             F.format_string("%.4f", F.col("_sim")).alias("cosine"),
         )
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Per-label embedding centroids, integer-exact: ``(label, pos, n_vecs,
+    sum_q, centroid_q)`` with one row per (label, 1-based dimension).
+
+    Elements quantize to ``floor(x·scale + 0.5)`` bigints BEFORE summing, so
+    the sum is exact int64 regardless of addend order (a float sum would
+    differ across partitionings) and ``centroid_q = sum_q div n`` is
+    engine-portable.
+
+    Scale shape: ``posexplode`` looks like an n×dim row blow-up, but the
+    groupBy's map-side partial aggregate collapses it to (labels × dim)
+    partial rows per input partition before the exchange — the shuffle
+    carries O(labels·dim·partitions) rows, never O(n·dim). NULL labels and
+    NULL vectors are excluded (they have no centroid to contribute to)."""
+    q = F.transform(
+        _vec_d(vec_col), lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    )
+    rows = (
+        df.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(F.col(label_col).alias("label"), F.posexplode(q).alias("pos0", "xq"))
+    )
+    return (
+        rows.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("xq").alias("sum_q"))
+        .withColumn("centroid_q", F.expr("sum_q div n_vecs"))
+    )

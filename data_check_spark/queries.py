@@ -2249,6 +2249,26 @@ WHERE e.value IS NOT NULL
 """
 
 
+_LABEL_CENTROIDS_SQL = """
+SELECT e.label, p.i AS pos, count(*) AS n_vecs,
+       sum(cast(floor(e.embedding[p.i]::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS sum_q,
+       sum(cast(floor(e.embedding[p.i]::DOUBLE * 1000000 + 0.5) AS BIGINT)) // count(*)
+           AS centroid_q
+FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) p
+WHERE e.label IS NOT NULL AND e.embedding IS NOT NULL
+GROUP BY e.label, p.i
+"""
+
+
+@register("label_centroids_embeddings", _LABEL_CENTROIDS_SQL)
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes for semantic
+    search / cluster QC) — integer-exact element sums; the map-side
+    partial aggregate means the shuffle carries labels×dim rows, not
+    n×dim (testdata embeddings are 64-dim)."""
+    return _sim.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 @register("iqr_outliers_events", _IQR_OUTLIERS_SQL)
 def iqr_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust outliers (Tukey fence over exact quartiles) — the

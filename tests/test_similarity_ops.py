@@ -306,3 +306,32 @@ def test_semantic_dedup_plan_no_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_centroids_hand_computed(spark):
+    from data_check_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [("a", [1.0, -2.0]), ("a", [2.0, 3.0]), ("b", [0.5, 0.5]),
+         (None, [9.0, 9.0]), ("c", None)],
+        "label string, embedding array<double>",
+    )
+    out = {(r["label"], r["pos"]): r for r in label_centroids(df).collect()}
+    assert set(out) == {("a", 1), ("a", 2), ("b", 1), ("b", 2)}
+    r = out[("a", 1)]
+    assert (r["n_vecs"], r["sum_q"], r["centroid_q"]) == (2, 3_000_000, 1_500_000)
+    # negative sum: truncating div on both engines
+    assert out[("a", 2)]["sum_q"] == 1_000_000 and out[("a", 2)]["centroid_q"] == 500_000
+    assert out[("b", 1)]["centroid_q"] == 500_000
+
+
+def test_label_centroids_partial_agg_plan(spark):
+    """The explode must collapse map-side: partial_sum before the exchange
+    (shuffle carries labels x dim rows, never n x dim)."""
+    from data_check_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0])] * 50, "label string, embedding array<double>"
+    )
+    plan = label_centroids(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "Partial" in plan
