@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "stratified_sample_documents",
     "weighted_sample_documents",
     "mix_documents",
+    "temperature_mix_documents",
     "upsample_documents",
     "cluster_split_documents",
     "rolling_hash_documents",

@@ -163,14 +163,30 @@ def mix_domains(
     #domains is tiny) computes the plan driver-side; the sample itself is
     a map-side hash-threshold filter — zero shuffle over the corpus.
     """
-    counts = {
+    counts = _domain_counts(df, domain_col)
+    plan = mix_plan(counts, weights_bp)
+    return _apply_mix_plan(df, plan, id_col=id_col, domain_col=domain_col, seed=seed)
+
+
+def _domain_counts(df: DataFrame, domain_col: str) -> dict[str, int]:
+    """Per-domain row counts (one column-pruned groupBy job; NULL domains
+    excluded — they can't be sampled toward a named target)."""
+    return {
         r["_d"]: r["_n"]
         for r in df.select(F.col(domain_col).alias("_d"))
+        .filter(F.col("_d").isNotNull())
         .groupBy("_d")
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     }
-    plan = mix_plan(counts, weights_bp)
+
+
+def _apply_mix_plan(
+    df: DataFrame, plan: dict[str, dict[str, int]], *, id_col: str,
+    domain_col: str, seed: str,
+) -> DataFrame:
+    """Map-side hash-threshold filter for a mixing plan (shared by
+    ``mix_domains`` and ``temperature_mix``): zero shuffle over the corpus."""
     h = _keyed_hash_int(F.col(id_col), seed)
     thr: Column | None = None
     for d, p in sorted(plan.items()):
@@ -179,6 +195,54 @@ def mix_domains(
         thr = F.when(match, lit) if thr is None else thr.when(match, lit)
     thr = thr.otherwise(F.lit(0))
     return df.filter(h < thr)
+
+
+# alpha values expressible as 1/2^k — each is k nested integer square
+# roots, keeping the weight derivation in EXACT integer arithmetic (a
+# float pow() is last-ulp engine-divergent and would break the oracle).
+_ALPHA_ISQRTS = {1.0: 0, 0.5: 1, 0.25: 2, 0.125: 3}
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    id_col: str,
+    domain_col: str,
+    alpha: float = 0.5,
+    seed: str = "temp0",
+) -> DataFrame:
+    """Temperature-scaled domain rebalancing: target proportions
+    ``∝ n_d^alpha`` (alpha < 1 flattens the natural distribution — the
+    standard multilingual/domain reweighting; alpha=1 is pass-through,
+    alpha→0 approaches uniform). Unlike ``mix_domains`` no explicit weight
+    table is needed: the corpus's own counts set the mix, so EVERY domain
+    participates (none dropped).
+
+    alpha must be 1/2^k (1.0, 0.5, 0.25, 0.125): the weight ``n^alpha`` is
+    then k nested ``math.isqrt`` calls — exact integers, reproducible in
+    DuckDB with a floor(sqrt())±1 correction — and the plan/threshold
+    arithmetic is the same HUGEINT-safe integer path as ``mix_plan``.
+    Same scale shape as ``mix_domains``: one tiny groupBy plans rates
+    driver-side; the sample is a map-side filter, zero corpus shuffle.
+    """
+    import math
+
+    if alpha not in _ALPHA_ISQRTS:
+        raise ValueError(
+            f"alpha must be one of {sorted(_ALPHA_ISQRTS)} (1/2^k, integer-exact); "
+            f"got {alpha}"
+        )
+    counts = _domain_counts(df, domain_col)
+    if not counts:
+        return df.filter(F.lit(False))
+    weights = {}
+    for d, n in counts.items():
+        w = n
+        for _ in range(_ALPHA_ISQRTS[alpha]):
+            w = math.isqrt(w)
+        weights[d] = w
+    plan = mix_plan(counts, weights)
+    return _apply_mix_plan(df, plan, id_col=id_col, domain_col=domain_col, seed=seed)
 
 
 def upsample_domains(

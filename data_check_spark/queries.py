@@ -3339,6 +3339,55 @@ ORDER BY d.doc_id
 """
 
 
+# Temperature mixing: weights are the corpus's own counts^alpha. alpha=0.5
+# = ONE integer square root per domain; DuckDB recovers exact isqrt from
+# the correctly-rounded float sqrt with a +/-1 correction (floor(sqrt(n))
+# is off by at most one; both corrections can never apply at once).
+_TEMPERATURE_MIX_SQL = """
+WITH cnt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+r0 AS (SELECT lang, n, CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS t FROM cnt),
+w AS (
+  SELECT lang, n,
+         t - (CASE WHEN t*t > n THEN 1 ELSE 0 END)
+           + (CASE WHEN (t+1)*(t+1) <= n THEN 1 ELSE 0 END) AS wgt
+  FROM r0
+),
+tot AS (SELECT min(n * 10000 // wgt) AS tot FROM w),
+thr AS (
+  SELECT w.lang,
+         (CAST(w.wgt * (SELECT tot FROM tot) // 10000 AS HUGEINT) * 4294967296)
+             // w.n AS thr
+  FROM w
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE cast(('0x' || substring(md5('temp1:' || cast(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < thr.thr
+ORDER BY d.doc_id
+"""
+
+
+@register("temperature_mix_documents", _TEMPERATURE_MIX_SQL)
+def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled rebalancing (proportions ∝ count^0.5): flattens
+    the language distribution without a hand-written weight table — every
+    domain participates, the scarcest is kept whole. Integer-exact end to
+    end (isqrt weights, HUGEINT thresholds); the sample never shuffles the
+    corpus."""
+    from data_check_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        temperature_mix(docs, id_col="doc_id", domain_col="lang",
+                        alpha=0.5, seed="temp1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 @register("mix_documents", _MIX_DOMAINS_SQL)
 def mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining data mixing: largest corpus achievable at exactly

@@ -461,3 +461,48 @@ def test_corpus_shuffle_guards(spark):
         corpus_shuffle(df, id_col="doc_id", n_shards=0)
     with pytest.raises(ValueError, match="shard"):
         corpus_shuffle(df.withColumn("shard", df.doc_id), id_col="doc_id", n_shards=2)
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """alpha=0.5 targets proportions ∝ sqrt(n): the dominant domain is cut
+    hardest, the scarcest kept whole, and realized counts track the integer
+    plan's expectations."""
+    import math
+
+    from data_check_spark.operators.sampling import mix_plan, temperature_mix
+
+    rows = [(f"a{i}", "big") for i in range(1600)]
+    rows += [(f"b{i}", "mid") for i in range(400)]
+    rows += [(f"c{i}", "small") for i in range(100)]
+    rows += [("n0", None)]  # NULL domain: dropped, never counted
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = temperature_mix(df, id_col="doc_id", domain_col="lang", alpha=0.5)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    counts = {"big": 1600, "mid": 400, "small": 100}
+    plan = mix_plan(counts, {d: math.isqrt(n) for d, n in counts.items()})
+    # scarcest domain caps the total: small (w=10) keeps all 100
+    assert plan["small"]["keep"] == 100
+    assert plan["big"]["keep"] == 400 and plan["mid"]["keep"] == 200
+    assert None not in got
+    for d in counts:
+        assert abs(got[d] - plan[d]["keep"]) <= 3 * math.isqrt(plan[d]["keep"]) + 1, (d, got)
+
+
+def test_temperature_mix_alpha_guard(spark):
+    import pytest as _pytest
+
+    from data_check_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame([("a", "en")], "doc_id string, lang string")
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, id_col="doc_id", domain_col="lang", alpha=0.3)
+
+
+def test_temperature_mix_alpha_one_is_passthrough(spark):
+    """alpha=1: weights = counts, every domain's threshold is full-keep."""
+    from data_check_spark.operators.sampling import temperature_mix
+
+    rows = [(f"a{i}", "en") for i in range(50)] + [(f"b{i}", "de") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    assert temperature_mix(df, id_col="doc_id", domain_col="lang", alpha=1.0).count() == 60
