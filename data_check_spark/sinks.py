@@ -1,0 +1,77 @@
+"""Production parquet write path: file sizing, partition layout, sort order.
+
+The read side of this engine leans on three physical properties of the
+input dataset; this module is where the WRITE side guarantees them for the
+datasets we produce (curated corpora, violation archives, training shards):
+
+1. **Bounded file count / no small files.** A naive
+   ``df.write.partitionBy(k)`` emits one file per (task × live partition
+   value) — at 100 TB with thousands of tasks and partitions that is
+   millions of KB-sized files, and the NEXT job's scan planning chokes on
+   listing them. Routing the data through ONE range exchange keyed by
+   (partition cols + sort cols) sends each hive partition's rows to few,
+   contiguous tasks.
+2. **Bounded file size.** ``spark.sql.files.maxRecordsPerFile`` caps the
+   other direction (a hot partition landing in one task writing one huge
+   file): the writer rolls files at ``rows_per_file`` without another
+   shuffle.
+3. **Row-group pruning.** Sorting within partitions on the query columns
+   gives every parquet row group a tight min/max footer range, so a
+   predicate scan skips whole files/row groups (the static sibling of the
+   engine's checkpoint-based partition pruning). Range exchange + local
+   sort ≈ global clustering without a global sort's single-machine
+   bottleneck.
+
+Skew note: range partitioning splits a hot hive-partition across several
+tasks (a hash ``repartition(partition_cols)`` would serialize it onto one),
+at the cost of sampling the keys once — the same AQE-friendly trade the
+engine makes elsewhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+MAX_RECORDS_PER_FILE = 1_000_000
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    rows_per_file: int = MAX_RECORDS_PER_FILE,
+    n_tasks: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a partitioned, sorted, size-bounded parquet dataset.
+
+    ``partition_by``: hive partition columns (directory layout — enables
+    partition pruning downstream). ``sort_by``: clustering columns inside
+    each file (enables row-group pruning). ``rows_per_file`` bounds file
+    size; ``n_tasks`` bounds file COUNT from above at
+    ``n_tasks (+ skew splits) × ceil(rows_in_task / rows_per_file)``
+    (default: the session's shuffle parallelism via a plain range
+    exchange).
+    """
+    if rows_per_file <= 0:
+        raise ValueError(f"rows_per_file must be positive, got {rows_per_file}")
+    parts = list(partition_by or [])
+    sorts = list(sort_by or [])
+    keys = parts + sorts
+    out = df
+    if keys:
+        # ONE range exchange: co-locates each hive partition into few
+        # contiguous tasks AND pre-clusters rows for the local sort below.
+        out = out.repartitionByRange(*([n_tasks] if n_tasks else []), *keys)
+        out = out.sortWithinPartitions(*keys)
+    elif n_tasks:
+        out = out.repartition(n_tasks)
+    writer = (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_file)
+    )
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(path)
