@@ -63,6 +63,33 @@ def audio_features(decoded: np.ndarray, sr_hz: int) -> tuple[float, float, float
     return clip_ratio, rms_db, est_freq
 
 
+def max_quiet_run_ms(decoded: np.ndarray, sr_hz: int, *, threshold: int = 327) -> float:
+    """Longest run of consecutive samples with ``|x| < threshold``, in ms.
+
+    The dead-air signal: a recording gap, a muted channel segment, or
+    padding shows up as one long quiet run even when the clip's OVERALL
+    RMS level passes (a 10s clip with 2s of silence still has healthy
+    average energy). Default threshold 327 ≈ 1% of full scale (−40 dBFS).
+    Run lengths come from the boolean mask's change points — O(n) per row,
+    no Python loop."""
+    if decoded.size == 0 or sr_hz <= 0:
+        return float("nan")
+    # int32 copy: abs(int16 -32768) overflows back negative (same hazard as
+    # audio_features' clip_ratio).
+    quiet = np.abs(decoded.astype(np.int32)) < threshold
+    if not quiet.any():
+        return 0.0
+    d = np.diff(quiet.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if quiet[0]:
+        starts = np.concatenate(([0], starts))
+    if quiet[-1]:
+        ends = np.concatenate((ends, [quiet.size]))
+    longest = int((ends - starts).max())
+    return longest * 1000.0 / float(sr_hz)
+
+
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
     """Signal-to-noise ratio of ``decoded`` against ``reference`` (dB).
 

@@ -41,12 +41,16 @@ def prepare_clips(df: DataFrame, *, cap_ms: int = 100, with_snr: bool = True) ->
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
     schema += (
         f", byte_len long, {SNR_COL} double, clip_ratio double, rms_db double,"
-        " freq_err_ratio double"
+        " freq_err_ratio double, silence_run_ms double"
     )
     keep = [f.name for f in out_fields]
 
     def run(batches):
-        from data_check_spark.functions.pcm import audio_features, ref_freq
+        from data_check_spark.functions.pcm import (
+            audio_features,
+            max_quiet_run_ms,
+            ref_freq,
+        )
 
         for pdf in batches:
             n = len(pdf)
@@ -55,6 +59,7 @@ def prepare_clips(df: DataFrame, *, cap_ms: int = 100, with_snr: bool = True) ->
             clip_ratio = np.full(n, np.nan, dtype=np.float64)
             rms_arr = np.full(n, np.nan, dtype=np.float64)
             freq_err = np.full(n, np.nan, dtype=np.float64)
+            silence_run = np.full(n, np.nan, dtype=np.float64)
             payloads = pdf["bytes"].to_numpy(dtype=object)
             cids = pdf["clip_id"].to_numpy(dtype=object)
             srs = pdf["sr_hz"].to_numpy(dtype=object)
@@ -75,6 +80,7 @@ def prepare_clips(df: DataFrame, *, cap_ms: int = 100, with_snr: bool = True) ->
                 cr, rms, est = audio_features(decoded, int(sr))
                 clip_ratio[i] = cr
                 rms_arr[i] = rms if np.isfinite(rms) else -200.0
+                silence_run[i] = max_quiet_run_ms(decoded, int(sr))
                 expected = ref_freq(cids[i])
                 nyquist = int(sr) / 2.0
                 if decoded.size and expected > 0 and expected < nyquist:
@@ -90,6 +96,7 @@ def prepare_clips(df: DataFrame, *, cap_ms: int = 100, with_snr: bool = True) ->
             out["clip_ratio"] = clip_ratio
             out["rms_db"] = rms_arr
             out["freq_err_ratio"] = freq_err
+            out["silence_run_ms"] = silence_run
             yield out
 
     return df.mapInPandas(run, schema=schema)

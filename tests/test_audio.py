@@ -125,3 +125,58 @@ def test_features_computed_without_snr_rule(spark):
     row = out.filter(F.col("clip_ratio").isNotNull()).limit(1).collect()
     assert row, "no features computed in the with_snr=False pass"
     assert out.filter(F.col("_snr_db").isNotNull()).count() == 0  # SNR stays off
+
+
+def test_max_quiet_run_ms():
+    import numpy as np
+
+    from data_check_spark.functions.pcm import max_quiet_run_ms
+
+    sr = 1000  # 1 sample = 1 ms
+    loud = np.full(100, 10_000, dtype=np.int16)
+    gap = np.zeros(250, dtype=np.int16)
+    x = np.concatenate([loud, gap, loud, gap[:50], loud])
+    assert max_quiet_run_ms(x, sr) == 250.0
+    assert max_quiet_run_ms(loud, sr) == 0.0
+    # all-quiet clip: the run is the whole clip
+    assert max_quiet_run_ms(gap, sr) == 250.0
+    # full-scale-negative samples are NOT quiet (int16 abs overflow hazard)
+    assert max_quiet_run_ms(np.full(10, -32768, dtype=np.int16), sr) == 0.0
+    assert np.isnan(max_quiet_run_ms(np.zeros(0, dtype=np.int16), sr))
+
+
+def test_dead_air_rule_via_wide_pass(spark):
+    """silence_run_ms flows from the wide pass into an ordinary cross_column
+    rule: a clip with a long internal gap fires, a continuous tone does not
+    — even though both have healthy overall RMS."""
+    import numpy as np
+
+    from data_check_spark.engine import run_validation
+    from data_check_spark.functions.pcm import synth_wave
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    sr, dur = 8000, 1000
+    tone = synth_wave("clip_0000000a", sr, dur, cap_ms=dur)
+    gapped = tone.copy()
+    gapped[2000:6000] = 0  # 4000 samples = 500 ms of dead air
+    rows = [
+        ("clip_0000000a", tone.tobytes(), sr, dur, "wav", "t", "p0"),
+        ("clip_0000000b", gapped.tobytes(), sr, dur, "wav", "t", "p0"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,"
+        " transcript string, partition string",
+    )
+    catalog = RuleCatalog([
+        Rule("AUDIO_DEAD_AIR", "cross_column", None,
+             {"expr": "silence_run_ms > 300",
+              "observed_expr": "concat('silence_run_ms=', format_string('%.1f', silence_run_ms))"},
+             name="dead air > 300ms"),
+        # an audio_decode rule forces the wide pass; cap >= dur so the gap is decoded
+        Rule("PCM_SNR", "audio_decode", "bytes", {"snr_db_min": 30.0, "cap_ms": dur}),
+    ])
+    res = run_validation(spark, df, {}, catalog, run_ts="2026-01-01 00:00:00")
+    fired = {(r.rule_id, r.clip_id) for r in res.violations.collect()}
+    assert ("AUDIO_DEAD_AIR", "clip_0000000b") in fired
+    assert ("AUDIO_DEAD_AIR", "clip_0000000a") not in fired
