@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "heavy_hitters_orders",
     "sequence_packing_documents",
     "unigram_rarity_documents",
+    "vocab_coverage_documents",
     "chunk_documents_corpus",
     "top_bigrams_documents",
     "daily_volume_anomaly_events",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Priority order for argmax tie-breaks (first wins on equal scores).
 LANG_MARKERS: list[tuple[str, list[str]]] = [
@@ -500,4 +501,51 @@ def top_terms_per_doc(
         .withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= top_k)
         .select(id_col, "term", "tf", "df", "relevance_ppm", "term_rank")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    vocab_sizes: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary, one row per k:
+    ``(vocab_k, covered, total_tokens, coverage_ppm)`` — the "how big must
+    the tokenizer vocab be" corpus curve (and a cheap corpus-drift tripwire:
+    a falling top-10k coverage means the token distribution moved).
+
+    Scale shape: ONE heavy pass — token counts via map-side-combined
+    groupBy; everything after runs on the distinct-vocab frame (total is a
+    sum over it, the head is TakeOrdered on max(vocab_sizes) rows with a
+    deterministic (count desc, token asc) tie-break, the per-k cumulative
+    sums are windows over that tiny head). Integer ppm, no floats."""
+    ks = sorted(set(vocab_sizes))
+    if not ks or ks[0] <= 0:
+        raise ValueError(f"vocab_sizes must be positive, got {vocab_sizes}")
+    counts = (
+        df.select(F.explode(_tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # both consumers read the counts once
+    )
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    head = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(ks[-1])
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = head.select(F.col("cnt"), F.row_number().over(w).alias("rank"))
+    ks_df = F.broadcast(
+        ranked.sparkSession.createDataFrame([(k,) for k in ks], "vocab_k int")
+    )
+    return (
+        ranked.join(ks_df, F.col("rank") <= F.col("vocab_k"))
+        .groupBy("vocab_k")
+        .agg(F.sum("cnt").alias("covered"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_k",
+            "covered",
+            "total_tokens",
+            F.expr("covered * 1000000L div greatest(total_tokens, 1)").alias("coverage_ppm"),
+        )
     )

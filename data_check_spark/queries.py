@@ -2249,6 +2249,37 @@ WHERE e.value IS NOT NULL
 """
 
 
+_VOCAB_COVERAGE_SQL = r"""
+WITH toks AS (
+  SELECT t.tok
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) t(tok)
+  WHERE text IS NOT NULL AND trim(text) <> '' AND t.tok <> ''
+),
+counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total_tokens FROM counts),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r FROM counts
+),
+ks(vocab_k) AS (VALUES (5), (20), (100))
+SELECT k.vocab_k, sum(r.cnt) AS covered,
+       (SELECT total_tokens FROM tot) AS total_tokens,
+       sum(r.cnt) * 1000000 // greatest((SELECT total_tokens FROM tot), 1)
+           AS coverage_ppm
+FROM ks k JOIN ranked r ON r.r <= k.vocab_k
+GROUP BY k.vocab_k
+"""
+
+
+@register("vocab_coverage_documents", _VOCAB_COVERAGE_SQL)
+def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: token mass covered by the top-{5,20,100}
+    vocab — one heavy counts pass, everything else over the tiny vocab
+    head; integer ppm."""
+    return _text.vocab_coverage(
+        _t(spark, sf_dir, "documents"), vocab_sizes=(5, 20, 100)
+    )
+
+
 _LABEL_CENTROIDS_SQL = """
 SELECT e.label, p.i AS pos, count(*) AS n_vecs,
        sum(cast(floor(e.embedding[p.i]::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS sum_q,

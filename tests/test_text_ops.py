@@ -221,3 +221,28 @@ def test_top_terms_guard_and_no_python(spark):
         top_terms_per_doc(df, top_k=0)
     plan = top_terms_per_doc(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from data_check_spark.operators.text import vocab_coverage
+
+    # counts: a=4, b=2, c=1, d=1 -> total 8; ties (c,d) break by token asc
+    df = spark.createDataFrame(
+        [("a a b c", ), ("a b a d", ), ("  ", ), (None, )], "text string"
+    )
+    out = {r["vocab_k"]: r for r in
+           vocab_coverage(df, vocab_sizes=(1, 3, 10)).collect()}
+    assert out[1]["covered"] == 4 and out[1]["total_tokens"] == 8
+    assert out[1]["coverage_ppm"] == 500_000
+    assert out[3]["covered"] == 7  # a + b + c (tie-break picks c over d)
+    assert out[10]["covered"] == 8 and out[10]["coverage_ppm"] == 1_000_000
+
+
+def test_vocab_coverage_guard(spark):
+    import pytest as _pytest
+
+    from data_check_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame([("x",)], "text string")
+    with _pytest.raises(ValueError, match="vocab_sizes"):
+        vocab_coverage(df, vocab_sizes=(0,))
