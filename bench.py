@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "binaryfile_ingest_documents",
     "skew_report_orders",
     "heavy_hitters_orders",
+    "bloom_semi_lineitem",
+    "sequence_gaps_orders",
     "sequence_packing_documents",
     "unigram_rarity_documents",
     "vocab_coverage_documents",

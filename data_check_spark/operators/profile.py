@@ -551,3 +551,60 @@ def outlier_violations(
         part.alias("partition"),
         observed.alias("observed"),
     )
+
+
+def sequence_gaps(df: DataFrame, key_col: str, *, bucket_size: int = 1 << 20) -> DataFrame:
+    """Missing-ID runs in an integer key sequence — the "clips 4711-4720
+    never arrived" ingest check (reference analog: the per-series
+    completeness tallies; here it pinpoints the exact missing ranges).
+
+    Returns one row per maximal gap strictly inside [min(key), max(key)]:
+    ``(gap_start, gap_end, n_missing)``, all bigint.
+
+    Scale shape — a naive ``lag() OVER (ORDER BY key)`` is a single-reducer
+    global sort. Instead keys are range-bucketed (``key div bucket_size``),
+    so the lag window is per-bucket (ONE exchange, local sorts of ≤
+    bucket_size distinct keys), and gaps that straddle bucket boundaries are
+    stitched from the per-bucket (min, max) summary — a frame of
+    keyspan/bucket_size rows, the only thing that crosses buckets. With the
+    default 2^20 bucket a 10^12 keyspan summarizes to ~10^6 tiny rows; raise
+    ``bucket_size`` if the summary itself gets heavy. Duplicate keys cost
+    nothing (lag diff 0 is not a gap) so the input is NOT pre-deduplicated —
+    pre-dedup first if keys repeat heavily. NULL keys are ignored.
+    """
+    if bucket_size < 2:
+        raise ValueError(f"bucket_size must be >= 2, got {bucket_size}")
+    keys = (
+        df.select(F.col(key_col).cast("bigint").alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .withColumn("_b", F.expr(f"_k div {bucket_size}"))
+    )
+    wb = Window.partitionBy("_b").orderBy("_k")
+    intra = (
+        keys.withColumn("_prev", F.lag("_k").over(wb))
+        .where(F.col("_k") - F.col("_prev") > 1)
+        .select(
+            (F.col("_prev") + 1).alias("gap_start"),
+            (F.col("_k") - 1).alias("gap_end"),
+        )
+    )
+    # Bucket summaries: tiny (keyspan/bucket_size rows) → a single-partition
+    # window over them is fine; empty buckets between non-empty ones simply
+    # widen the boundary gap.
+    summary = keys.groupBy("_b").agg(
+        F.min("_k").alias("_lo"), F.max("_k").alias("_hi")
+    )
+    ws = Window.orderBy("_b")
+    boundary = (
+        summary.withColumn("_prev_hi", F.lag("_hi").over(ws))
+        .where(F.col("_lo") - F.col("_prev_hi") > 1)
+        .select(
+            (F.col("_prev_hi") + 1).alias("gap_start"),
+            (F.col("_lo") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        intra.unionByName(boundary)
+        .withColumn("n_missing", F.col("gap_end") - F.col("gap_start") + 1)
+        .orderBy("gap_start")
+    )

@@ -3612,3 +3612,87 @@ def corpus_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_shuffle(docs, id_col="doc_id", n_shards=8, seed="shq1")
         .orderBy("shard", "pos")
     )
+
+
+# Bloom-filter membership (operators/bloom.py): the bloom layer only
+# pre-filters — results are EXACT, so the oracle is the plain IN / NOT IN.
+_BLOOM_SEMI_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("bloom_semi_lineitem", _BLOOM_SEMI_SQL)
+def bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line items whose part is oversized (p_size ≥ 48, ~6% of parts):
+    a Bloom filter built over the qualifying part keys is inlined into the
+    lineitem scan, so ~94% of the fact table is dropped map-side before
+    the exact verify join — the exchange shrinks by the join selectivity.
+    Exactness: bloom has no false negatives; survivors are re-verified."""
+    from data_check_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    big_parts = _t(spark, sf_dir, "part").where("p_size >= 48").select("p_partkey")
+    return bloom_semi_join(
+        li, big_parts, fact_key="l_partkey", dim_key="p_partkey",
+        m_bits=1 << 16, k=5,
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+_BLOOM_ANTI_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer
+  WHERE c_acctbal >= 0 AND c_custkey IS NOT NULL
+)
+ORDER BY o_orderkey
+"""
+
+
+@register("bloom_anti_orders", _BLOOM_ANTI_SQL)
+def bloom_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose customer is NOT in the good-standing set (acctbal ≥ 0):
+    bloom-negative orders are emitted as certain violations with no join at
+    all; only bloom-positive rows are anti-join verified. Same violation
+    set as the exact anti join (no false negatives)."""
+    from data_check_spark.operators.bloom import bloom_anti_violations
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    good = _t(spark, sf_dir, "customer").where("c_acctbal >= 0").select("c_custkey")
+    return bloom_anti_violations(
+        orders, good, fact_key="o_custkey", dim_key="c_custkey",
+        m_bits=1 << 16, k=5,
+    ).orderBy("o_orderkey")
+
+
+# Sequence-gap detection (operators/profile.py::sequence_gaps): the open-
+# order keyspace has holes where F/P orders sit, so the gap report is
+# nonzero and every (start, end, count) is value-checked.
+_SEQ_GAPS_SQL = """
+WITH k AS (
+  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS kk
+  FROM orders WHERE o_orderstatus = 'O'
+),
+g AS (SELECT kk, lag(kk) OVER (ORDER BY kk) AS prev FROM k)
+SELECT prev + 1 AS gap_start, kk - 1 AS gap_end, kk - prev - 1 AS n_missing
+FROM g
+WHERE prev IS NOT NULL AND kk - prev > 1
+ORDER BY gap_start
+"""
+
+
+@register("sequence_gaps_orders", _SEQ_GAPS_SQL)
+def sequence_gaps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-ID ranges in the open-order key sequence. The operator
+    range-buckets the keys (bucket 4096 here so several buckets exist at
+    test scale) — per-bucket lag windows plus boundary stitching from the
+    tiny bucket summary, never a global sort."""
+    from data_check_spark.operators.profile import sequence_gaps
+
+    open_orders = _t(spark, sf_dir, "orders").where("o_orderstatus = 'O'")
+    return sequence_gaps(open_orders, "o_orderkey", bucket_size=4096)

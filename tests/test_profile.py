@@ -326,3 +326,62 @@ def test_outlier_engine_rule_kind(spark):
     assert by_rule["V_OUTLIER_BY_CODEC"] == {("c9", "p0"), ("d8", "p1")}
     verdicts = {r["partition"]: r["passed"] for r in res.verdicts.collect()}
     assert verdicts == {"p0": False, "p1": False}
+
+
+def test_sequence_gaps_planted(spark):
+    from data_check_spark.operators.profile import sequence_gaps
+
+    # keys straddle the bucket boundary at 8 (bucket_size=8): intra-bucket
+    # gap 4-6, boundary gap 10-15 (bucket 0 ends 9, bucket 2 starts 16 —
+    # bucket 1 empty), duplicate 3 and NULL must not disturb anything.
+    rows = [(1,), (2,), (3,), (3,), (7,), (8,), (9,), (16,), (17,), (None,), (20,)]
+    df = spark.createDataFrame(rows, "k bigint")
+    got = [tuple(r) for r in sequence_gaps(df, "k", bucket_size=8).collect()]
+    assert got == [(4, 6, 3), (10, 15, 6), (18, 19, 2)]
+
+
+def test_sequence_gaps_matches_global_lag(spark):
+    """Bucketed result must equal the single-window brute force on a
+    pseudo-random keyset with heavy holes."""
+    from pyspark.sql import functions as F
+    from data_check_spark.operators.profile import sequence_gaps
+
+    keys = spark.range(5000).select(
+        (F.xxhash64("id") % 20000).alias("k")
+    ).where("k >= 0")
+    got = [tuple(r) for r in sequence_gaps(keys, "k", bucket_size=256).collect()]
+    vals = sorted({r["k"] for r in keys.collect()})
+    want = [
+        (prev + 1, cur - 1, cur - prev - 1)
+        for prev, cur in zip(vals, vals[1:])
+        if cur - prev > 1
+    ]
+    assert got == want
+
+
+def test_sequence_gaps_edges(spark):
+    import pytest as _pytest
+    from data_check_spark.operators.profile import sequence_gaps
+
+    empty = spark.createDataFrame([], "k bigint")
+    assert sequence_gaps(empty, "k").count() == 0
+    one = spark.createDataFrame([(5,)], "k bigint")
+    assert sequence_gaps(one, "k").count() == 0
+    contiguous = spark.range(100).withColumnRenamed("id", "k")
+    assert sequence_gaps(contiguous, "k", bucket_size=16).count() == 0
+    with _pytest.raises(ValueError, match="bucket_size"):
+        sequence_gaps(one, "k", bucket_size=1)
+
+
+def test_sequence_gaps_plan_no_python_no_global_sort_of_keys(spark):
+    from pyspark.sql import functions as F
+    from data_check_spark.operators.profile import sequence_gaps
+
+    keys = spark.range(1000).select((F.col("id") * 3).alias("k"))
+    df = sequence_gaps(keys, "k", bucket_size=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "pythonUDF" not in plan
+    # the per-key window partitions by bucket — a single-partition global
+    # window over raw keys would show as 'Window [...] ORDER BY' with no
+    # partition spec feeding an Exchange SinglePartition over the key frame
+    assert "partitionspec=[_b" in plan.lower().replace(" ", "") or "_b" in plan
