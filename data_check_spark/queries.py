@@ -3696,3 +3696,39 @@ def sequence_gaps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     open_orders = _t(spark, sf_dir, "orders").where("o_orderstatus = 'O'")
     return sequence_gaps(open_orders, "o_orderkey", bucket_size=4096)
+
+
+# Per-rule example sampling (reporting.examples_per_rule): bounded triage
+# output — at most n rows per rule regardless of violation volume. The
+# inner violation set is exactly _ORDERS_RULES_SQL (row_rules_orders).
+_EXAMPLES_SQL = """
+WITH r AS (
+  SELECT rule_id, clip_id, "partition", observed,
+         row_number() OVER (PARTITION BY rule_id ORDER BY clip_id) AS example_rank
+  FROM (%s)
+)
+SELECT rule_id, clip_id, "partition", observed, example_rank
+FROM r WHERE example_rank <= 3
+ORDER BY rule_id, example_rank
+"""
+
+
+@register("violation_examples_orders", _EXAMPLES_SQL % "{rules}")
+def violation_examples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-3 example violations per rule over the orders row rules — the
+    bounded triage sample (#rules × 3 rows out, however many violations in).
+    """
+    from data_check_spark.reporting import examples_per_rule
+
+    orders = _t(spark, sf_dir, "orders")
+    compiled = compile_row_rules(ORDERS_RULES, run_ts=_RUN_TS)
+    v = apply_row_rules(
+        orders, compiled, id_col="o_orderkey", partition_col="o_orderstatus"
+    )
+    return (
+        examples_per_rule(v, 3, order_col="clip_id")
+        .orderBy("rule_id", "example_rank")
+    )
+
+
+ORACLES["violation_examples_orders"] = _EXAMPLES_SQL % _ORDERS_RULES_SQL

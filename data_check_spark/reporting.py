@@ -179,3 +179,29 @@ def quarantine_split(
     quarantined = df.join(keys, cond, "left_semi").unionByName(df.filter(null_id))
     clean = df.join(keys, cond, "left_anti").filter(~null_id)
     return clean, quarantined
+
+
+def examples_per_rule(
+    violations: DataFrame,
+    n: int = 5,
+    *,
+    rule_col: str = "rule_id",
+    order_col: str = "clip_id",
+) -> DataFrame:
+    """Up to ``n`` deterministic example rows per rule — the triage view
+    (reference GUI shows the first offending rows per check; data_check.py's
+    per-check preview). ``collect()``-ing all violations to sample them on
+    the driver would defeat the point at 10^12 rows: this is a per-rule-key
+    window over (rule, order_col) — millions of small groups, never a global
+    sort — and the output is bounded by #rules × n no matter the input.
+    Deterministic (smallest ``order_col`` first) so reruns and engines agree.
+    """
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(rule_col).orderBy(F.asc(order_col))
+    return (
+        violations.withColumn("example_rank", F.row_number().over(w))
+        .where(F.col("example_rank") <= n)
+    )

@@ -31,6 +31,7 @@ engine makes elsewhere.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MAX_RECORDS_PER_FILE = 1_000_000
 
@@ -41,6 +42,9 @@ def write_dataset(
     *,
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bounds: dict[str, tuple[int, int]] | None = None,
+    zorder_bits: int = 16,
     rows_per_file: int = MAX_RECORDS_PER_FILE,
     n_tasks: int | None = None,
     mode: str = "overwrite",
@@ -54,13 +58,40 @@ def write_dataset(
     ``n_tasks (+ skew splits) × ceil(rows_in_task / rows_per_file)``
     (default: the session's shuffle parallelism via a plain range
     exchange).
+
+    ``zorder_by`` (mutually exclusive with ``sort_by``): cluster on the
+    Morton interleave of 2-4 columns instead of a lexicographic sort, so
+    scans filtered on ANY of the columns prune files, not just the leading
+    one (``functions/zorder.py``). Quantization bounds come from
+    ``zorder_bounds`` (per-column (lo, hi)) or, when omitted, from ONE
+    min/max aggregate pass over the input.
     """
     if rows_per_file <= 0:
         raise ValueError(f"rows_per_file must be positive, got {rows_per_file}")
+    if zorder_by and sort_by:
+        raise ValueError("zorder_by and sort_by are mutually exclusive")
     parts = list(partition_by or [])
     sorts = list(sort_by or [])
-    keys = parts + sorts
     out = df
+    z_col = "__z_order__"
+    if zorder_by:
+        from data_check_spark.functions.zorder import z_value
+
+        bounds = dict(zorder_bounds or {})
+        missing = [c for c in zorder_by if c not in bounds]
+        if missing:
+            row = df.agg(
+                *[F.min(F.col(c).cast("bigint")).alias(f"_lo_{c}") for c in missing],
+                *[F.max(F.col(c).cast("bigint")).alias(f"_hi_{c}") for c in missing],
+            ).collect()[0]
+            for c in missing:
+                lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+                if lo is None or hi is None:
+                    raise ValueError(f"zorder column {c!r} is all-NULL")
+                bounds[c] = (lo, max(hi, lo + 1))
+        out = out.withColumn(z_col, z_value(zorder_by, bounds, bits=zorder_bits))
+        sorts = [z_col]
+    keys = parts + sorts
     if keys:
         # ONE range exchange: co-locates each hive partition into few
         # contiguous tasks AND pre-clusters rows for the local sort below.
@@ -68,6 +99,10 @@ def write_dataset(
         out = out.sortWithinPartitions(*keys)
     elif n_tasks:
         out = out.repartition(n_tasks)
+    if zorder_by:
+        # projection after the local sort keeps row order; the curve value
+        # was only ever a clustering key, not data
+        out = out.drop(z_col)
     writer = (
         out.write.mode(mode)
         .option("maxRecordsPerFile", rows_per_file)

@@ -262,3 +262,27 @@ def test_quarantine_split(spark):
     clean2, q2 = quarantine_split(df, v, "id", rule_ids=["R2"])
     assert sorted(r["id"] for r in clean2.collect()) == [1, 3, 4]
     assert [r["id"] for r in q2.collect()] == [2]
+
+
+def test_examples_per_rule_bounded_and_deterministic(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from data_check_spark.reporting import examples_per_rule
+
+    v = spark.range(100).select(
+        F.concat(F.lit("R"), (F.col("id") % 3).cast("string")).alias("rule_id"),
+        F.format_string("id%03d", F.col("id")).alias("clip_id"),
+    )
+    out = examples_per_rule(v, 4).collect()
+    assert len(out) == 12  # 3 rules x 4
+    by_rule = {}
+    for r in out:
+        by_rule.setdefault(r["rule_id"], []).append((r["example_rank"], r["clip_id"]))
+    for rule, pairs in by_rule.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == [1, 2, 3, 4]
+        assert pairs == sorted(pairs, key=lambda p: p[1])  # smallest ids first
+    # n larger than group size -> whole group, no padding
+    assert examples_per_rule(v.limit(2), 10).count() == 2
+    with _pytest.raises(ValueError, match="n must be"):
+        examples_per_rule(v, 0)
