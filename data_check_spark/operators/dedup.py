@@ -617,3 +617,93 @@ def edit_distance_verify(
             F.expr("edit_dist * 10000L div greatest(_longer, 1)").alias("dist_bp"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 32,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN removal — sub-document dedup.
+
+    Whole-doc dedup (``exact_duplicate_rows``) misses the dominant failure
+    mode of web corpora: distinct pages sharing long boilerplate runs
+    (license headers, navigation text, quoted passages). Exact substring
+    dedup (MassiveText/RefinedWeb) needs a corpus-wide suffix array — not a
+    Spark-shaped computation. The scalable approximation: tile each document
+    into NON-overlapping ``span_tokens``-token spans, fingerprint each span,
+    and keep only the globally-first occurrence of any duplicated span
+    (first-wins by ``(id, span index)``, the same keep rule as
+    ``exact_duplicate_rows``). Partial tail spans (< ``span_tokens`` tokens)
+    are never dropped — they are doc-specific remainders, and deduping short
+    spans over-fires.
+
+    Returns one row per input document:
+    ``(id, text_clean, n_spans, n_removed)`` — ``text_clean`` is the kept
+    spans re-joined on single spaces (whitespace-normalized, like
+    ``chunk_documents``), ``''`` when every span was dropped, NULL when the
+    document had no tokens at all.
+
+    Plan shape: tiling is the pure-projection ``chunk_documents`` (overlap
+    0); the keep decision is ONE exchange keyed by the 128-bit span
+    fingerprint (count + row_number windows over the same partitioning —
+    single shuffle, two window ops); tails bypass that exchange entirely so
+    a skewed "every short tail" partition cannot form; reassembly is the
+    unavoidable exchange back to doc id. Nothing is ever joined all-pairs
+    and only (fingerprint, span) rows shuffle — linear in corpus size.
+    """
+    from data_check_spark.operators.text import chunk_documents
+
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    spans = chunk_documents(
+        df,
+        chunk_tokens=span_tokens,
+        overlap_tokens=0,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    full = spans.filter(F.col("n_chunk_tokens") == span_tokens)
+    tails = spans.filter(F.col("n_chunk_tokens") != span_tokens)
+
+    w = Window.partitionBy("_fp")
+    wo = w.orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
+    marked = (
+        full.withColumn("_fp", F.md5("chunk_text"))
+        .withColumn(
+            "_keep",
+            (F.count(F.lit(1)).over(w) == 1) | (F.row_number().over(wo) == 1),
+        )
+        .select(id_col, "chunk_idx", "chunk_text", "_keep")
+    )
+    everything = marked.unionByName(
+        tails.select(id_col, "chunk_idx", "chunk_text", F.lit(True).alias("_keep"))
+    )
+    rebuilt = everything.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("chunk_idx", "chunk_text"))
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).alias("n_removed"),
+    )
+    # token-less docs produced zero spans — restore them with NULL text
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("text_clean"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

@@ -3732,3 +3732,58 @@ def violation_examples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["violation_examples_orders"] = _EXAMPLES_SQL % _ORDERS_RULES_SQL
+
+
+# Span-level (sub-document) dedup: non-overlapping token tiles, first-wins
+# keep of any duplicated tile — the scalable stand-in for exact-substring
+# dedup (C4 / MassiveText). span_tokens=3 at oracle scale so the word-salad
+# test corpus actually contains cross-doc duplicate spans (production uses
+# ~32; the parameter changes nothing structural).
+_SPAN_DEDUP_N = 3
+
+_SPAN_DEDUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []::varchar[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(i // {_SPAN_DEDUP_N} AS BIGINT) AS chunk_idx,
+         array_to_string(toks[i + 1:i + {_SPAN_DEDUP_N}], ' ') AS chunk_text,
+         len(toks[i + 1:i + {_SPAN_DEDUP_N}]) AS n_toks
+  FROM toks, unnest(range(0, len(toks), {_SPAN_DEDUP_N})) t(i)
+), m AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         CASE WHEN n_toks = {_SPAN_DEDUP_N} THEN md5(chunk_text) END AS fp
+  FROM c
+), k AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         (fp IS NULL
+          OR count(*) OVER (PARTITION BY fp) = 1
+          OR row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) = 1
+         ) AS keep
+  FROM m
+), r AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' ' ORDER BY chunk_idx), '') AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id, r.text_clean,
+       coalesce(r.n_spans, 0) AS n_spans,
+       coalesce(r.n_removed, 0) AS n_removed
+FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+"""
+
+
+@register("span_dedup_documents", _SPAN_DEDUP_SQL)
+def span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (operators/dedup.py span_dedup): duplicated
+    3-token tiles keep only their globally-first occurrence; tails bypass.
+    Whole rebuilt text is value-compared, so tiling, fingerprint windows,
+    first-wins ordering and reassembly are all oracle-pinned."""
+    from data_check_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs_parallel(spark, sf_dir), span_tokens=_SPAN_DEDUP_N)

@@ -235,3 +235,63 @@ def test_edit_distance_verify_hand_computed(spark):
     assert out[(1, 2)]["edit_dist"] == 3  # classic kitten→sitting
     assert out[(1, 2)]["dist_bp"] == 3 * 10000 // 7  # longer side = 7 chars
     assert out[(1, 3)]["edit_dist"] == 0 and out[(1, 3)]["dist_bp"] == 0
+
+
+def test_span_dedup_first_wins_and_tails(spark):
+    from data_check_spark.operators.dedup import span_dedup
+
+    rows = [
+        # doc 1: spans [a b c] [d e f] [g] — tail "g" kept
+        (1, "a b c d e f g"),
+        # doc 2: repeats doc 1's first span + own content — span dropped
+        (2, "a b c x y z"),
+        # doc 3: repeats doc 2's second span — kept in 2 (first), dropped in 3
+        (3, "x y z q r s"),
+        # doc 4: every span is a duplicate of an earlier one -> text ''
+        (4, "a b c x y z"),
+        # doc 5: intra-doc duplicated span — second copy dropped
+        (5, "p q r p q r"),
+        # doc 6: tail-only doc, shorter than a span — untouched
+        (6, "hi there"),
+        # doc 7: empty / doc 8: NULL -> NULL text_clean, 0 spans
+        (7, ""),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in span_dedup(df, span_tokens=3).collect()}
+
+    assert out[1]["text_clean"] == "a b c d e f g"
+    assert (out[1]["n_spans"], out[1]["n_removed"]) == (3, 0)
+    assert out[2]["text_clean"] == "x y z"
+    assert (out[2]["n_spans"], out[2]["n_removed"]) == (2, 1)
+    assert out[3]["text_clean"] == "q r s"
+    assert out[4]["text_clean"] == ""
+    assert (out[4]["n_spans"], out[4]["n_removed"]) == (2, 2)
+    assert out[5]["text_clean"] == "p q r"
+    assert (out[5]["n_spans"], out[5]["n_removed"]) == (2, 1)
+    assert out[6]["text_clean"] == "hi there"
+    assert (out[6]["n_spans"], out[6]["n_removed"]) == (1, 0)
+    for d in (7, 8):
+        assert out[d]["text_clean"] is None
+        assert (out[d]["n_spans"], out[d]["n_removed"]) == (0, 0)
+
+
+def test_span_dedup_guard(spark):
+    from data_check_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="span_tokens"):
+        span_dedup(df, span_tokens=0)
+
+
+def test_span_dedup_whitespace_normalized(spark):
+    """Tabs/multiple spaces fingerprint identically (same tokens)."""
+    from data_check_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, "a b c")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in span_dedup(df, span_tokens=3).collect()}
+    assert out[1]["text_clean"] == "a b c"
+    assert out[2]["text_clean"] == ""
+    assert out[2]["n_removed"] == 1
