@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "sequence_gaps_orders",
     "sequence_packing_documents",
     "unigram_rarity_documents",
+    "bigram_coherence_documents",
+    "provenance_documents",
     "vocab_coverage_documents",
     "chunk_documents_corpus",
     "top_bigrams_documents",

@@ -549,3 +549,100 @@ def vocab_coverage(
             F.expr("covered * 1000000L div greatest(total_tokens, 1)").alias("coverage_ppm"),
         )
     )
+
+
+def bigram_coherence(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM coherence scoring — the conditional-probability sibling of
+    :func:`unigram_rarity`.
+
+    CCNet/KenLM-style filters rank documents by LM perplexity; the
+    distributed integer-exact core of a bigram LM is: count every corpus
+    bigram and every bigram PREFIX, then score each document's bigrams by
+    their conditional probability ``P(w_i | w_{i-1}) = count(w_{i-1} w_i) /
+    count(w_{i-1} ·)``. Text whose continuations are corpus-typical scores
+    high; text full of corpus-ambiguous continuations scores low. Fully
+    corpus-novel text degenerates to P = 1/1 per bigram — which is why
+    ``n_unseen`` is emitted alongside: a combined filter flags documents
+    that are either incoherent (low ``coherence_bp`` on seen bigrams) or
+    novel-noise (high ``n_unseen`` share). Output per document:
+
+    - ``n_bigrams``    — adjacent lowercased token pairs (0 if < 2 tokens)
+    - ``n_unseen``     — bigrams occurring exactly once corpus-wide (novel
+      to this document: a plagiarism/noise signal in either direction)
+    - ``cond_bp_sum``  — Σ over bigram occurrences of
+      ``floor(10000 · bg_count / prefix_count)`` (integer basis points —
+      bit-identical across engines; the float log-score is recoverable
+      offline). Fits in int64 up to ~10^14 corpus bigrams.
+    - ``coherence_bp`` — ``cond_bp_sum div n_bigrams`` (mean conditional
+      probability in bp; 10000 = every bigram fully determined by prefix)
+
+    Scale shape: text is scanned ONCE into a per-document bigram
+    term-frequency frame (map-side partial counts, then the repo's AQE-safe
+    ``localCheckpoint``); corpus bigram and prefix counts re-aggregate that
+    narrow frame; scoring joins the tf frame to both count tables keyed by
+    bigram/prefix (plain shuffled hash joins — the count tables are
+    corpus-vocabulary-sized, NOT broadcastable at web scale) and
+    re-aggregates by document. The raw text never shuffles.
+    """
+    toks = F.transform(_tokens(text_col), F.lower)
+    n = F.coalesce(F.size(toks), F.lit(0))
+    pair = "struct<_prefix:string,_bg:string>"
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("_prefix"),
+                F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ).alias("_bg"),
+            ),
+        ),
+    ).otherwise(F.array().cast(f"array<{pair}>"))
+    tf = (
+        df.select(F.col(id_col), F.explode_outer(grams).alias("_g"))
+        # count("_g._bg") counts non-null: a short/blank doc keeps one
+        # (id, NULL, NULL, 0) row so it reaches the output with zeros
+        .select(id_col, F.col("_g._prefix").alias("_prefix"), F.col("_g._bg").alias("_bg"))
+        .groupBy(id_col, "_prefix", "_bg")
+        .agg(F.count("_bg").alias("_tf"))
+        .localCheckpoint()
+    )
+    bg_counts = (
+        tf.filter(F.col("_bg").isNotNull())
+        .groupBy("_bg")
+        .agg(F.sum("_tf").cast("long").alias("_bgc"))
+    )
+    px_counts = (
+        tf.filter(F.col("_prefix").isNotNull())
+        .groupBy("_prefix")
+        .agg(F.sum("_tf").cast("long").alias("_pxc"))
+    )
+    scored = tf.join(bg_counts, "_bg", "left").join(px_counts, "_prefix", "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("_tf").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("_bgc") == 1, F.col("_tf")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_unseen"),
+            F.sum(
+                F.coalesce(
+                    F.expr("_tf * ((_bgc * 10000L) div _pxc)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("cond_bp_sum"),
+        )
+        .withColumn(
+            "coherence_bp",
+            F.when(
+                F.col("n_bigrams") > 0, F.expr("cond_bp_sum div n_bigrams")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )

@@ -3787,3 +3787,73 @@ def span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators.dedup import span_dedup
 
     return span_dedup(_docs_parallel(spark, sf_dir), span_tokens=_SPAN_DEDUP_N)
+
+
+# Bigram-LM coherence (operators/text.py bigram_coherence): conditional
+# probability of each token given its predecessor, from corpus-wide bigram
+# and prefix counts — all integer arithmetic, value-compared end-to-end.
+_BIGRAM_COHERENCE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []::varchar[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks[i] AS prefix, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM toks, unnest(range(1, len(toks))) t(i)
+), tf AS (
+  SELECT doc_id, prefix, bg, count(*) AS tf FROM g GROUP BY 1, 2, 3
+), bgc AS (
+  SELECT bg, CAST(sum(tf) AS BIGINT) AS bgc FROM tf GROUP BY bg
+), pxc AS (
+  SELECT prefix, CAST(sum(tf) AS BIGINT) AS pxc FROM tf GROUP BY prefix
+), s AS (
+  SELECT t.doc_id,
+         CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN b.bgc = 1 THEN t.tf ELSE 0 END) AS BIGINT) AS n_unseen,
+         CAST(sum(t.tf * ((b.bgc * 10000) // p.pxc)) AS BIGINT) AS cond_bp_sum
+  FROM tf t JOIN bgc b USING (bg) JOIN pxc p USING (prefix)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.n_unseen, 0) AS n_unseen,
+       coalesce(s.cond_bp_sum, 0) AS cond_bp_sum,
+       CASE WHEN coalesce(s.n_bigrams, 0) > 0
+            THEN s.cond_bp_sum // s.n_bigrams
+            ELSE 0 END AS coherence_bp
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
+@register("bigram_coherence_documents", _BIGRAM_COHERENCE_SQL)
+def bigram_coherence_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM coherence quality signal: per-doc conditional-probability
+    stats from corpus bigram/prefix counts, integer-exact both engines."""
+    from data_check_spark.operators.text import bigram_coherence
+
+    return bigram_coherence(_docs_parallel(spark, sf_dir))
+
+
+# Provenance-stamped scan (sources/provenance.py): Spark's _metadata struct
+# gives every row its physical (file, row offset) address. The driver's
+# documents table is ONE id-ordered parquet file (asserted by the multi-file
+# unit test + this oracle), so DuckDB can state the expected address in
+# closed form: file name is constant, row_index is the id-ordered row number.
+# A wrong/shuffled _metadata wiring on the Spark side breaks the value hash.
+_PROVENANCE_SQL = """
+SELECT doc_id,
+       'documents.parquet' AS src_file,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS src_row_index
+FROM documents
+"""
+
+
+@register("provenance_documents", _PROVENANCE_SQL)
+def provenance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical row addresses for the documents table via the zero-cost
+    ``_metadata`` scan columns."""
+    from data_check_spark.sources.provenance import read_parquet_with_provenance
+
+    df = read_parquet_with_provenance(spark, f"{sf_dir}/documents.parquet")
+    return df.select("doc_id", "src_file", "src_row_index")

@@ -163,3 +163,36 @@ def test_jsonl_streaming_ingest(spark, tmp_path):
     clean, rejects = split_corrupt(got)
     assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
     assert [r.raw for r in rejects.collect()] == ["garbage"]
+
+
+def test_provenance_multi_file_addresses(spark, tmp_path):
+    """Each row's (src_file, src_row_index) must name the actual file and
+    0-based physical position that holds it — verified against pyarrow
+    reading the files directly."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_check_spark.sources.provenance import read_parquet_with_provenance
+
+    path = str(tmp_path / "prov")
+    # two files, disjoint id ranges, known intra-file order
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(2, "id").sortWithinPartitions("id").write.parquet(path)
+
+    expected = {}  # id -> (file_name, row_index)
+    for f in glob.glob(f"{path}/*.parquet"):
+        ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        for i, id_ in enumerate(ids):
+            expected[id_] = (f.rsplit("/", 1)[1], i)
+
+    got = read_parquet_with_provenance(spark, path).collect()
+    assert len(got) == 100
+    for r in got:
+        assert (r["src_file"], r["src_row_index"]) == expected[r["id"]], r["id"]
+        assert r["src_file_size"] > 0
+    # data columns untouched, provenance appended
+    cols = read_parquet_with_provenance(spark, path).columns
+    assert cols == ["id", "v", "src_file", "src_file_size", "src_row_index"]

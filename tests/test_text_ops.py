@@ -246,3 +246,59 @@ def test_vocab_coverage_guard(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with _pytest.raises(ValueError, match="vocab_sizes"):
         vocab_coverage(df, vocab_sizes=(0,))
+
+
+def test_bigram_coherence_hand_computed(spark):
+    from data_check_spark.operators.text import bigram_coherence
+
+    rows = [
+        (1, "A b a b"),   # bigrams: (a b) x2, (b a) x1 — case-folded
+        (2, "a b c"),     # (a b), (b c)
+        (3, "z"),         # too short
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in bigram_coherence(df).collect()}
+    assert len(out) == 5
+
+    # corpus: bg counts {a b: 3, b a: 1, b c: 1}; prefix counts {a: 3, b: 2}
+    d1 = out[1]
+    assert d1["n_bigrams"] == 3
+    assert d1["n_unseen"] == 1  # "b a"
+    # (a b): 3*10000//3 = 10000 each x2; (b a): 1*10000//2 = 5000
+    assert d1["cond_bp_sum"] == 25000
+    assert d1["coherence_bp"] == 25000 // 3
+    d2 = out[2]
+    assert d2["n_bigrams"] == 2
+    assert d2["n_unseen"] == 1  # "b c"
+    assert d2["cond_bp_sum"] == 15000
+    assert d2["coherence_bp"] == 7500
+    for d in (3, 4, 5):
+        r = out[d]
+        assert (r["n_bigrams"], r["n_unseen"], r["cond_bp_sum"], r["coherence_bp"]) == (
+            0, 0, 0, 0,
+        )
+
+
+def test_bigram_coherence_signals(spark):
+    """Two complementary signals: coherence_bp measures how determined each
+    next-token is by its prefix CORPUS-WIDE (an ambiguous prefix like the
+    two `the …` continuations halves those bigrams' score); n_unseen flags
+    corpus-novel bigrams (word salad looks 'coherent' — P=1/1 — but is 100%
+    unseen, which is exactly how a combined filter catches it)."""
+    from pyspark.sql import functions as F
+    from data_check_spark.operators.text import bigram_coherence
+
+    formulaic = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    salad = [(100 + i, f"tok{i}a tok{i}b tok{i}c tok{i}d tok{i}e") for i in range(10)]
+    df = spark.createDataFrame(formulaic + salad, "doc_id bigint, text string")
+    out = bigram_coherence(df)
+    f_rows = out.filter("doc_id < 100").collect()
+    # 8 bigrams: 6 unambiguous (10000) + the two `the *` ones (bgc=10,
+    # pxc(the)=20 -> 5000): (6*10000 + 2*5000) div 8 = 8750
+    assert all(r["coherence_bp"] == 8750 for r in f_rows)
+    assert all(r["n_unseen"] == 0 for r in f_rows)  # shared across 10 docs
+    salad_rows = out.filter("doc_id >= 100").collect()
+    assert all(r["coherence_bp"] == 10000 for r in salad_rows)  # P = 1/1
+    assert all(r["n_unseen"] == r["n_bigrams"] == 4 for r in salad_rows)
