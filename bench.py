@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "semantic_dedup_embeddings",
     "label_centroids_embeddings",
     "ivf_ann_embeddings",
+    "ivf_portable_ann_embeddings",
     "corpus_curation_documents",
     # profiling / drift / sampling family (round 2)
     "column_stats_orders",

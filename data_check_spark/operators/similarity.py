@@ -290,24 +290,7 @@ def ivf_search(
             F.transform(F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"])
         ).alias("_cell"),
     )
-    cand = (
-        assigned.join(F.broadcast(probes), "_cell")
-        .filter(F.col("_vid") != F.col("_qid"))
-        .dropDuplicates(["_qid", "_vid"])
-    )
-    sim = _dot(F.col("_qv"), F.col("_vv")) / (_norm(F.col("_qv")) * _norm(F.col("_vv")))
-    w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_vid"))
-    return (
-        cand.select("_qid", "_vid", sim.alias("_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("_qid").alias("q_id"),
-            "rank",
-            F.col("_vid").alias("vec_id"),
-            F.format_string("%.4f", F.col("_sim")).alias("cosine"),
-        )
-    )
+    return _rerank_probed(assigned, probes, k)
 
 
 def _plane_weight(plane: Column, dim_idx: Column) -> Column:
@@ -519,3 +502,161 @@ def label_centroids(
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("xq").alias("sum_q"))
         .withColumn("centroid_q", F.expr("sum_q div n_vecs"))
     )
+
+
+def _rerank_probed(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Shared IVF tail: join probed cells, exact cosine re-rank, top-k.
+
+    ``assigned`` carries (_vid, _vv, _cell); ``probes`` (_qid, _qv, _cell).
+    The probe side is queries × n_probe rows — broadcast; the corpus side
+    never shuffles beyond its cell partitioning."""
+    cand = (
+        assigned.join(F.broadcast(probes), "_cell")
+        .filter(F.col("_vid") != F.col("_qid"))
+        .dropDuplicates(["_qid", "_vid"])
+    )
+    sim = _dot(F.col("_qv"), F.col("_vv")) / (_norm(F.col("_qv")) * _norm(F.col("_vv")))
+    w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_vid"))
+    return (
+        cand.select("_qid", "_vid", sim.alias("_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("q_id"),
+            "rank",
+            F.col("_vid").alias("vec_id"),
+            F.format_string("%.4f", F.col("_sim")).alias("cosine"),
+        )
+    )
+
+
+def portable_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF-flat ANN with a DETERMINISTIC coarse quantizer — the
+    oracle-portable sibling of :func:`ivf_ann_topk`.
+
+    The k-means quantizer is the only piece of the IVF pipeline a second
+    engine cannot replay (MLlib-internal init + float iteration order).
+    This variant replaces it with a fully integer-exact build: the
+    ``n_lists`` corpus vectors with the smallest ``md5(id)`` seed the
+    cells, then ``lloyd_iters`` Lloyd refinements re-center each cell on
+    the element-wise INTEGER mean of its members (exact decimal sums,
+    division truncated toward zero — both engines agree bit-for-bit; a
+    cell that loses all members is dropped, keeping surviving cell ids).
+    Assignment and probe distances are integer-exact (``floor(x·1e6+0.5)``
+    quantized squared distance, ties broken by cell index), so every
+    routing decision replays identically in DuckDB; only the final cosine
+    re-rank is float, same as the LSH-ANN oracle contract.
+
+    Everything downstream — inverted file, n_probe cell fan-out, broadcast
+    probe join, exact re-rank, top-k window — is shared verbatim with the
+    KMeans variant via :func:`_rerank_probed`. Scale shape: centroid
+    seeding is TakeOrderedAndProject (no global sort) + an n_lists-row
+    collect; each Lloyd pass is one map-side-combined (cell, dim) sum —
+    dim·n_lists rows to the driver, never vectors; the corpus shuffles
+    once keyed by cell for the probe join.
+    """
+    import math
+
+    if not 1 <= n_probe <= n_lists:
+        raise ValueError(f"need 1 <= n_probe <= n_lists, got {n_probe}/{n_lists}")
+    if lloyd_iters < 0:
+        raise ValueError(f"lloyd_iters must be >= 0, got {lloyd_iters}")
+    seed_rows = (
+        vectors.select(F.col(id_col).alias("_sid"), _vec_d(vec_col).alias("_sv"))
+        .orderBy(F.md5(F.col("_sid").cast("string")).asc(), F.col("_sid").asc())
+        .limit(n_lists)
+        .collect()
+    )
+    # (cell_id, quantized centroid) — cell ids stay stable across refinement
+    cents: list[tuple[int, list[int]]] = [
+        (i, [int(math.floor(x * QUANT_SCALE + 0.5)) for x in r["_sv"]])
+        for i, r in enumerate(seed_rows)
+    ]
+
+    def _int_sq_dist(xq: Column, cq: list[int]) -> Column:
+        c_arr = F.expr("array(" + ",".join(f"{c}L" for c in cq) + ")")
+        return F.aggregate(
+            F.zip_with(xq, c_arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _with_cells(df: DataFrame) -> DataFrame:
+        dists = F.array(
+            *[
+                F.struct(
+                    _int_sq_dist(F.col("_xq"), cq).alias("d"),
+                    F.lit(cell).alias("cell"),
+                )
+                for cell, cq in cents
+            ]
+        )
+        return df.withColumn("_cells", F.array_sort(dists))
+
+    def _quantized(vec_out: str) -> Column:
+        return F.transform(
+            F.col(vec_out),
+            lambda x: F.floor(x * F.lit(float(QUANT_SCALE)) + F.lit(0.5)).cast("long"),
+        )
+
+    v = vectors.select(
+        F.col(id_col).alias("_vid"), _vec_d(vec_col).alias("_vv")
+    ).withColumn("_xq", _quantized("_vv"))
+
+    for _ in range(lloyd_iters):
+        stats = (
+            _with_cells(v)
+            .select(
+                F.element_at("_cells", 1)["cell"].alias("_cell"),
+                F.posexplode("_xq").alias("_i", "_x"),
+            )
+            .groupBy("_cell", "_i")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(28,0)")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in stats:
+            s, n = int(r["_s"]), int(r["_n"])
+            # truncate toward zero (Spark `div` == DuckDB `//` semantics)
+            m = s // n if s >= 0 else -((-s) // n)
+            by_cell.setdefault(r["_cell"], {})[r["_i"]] = m
+        cents = [
+            (cell, [dims[i] for i in sorted(dims)])
+            for cell, dims in sorted(by_cell.items())
+        ]
+
+    assigned = _with_cells(v).select(
+        "_vid", "_vv", F.element_at("_cells", 1)["cell"].alias("_cell")
+    )
+    probes = (
+        _with_cells(
+            queries.select(
+                F.col(q_id_col).alias("_qid"), _vec_d(q_vec_col).alias("_qv")
+            ).withColumn("_xq", _quantized("_qv"))
+        )
+        .select(
+            "_qid", "_qv",
+            F.explode(
+                F.transform(
+                    F.slice("_cells", 1, min(n_probe, len(cents))),
+                    lambda s: s["cell"],
+                )
+            ).alias("_cell"),
+        )
+    )
+    return _rerank_probed(assigned, probes, k)

@@ -3857,3 +3857,96 @@ def provenance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = read_parquet_with_provenance(spark, f"{sf_dir}/documents.parquet")
     return df.select("doc_id", "src_file", "src_row_index")
+
+
+def _ivf_portable_oracle_sql(
+    *, k: int = 10, n_lists: int = 16, n_probe: int = 4, dim: int = 64,
+    lloyd_iters: int = 0,
+) -> str:
+    """DuckDB mirror of portable_ivf_topk: md5-seeded centroids, optional
+    integer-exact Lloyd refinements (truncating division — DuckDB ``//``
+    and Spark ``div`` agree), integer quantized squared-distance
+    assignment/probe (ties by cell), float cosine re-rank — the whole
+    inverted-file build AND search replayed value-for-value."""
+    scale = _sim.QUANT_SCALE
+
+    def _assign(name: str, cents: str, where: str = "", rn: str = "rn = 1") -> str:
+        sq = (
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            "i -> (x.q[i::int] - s.cq[i::int]) * (x.q[i::int] - s.cq[i::int])), 'sum')"
+        )
+        return f"""{name} AS (
+  SELECT vec_id, v, q, cell FROM (
+    SELECT x.vec_id, x.v, x.q, s.cell,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {sq}, s.cell) AS rn
+    FROM xq x CROSS JOIN {cents} s {where}
+  ) WHERE {rn}
+)"""
+
+    stages = [
+        f"""xq AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> cast(floor(x * {scale} + 0.5) AS bigint)) AS q
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT cell, q AS cq FROM (
+    SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS varchar)), vec_id) - 1 AS cell, q
+    FROM xq
+  ) WHERE cell < {n_lists}
+)""",
+    ]
+    for j in range(lloyd_iters):
+        stages.append(_assign(f"a{j}", f"c{j}"))
+        stages.append(
+            f"""c{j + 1} AS (
+  SELECT cell, list(m ORDER BY i) AS cq FROM (
+    SELECT cell, i, cast(sum(q[i::int]) // count(*) AS bigint) AS m
+    FROM a{j}, unnest(range(1, {dim + 1})) t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+)"""
+        )
+    final_c = f"c{lloyd_iters}"
+    stages.append(_assign("af", final_c))
+    stages.append(
+        _assign("pr", final_c, where="WHERE x.vec_id < 3", rn=f"rn <= {n_probe}")
+    )
+    stages.append(
+        """cand AS (
+  SELECT DISTINCT p.vec_id AS qid, p.v AS qv, a.vec_id AS vid, a.v AS vv
+  FROM pr p JOIN af a ON a.cell = p.cell
+  WHERE a.vec_id <> p.vec_id
+)"""
+    )
+    body = ",\n".join(stages)
+    return f"""
+WITH {body}
+SELECT qid AS q_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rank,
+       vid AS vec_id, printf('%.4f', sim) AS cosine
+FROM (SELECT qid, vid, list_cosine_similarity(qv, vv) AS sim FROM cand)
+QUALIFY rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
+@register(
+    "ivf_portable_ann_embeddings",
+    _ivf_portable_oracle_sql(n_lists=8, n_probe=6, lloyd_iters=2),
+)
+def ivf_portable_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the deterministic integer-exact coarse quantizer
+    (md5-seeded + 2 integer-Lloyd refinements) — closes the oracle gap the
+    MLlib-KMeans variant can't: cell seeding, Lloyd re-centering, Voronoi
+    assignment, probe routing, candidate join and top-k re-rank are all
+    value-checked cross-engine. Probe ratio 6/8 keeps recall@10 >= 0.9 on
+    the isotropic corpus (harness-asserted)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return _sim.portable_ivf_topk(
+        emb, queries_df, k=10, n_lists=8, n_probe=6, lloyd_iters=2
+    ).orderBy("q_id", "rank")

@@ -335,3 +335,61 @@ def test_label_centroids_partial_agg_plan(spark):
     )
     plan = label_centroids(df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_portable_ivf_full_probe_equals_exact(spark):
+    """n_probe == n_lists degrades the portable IVF to the exact scan —
+    value-identical to cosine_topk, independent of seeding quality."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.similarity import cosine_topk, portable_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    exact = {(r["q_id"], r["rank"], r["vec_id"], r["cosine"])
+             for r in cosine_topk(emb, q, k=10).collect()}
+    ivf = {(r["q_id"], r["rank"], r["vec_id"], r["cosine"])
+           for r in portable_ivf_topk(emb, q, k=10, n_lists=4, n_probe=4).collect()}
+    assert ivf == exact
+
+
+def test_portable_ivf_recall_at_10_vs_exact(spark):
+    """Quality gate for the deterministic quantizer at the registered
+    query's parameters (8 lists, 6 probes, 2 integer-Lloyd refinements):
+    recall@10 >= 0.9 on the isotropic corpus. Also pins that Lloyd
+    refinement helps — the raw md5 seeding alone routes worse."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.similarity import cosine_topk, portable_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+    exact = {(r["q_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=10).collect()}
+
+    def _recall(iters: int) -> float:
+        approx = {
+            (r["q_id"], r["vec_id"])
+            for r in portable_ivf_topk(
+                emb, q, k=10, n_lists=8, n_probe=6, lloyd_iters=iters
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    refined = _recall(2)
+    assert refined >= 0.9, f"recall@10 {refined}"
+    assert refined >= _recall(0), "Lloyd refinement must not hurt recall here"
+
+
+def test_portable_ivf_probe_guard(spark):
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.similarity import portable_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(1).selectExpr("vec_id as q_id", "embedding as q_vec")
+    with pytest.raises(ValueError, match="n_probe"):
+        portable_ivf_topk(emb, q, n_lists=4, n_probe=5)
