@@ -555,12 +555,16 @@ def speech_rate(
 def pcm_stats(df: DataFrame, *, bytes_col: str = "bytes", keep: list[str] | None = None) -> DataFrame:
     """Integer-exact per-clip QC stats decoded from raw int16-LE PCM bytes.
 
-    Emits (n_samples, lead_silence, peak_abs, dc_sum, energy) — the raw
+    Emits (n_samples, lead_silence, peak_abs, dc_sum, energy,
+    n_zero_cross) — the raw
     int64 sufficient statistics behind the usual audio QC screens: silence
     padding (lead_silence), DC offset (dc_sum / n_samples), digital
     clipping / true peak (peak_abs), RMS loudness (rms_dbfs =
     10·log10(energy/n_samples) − 20·log10(32767) is a pure display
-    transform of these columns). Exact integer arithmetic end-to-end so
+    transform of these columns), and zero-crossing count (n_zero_cross:
+    sign changes between consecutive samples — the classic pitch /
+    noisiness proxy; zero-valued samples break a crossing, so silence
+    never counts). Exact integer arithmetic end-to-end so
     results hash-compare across engines, runs, and partitionings — floats
     would reintroduce summation-order hazards (see queries.py portability
     rules). NULL or odd-length payloads (undecodable as int16) yield NULL
@@ -573,14 +577,16 @@ def pcm_stats(df: DataFrame, *, bytes_col: str = "bytes", keep: list[str] | None
     """
     kept = keep if keep is not None else [f.name for f in df.schema.fields if f.name != bytes_col]
     _guard_emitted(
-        kept, ("n_samples", "lead_silence", "peak_abs", "dc_sum", "energy"), "pcm_stats"
+        kept,
+        ("n_samples", "lead_silence", "peak_abs", "dc_sum", "energy", "n_zero_cross"),
+        "pcm_stats",
     )
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in kept
     )
     schema = (
         f"{fields}, n_samples bigint, lead_silence bigint, peak_abs bigint,"
-        " dc_sum bigint, energy bigint"
+        " dc_sum bigint, energy bigint, n_zero_cross bigint"
     )
 
     def run(batches):
@@ -591,6 +597,7 @@ def pcm_stats(df: DataFrame, *, bytes_col: str = "bytes", keep: list[str] | None
             peak_s: list[int | None] = [None] * m
             dc_s: list[int | None] = [None] * m
             en_s: list[int | None] = [None] * m
+            zc_s: list[int | None] = [None] * m
             payloads = pdf[bytes_col].to_numpy(dtype=object)
             for i in range(m):
                 b = payloads[i]
@@ -603,12 +610,14 @@ def pcm_stats(df: DataFrame, *, bytes_col: str = "bytes", keep: list[str] | None
                 peak_s[i] = int(np.abs(x).max()) if x.size else 0
                 dc_s[i] = int(x.sum())
                 en_s[i] = int((x * x).sum())
+                zc_s[i] = int(np.count_nonzero(x[:-1] * x[1:] < 0)) if x.size else 0
             out = pdf[kept].copy()
             out["n_samples"] = pd.array(n_s, dtype="Int64")
             out["lead_silence"] = pd.array(lead_s, dtype="Int64")
             out["peak_abs"] = pd.array(peak_s, dtype="Int64")
             out["dc_sum"] = pd.array(dc_s, dtype="Int64")
             out["energy"] = pd.array(en_s, dtype="Int64")
+            out["n_zero_cross"] = pd.array(zc_s, dtype="Int64")
             yield out
 
     return df.mapInPandas(run, schema=schema)

@@ -647,7 +647,9 @@ def span_dedup(
     document had no tokens at all.
 
     Plan shape: tiling is the pure-projection ``chunk_documents`` (overlap
-    0); the keep decision is ONE exchange keyed by the 128-bit span
+    0), materialized once (localCheckpoint) so the eligible/tail branches
+    don't each re-scan the corpus; the keep decision is ONE exchange keyed
+    by the 128-bit span
     fingerprint (count + row_number windows over the same partitioning —
     single shuffle, two window ops); tails bypass that exchange entirely so
     a skewed "every short tail" partition cannot form; reassembly is the
@@ -664,7 +666,10 @@ def span_dedup(
         overlap_tokens=0,
         id_col=id_col,
         text_col=text_col,
-    )
+    # materialize the tiling ONCE (AQE-safe localCheckpoint, the repo idiom):
+    # the eligible and tail branches below would otherwise each re-scan and
+    # re-explode the raw corpus — two full text scans instead of one
+    ).localCheckpoint()
     full = spans.filter(F.col("n_chunk_tokens") == span_tokens)
     tails = spans.filter(F.col("n_chunk_tokens") != span_tokens)
 

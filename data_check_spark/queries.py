@@ -1821,7 +1821,9 @@ def rolling_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # end-to-end. Closed forms: the wave alternates ±amp every k samples
 # starting positive, so energy = (n-lead)·amp², peak = amp, and the DC sum
 # of the remainder r = (n-lead) mod 2k is (min(r,k) − max(r−k,0))·amp
-# (full periods cancel).
+# (full periods cancel); the wave flips sign at every multiple of k, so
+# zero crossings = floor((n-lead-1)/k) (lead zeros never cross — a zero
+# sample makes the consecutive product 0, not negative).
 _AUDIO_STATS_SQL = """
 WITH p AS (
   SELECT doc_id,
@@ -1837,7 +1839,8 @@ SELECT doc_id,
        amp AS peak_abs,
        (least((n - lead) % (2 * half_k), half_k)
         - greatest((n - lead) % (2 * half_k) - half_k, 0)) * amp AS dc_sum,
-       (n - lead) * amp * amp AS energy
+       (n - lead) * amp * amp AS energy,
+       (n - lead - 1) // half_k AS n_zero_cross
 FROM p
 """
 

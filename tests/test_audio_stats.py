@@ -31,19 +31,26 @@ def test_pcm_stats_handcrafted(spark):
     assert (r["n_samples"], r["lead_silence"], r["peak_abs"]) == (7, 2, 7)
     assert r["dc_sum"] == 7  # 3 pos - 2 neg of +/-7
     assert r["energy"] == 5 * 49
+    assert r["n_zero_cross"] == 2  # 7->-7 and -7->7; 0->7 is not a crossing
     # int16 abs(-32768) overflow trap: peak must be 32768, not -32768
     assert rows[1]["peak_abs"] == 32768
     assert rows[1]["dc_sum"] == -32768 + 100
     assert rows[1]["energy"] == 32768 * 32768 + 100 * 100
+    assert rows[1]["n_zero_cross"] == 1
     # all-zero payload: leading silence spans the whole clip
     assert (rows[2]["lead_silence"], rows[2]["peak_abs"], rows[2]["energy"]) == (5, 0, 0)
+    assert rows[2]["n_zero_cross"] == 0  # zeros never cross
     # empty payload decodes to zero samples, not NULL
     assert (rows[3]["n_samples"], rows[3]["lead_silence"], rows[3]["energy"]) == (0, 0, 0)
+    assert rows[3]["n_zero_cross"] == 0
     # NULL and odd-length (undecodable int16) payloads yield NULL stats
     for i in (4, 5):
         assert all(
             rows[i][c] is None
-            for c in ("n_samples", "lead_silence", "peak_abs", "dc_sum", "energy")
+            for c in (
+                "n_samples", "lead_silence", "peak_abs", "dc_sum", "energy",
+                "n_zero_cross",
+            )
         )
 
 
@@ -57,6 +64,7 @@ def _closed_form(n, lead, amp, k):
         "peak_abs": amp if wave > 0 else 0,
         "dc_sum": dc,
         "energy": wave * amp * amp,
+        "n_zero_cross": (wave - 1) // k if wave > 0 else 0,
     }
 
 

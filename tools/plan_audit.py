@@ -105,6 +105,25 @@ AUDITED = [
      "(domain, score-bucket) aggregation plans the cut; the corpus is then "
      "filtered through a BroadcastHashJoin against the tiny rule frame — "
      "no SortMergeJoin, no per-domain single-reducer running sum."),
+    ("span_dedup_documents",
+     "Sub-document span dedup: the span tiling is materialized ONCE "
+     "(localCheckpoint — eligible and tail branches read it, the corpus "
+     "text is scanned once); the keep decision is one exchange keyed by "
+     "the span fingerprint carrying both windows (count + row_number share "
+     "the partitioning); tails bypass that exchange; the only other "
+     "corpus-sized exchange is the unavoidable reassembly by doc id."),
+    ("bigram_coherence_documents",
+     "Bigram LM scoring: ONE text scan into the checkpointed tf frame "
+     "(Scan ExistingRDD below); bigram and prefix count tables re-aggregate "
+     "it with map-side partials; scoring joins are keyed (AQE broadcasts at "
+     "test scale, sort-merge at corpus scale — both correct), and the final "
+     "per-doc aggregate is the only other exchange."),
+    ("ivf_portable_ann_embeddings",
+     "Deterministic IVF: centroid seeding is TakeOrdered + an n_lists-row "
+     "collect; each Lloyd pass shuffles only (cell, dim, partial-sum) rows; "
+     "search broadcasts the probe side (queries x n_probe) into the "
+     "cell-keyed corpus join, and the top-k window is WindowGroupLimit — "
+     "no CartesianProduct / BroadcastNestedLoopJoin anywhere."),
 ]
 
 
