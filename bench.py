@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "token_budget_documents",
     "corpus_shuffle_documents",
     "voiced_segments_documents",
+    "audio_windows_documents",
     "audio_fingerprint_documents",
     "audio_batching_documents",
     "audio_curation_documents",

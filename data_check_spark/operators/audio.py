@@ -621,3 +621,53 @@ def pcm_stats(df: DataFrame, *, bytes_col: str = "bytes", keep: list[str] | None
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def training_windows(
+    segments: DataFrame,
+    *,
+    window_samples: int,
+    min_samples: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tile voiced segments into fixed-size training windows (the
+    Whisper-style "cut speech into ≤30 s pieces" planning stage).
+
+    Input is a :func:`voiced_segments` frame (``start_sample`` /
+    ``end_sample`` half-open); each segment is tiled into consecutive
+    ``window_samples`` windows from its start, and a partial tail window
+    survives only if it holds ≥ ``min_samples`` samples (shorter tails are
+    training noise). Output one row per window:
+    ``(id, seg_idx, window_idx, w_start, w_end, n_samples)`` with
+    ``window_idx`` 0-based within its segment.
+
+    This is a PLAN, not a byte shuffle: emitting (clip, offset) spans and
+    letting the training loader slice bytes at read time avoids rewriting
+    the 100 TB payload column. Pure JVM projection + explode — zero
+    Python, zero shuffle, fan-out = segment length / window size.
+    """
+    if window_samples < 1:
+        raise ValueError(f"window_samples must be >= 1, got {window_samples}")
+    if not 1 <= min_samples <= window_samples:
+        raise ValueError(
+            f"need 1 <= min_samples <= window_samples, got {min_samples}"
+        )
+    W = window_samples
+    starts = F.sequence(
+        F.col("start_sample"), F.col("end_sample") - 1, F.lit(W).cast("long")
+    )
+    return (
+        segments.select(
+            F.col(id_col), "seg_idx", "start_sample", "end_sample",
+            F.explode(starts).alias("_ws"),
+        )
+        .select(
+            id_col,
+            "seg_idx",
+            F.expr(f"(_ws - start_sample) div {W}").cast("long").alias("window_idx"),
+            F.col("_ws").alias("w_start"),
+            F.least(F.col("_ws") + W, F.col("end_sample")).alias("w_end"),
+        )
+        .withColumn("n_samples", F.col("w_end") - F.col("w_start"))
+        .filter(F.col("n_samples") >= min_samples)
+    )

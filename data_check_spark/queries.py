@@ -3953,3 +3953,48 @@ def ivf_portable_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.portable_ivf_topk(
         emb, queries_df, k=10, n_lists=8, n_probe=6, lloyd_iters=2
     ).orderBy("q_id", "rank")
+
+
+# Training-window planning (operators/audio.py::training_windows) under the
+# oracle: DuckDB tiles the closed-form voiced segments (two bursts per doc)
+# with the same window arithmetic — boundaries, per-segment indices, and the
+# short-tail drop rule are all value-compared against the real framed decode
+# + segmentation + tiling pipeline.
+_AUDIO_WINDOWS_W = 256
+_AUDIO_WINDOWS_MIN = 64
+
+_AUDIO_WINDOWS_SQL = f"""
+WITH segs AS ({_VOICED_SEGMENTS_SQL}),
+w AS (
+  SELECT doc_id, seg_idx,
+         CAST(i // {_AUDIO_WINDOWS_W} AS BIGINT) AS window_idx,
+         start_sample + i AS w_start,
+         least(start_sample + i + {_AUDIO_WINDOWS_W}, end_sample) AS w_end
+  FROM segs, unnest(range(0, end_sample - start_sample, {_AUDIO_WINDOWS_W})) t(i)
+)
+SELECT doc_id, seg_idx, window_idx, w_start, w_end,
+       w_end - w_start AS n_samples
+FROM w
+WHERE w_end - w_start >= {_AUDIO_WINDOWS_MIN}
+ORDER BY doc_id, seg_idx, window_idx
+"""
+
+
+@register("audio_windows_documents", _AUDIO_WINDOWS_SQL)
+def audio_windows_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voiced-aware training-window plan over real synthesized PCM: decode →
+    segment → tile, returning (clip, offset) spans — the payload itself is
+    never rewritten."""
+    from data_check_spark.operators import audio as _audio
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    params = (
+        _burst_geometry(docs)
+        .withColumn("amp", F.lit(1000) + _doc_h(":sa") % 31000)
+        .withColumn("k", F.lit(4) + _doc_h(":sk") % 28)
+    )
+    pcm = _audio.synth_two_burst_pcm(params)
+    segs = _audio.voiced_segments(pcm, frame_samples=64, keep=["doc_id"])
+    return _audio.training_windows(
+        segs, window_samples=_AUDIO_WINDOWS_W, min_samples=_AUDIO_WINDOWS_MIN
+    ).orderBy("doc_id", "seg_idx", "window_idx")

@@ -321,3 +321,60 @@ def test_speech_rate_bands_and_edges(spark):
 
     with pytest.raises(ValueError, match="min_mtps"):
         speech_rate(df, min_mtps=10, max_mtps=5)
+
+
+def test_training_windows_hand_computed(spark):
+    from data_check_spark.operators.audio import training_windows
+
+    segs = spark.createDataFrame(
+        [
+            # 550 samples: windows [0,256) [256,512) and tail [512,550) (38 >= 20)
+            (1, 0, 0, 550),
+            # 256 exactly: one full window, no tail
+            (1, 1, 600, 856),
+            # 270: full window + 14-sample tail DROPPED (< min_samples 20)
+            (2, 0, 100, 370),
+            # tiny segment below min_samples: no windows at all
+            (3, 0, 5, 15),
+        ],
+        "doc_id bigint, seg_idx int, start_sample bigint, end_sample bigint",
+    )
+    out = sorted(
+        (
+            (r["doc_id"], r["seg_idx"], r["window_idx"], r["w_start"], r["w_end"],
+             r["n_samples"])
+            for r in training_windows(segs, window_samples=256, min_samples=20).collect()
+        )
+    )
+    assert out == [
+        (1, 0, 0, 0, 256, 256),
+        (1, 0, 1, 256, 512, 256),
+        (1, 0, 2, 512, 550, 38),
+        (1, 1, 0, 600, 856, 256),
+        (2, 0, 0, 100, 356, 256),
+    ]
+
+
+def test_training_windows_guards(spark):
+    from data_check_spark.operators.audio import training_windows
+
+    segs = spark.createDataFrame(
+        [(1, 0, 0, 10)], "doc_id bigint, seg_idx int, start_sample bigint, end_sample bigint"
+    )
+    with pytest.raises(ValueError, match="window_samples"):
+        training_windows(segs, window_samples=0)
+    with pytest.raises(ValueError, match="min_samples"):
+        training_windows(segs, window_samples=10, min_samples=11)
+
+
+def test_training_windows_plan_no_shuffle(spark):
+    """The tiling is a pure projection fan-out: no Exchange, no Python."""
+    from data_check_spark.operators.audio import training_windows
+
+    segs = spark.createDataFrame(
+        [(1, 0, 0, 1000)],
+        "doc_id bigint, seg_idx int, start_sample bigint, end_sample bigint",
+    )
+    plan = training_windows(segs, window_samples=256)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
