@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "lang_id_documents",
     "audio_stats_documents",
     "media_feature_extract",
+    "image_stats_documents",
     "jsonl_ingest_documents",
     "binaryfile_ingest_documents",
     "skew_report_orders",

@@ -7,11 +7,13 @@ touches the driver. Decode support is tiered:
 - ``decode_stub=True`` (default): deterministic fake feature vector from the
   payload bytes — exercises the full Spark contract without codecs.
 - ``decode_stub=False``: REAL decode where the stdlib suffices — WAV/RIFF
-  audio parses via ``wave`` + numpy (header sniffed from the payload magic),
-  yielding genuine (channels, sample-rate, duration, level) features.
-  Image/video payloads have no decoder in this container; they come back as
-  ``ok=false`` rows naming the seam (plug PIL / av in ``_REAL_DECODERS``) —
-  the engine-wide "error is data, not an exception" convention.
+  audio parses via ``wave`` + numpy, and P6 PPM images via the strict
+  header + raw-RGB parser (``_parse_p6``), both sniffed from the payload
+  magic and yielding genuine features / exact channel statistics
+  (``image_stats``). Compressed image (PNG/JPEG) and video codecs have no
+  decoder in this container; those payloads come back as ``ok=false`` rows
+  naming the seam (plug PIL / av in ``_REAL_DECODERS``) — the engine-wide
+  "error is data, not an exception" convention.
 
 Audio-PCM decode is NOT stubbed anywhere in this repo: the vectorized
 decode/validate path lives in operators/audio.py (pandas UDF, SNR gate).
@@ -78,6 +80,7 @@ def _decode_wav(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 # add (lambda b: b[:8] == b"\x89PNG\r\n\x1a\n", pil_decode) etc.
 _REAL_DECODERS = [
     (lambda b: b[:4] == b"RIFF" and b[8:12] == b"WAVE", _decode_wav),
+    (lambda b: b[:2] == b"P6", lambda b, dim=FEATURE_DIM: _decode_ppm(b, dim)),
 ]
 
 
@@ -229,3 +232,148 @@ def portable_media_df(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         F.create_map(F.lit("dur_ms"), (h % 30000 + 500).cast("string")).alias("meta"),
         F.format_string("p%02d", (h % 16).cast("int")).alias("partition"),
     )
+
+
+def _decode_ppm(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real P6 PPM decode → summary feature vector
+    [w/1k, h/1k, aspect, mean_r, mean_g, mean_b, maxval/255, 0...]."""
+    w, h, maxval, rgb = _parse_p6(payload)
+    means = rgb.reshape(-1, 3).mean(axis=0) / maxval if rgb.size else np.zeros(3)
+    vec = np.zeros(dim, dtype=np.float32)
+    vec[:7] = [w / 1000.0, h / 1000.0, w / h if h else 0.0, *means, maxval / 255.0]
+    return vec
+
+
+def _parse_p6(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Strict P6 (binary PPM) parser — stdlib-only image decoding.
+
+    Accepts the canonical header ``P6 <w> <h> <maxval>`` with arbitrary
+    whitespace between tokens and ONE whitespace byte before the raw
+    ``3·w·h`` RGB payload (maxval ≤ 255 → 1 byte/channel). Comments and
+    16-bit maxval are out of scope — undecodable payloads raise, and the
+    callers turn that into NULL stats / ``ok=false`` rows (error-as-data).
+    """
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    # tokenize the header: magic + 3 integers, single whitespace after maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("bad ppm header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header and raster
+    w, h, maxval = tokens
+    if not (w > 0 and h > 0 and 0 < maxval <= 255):
+        raise ValueError(f"unsupported ppm geometry ({w}x{h}, maxval={maxval})")
+    need = 3 * w * h
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(f"truncated raster: {len(raster)} of {need} bytes")
+    return w, h, maxval, np.frombuffer(raster, dtype=np.uint8)
+
+
+def image_stats(
+    df: DataFrame, *, bytes_col: str = "payload", keep: list[str] | None = None
+) -> DataFrame:
+    """Integer-exact per-image stats from raw P6 PPM bytes — the image
+    sibling of ``audio.pcm_stats``.
+
+    Emits ``(width, height, maxval, n_pixels, sum_r, sum_g, sum_b)`` —
+    exact int64 sufficient statistics (channel means / brightness /
+    aspect checks are display transforms of these), so results
+    hash-compare across engines and partitionings. Undecodable payloads
+    (wrong magic, truncated raster, NULL) yield NULL stats, not a crash.
+
+    One mapInPandas pass; the binary column dies here (same contract as
+    the audio wide pass).
+    """
+    kept = keep if keep is not None else [
+        f.name for f in df.schema.fields if f.name != bytes_col
+    ]
+    emitted = ("width", "height", "maxval", "n_pixels", "sum_r", "sum_g", "sum_b")
+    bad = [c for c in kept if c in emitted]
+    if bad:
+        raise ValueError(f"keep columns collide with emitted stats: {bad}")
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in kept
+    )
+    schema = (
+        f"{fields}, width bigint, height bigint, maxval bigint, n_pixels bigint,"
+        " sum_r bigint, sum_g bigint, sum_b bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = len(pdf)
+            cols: dict[str, list] = {c: [None] * m for c in emitted}
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for i in range(m):
+                b = payloads[i]
+                if b is None:
+                    continue
+                try:
+                    w, h, maxval, rgb = _parse_p6(bytes(b))
+                except ValueError:
+                    continue
+                px = rgb.reshape(-1, 3).astype(np.int64)
+                cols["width"][i] = w
+                cols["height"][i] = h
+                cols["maxval"][i] = maxval
+                cols["n_pixels"][i] = w * h
+                cols["sum_r"][i], cols["sum_g"][i], cols["sum_b"][i] = (
+                    int(px[:, 0].sum()), int(px[:, 1].sum()), int(px[:, 2].sum()),
+                )
+            out = pdf[kept].copy()
+            for c in emitted:
+                out[c] = pd.array(cols[c], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def synth_ppm(
+    df: DataFrame,
+    *,
+    out_col: str = "payload",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic P6 PPM synthesis from integer params — the image
+    sibling of ``audio.synth_square_pcm``.
+
+    Input columns ``(w, h, r_base, g_base, b_base)``; pixel ``m``'s channel
+    ``c`` byte is ``c_base + (m % 16)`` (bases ≤ 200 so nothing wraps),
+    which makes every channel sum an exact closed form the DuckDB oracle
+    can state analytically: ``sum_c = w·h·c_base + S(w·h)`` with
+    ``S(n) = (n div 16)·120 + r(r−1)/2, r = n mod 16``.
+    """
+    kept = keep if keep is not None else [
+        f.name for f in df.schema.fields
+    ]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in kept
+    )
+    schema = f"{fields}, {out_col} binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for w, h, rb, gb, bb in zip(
+                pdf["w"], pdf["h"], pdf["r_base"], pdf["g_base"], pdf["b_base"]
+            ):
+                w, h = int(w), int(h)
+                n = w * h
+                grad = np.arange(n, dtype=np.uint8) % 16
+                px = np.empty((n, 3), dtype=np.uint8)
+                for c, base in enumerate((int(rb), int(gb), int(bb))):
+                    px[:, c] = base + grad
+                payloads.append(f"P6\n{w} {h}\n255\n".encode() + px.tobytes())
+            out = pdf[kept].copy()
+            out[out_col] = payloads
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

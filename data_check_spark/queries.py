@@ -3998,3 +3998,56 @@ def audio_windows_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio.training_windows(
         segs, window_samples=_AUDIO_WINDOWS_W, min_samples=_AUDIO_WINDOWS_MIN
     ).orderBy("doc_id", "seg_idx", "window_idx")
+
+
+# Image decode path, oracle-checked (operators/multimodal.py image_stats):
+# deterministic P6 PPM payloads (w×h, per-channel base + pixel-index % 16
+# gradient — never wraps) go through the REAL header parser + channel-sum
+# decode; DuckDB states every stat analytically. Closed form: the gradient
+# contributes S(n) = (n div 16)·120 + r(r−1)/2 (r = n mod 16) to every
+# channel, so sum_c = n·c_base + S(n).
+_IMAGE_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         8 + CAST(('0x' || substr(md5(doc_id || ':iw'), 1, 15)) AS BIGINT) % 32 AS w,
+         8 + CAST(('0x' || substr(md5(doc_id || ':ih'), 1, 15)) AS BIGINT) % 16 AS h,
+         CAST(('0x' || substr(md5(doc_id || ':ir'), 1, 15)) AS BIGINT) % 201 AS r_base,
+         CAST(('0x' || substr(md5(doc_id || ':ig'), 1, 15)) AS BIGINT) % 201 AS g_base,
+         CAST(('0x' || substr(md5(doc_id || ':ib'), 1, 15)) AS BIGINT) % 201 AS b_base
+  FROM documents
+), s AS (
+  SELECT doc_id, w, h, r_base, g_base, b_base, w * h AS n,
+         ((w * h) // 16) * 120
+         + ((w * h) % 16) * ((w * h) % 16 - 1) // 2 AS grad_sum
+  FROM p
+)
+SELECT doc_id,
+       w AS width, h AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       n AS n_pixels,
+       n * r_base + grad_sum AS sum_r,
+       n * g_base + grad_sum AS sum_g,
+       n * b_base + grad_sum AS sum_b
+FROM s
+"""
+
+
+@register("image_stats_documents", _IMAGE_STATS_SQL)
+def image_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact image QC stats over real synthesized P6 PPM bytes —
+    the image sibling of audio_stats_documents: byte synthesis, strict
+    header parse, raster channel sums and the Arrow batch contract are all
+    value-checked without any codec library."""
+    from data_check_spark.operators import multimodal as _mm
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(8) + _doc_h(":iw") % 32).alias("w"),
+        (F.lit(8) + _doc_h(":ih") % 16).alias("h"),
+        (_doc_h(":ir") % 201).alias("r_base"),
+        (_doc_h(":ig") % 201).alias("g_base"),
+        (_doc_h(":ib") % 201).alias("b_base"),
+    )
+    ppm = _mm.synth_ppm(params, keep=["doc_id"])
+    return _mm.image_stats(ppm, keep=["doc_id"])

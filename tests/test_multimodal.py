@@ -180,3 +180,79 @@ def test_media_feature_extract_flags_null_payloads(spark):
     bad = [r for r in out if not r["ok"]]
     assert bad and all(r["error"] == "empty payload" and r["n_bytes"] == 0 for r in bad)
     assert all(10 <= r["n_bytes"] <= 37 for r in out if r["ok"])
+
+
+def test_ppm_parse_and_image_stats_handcrafted(spark):
+    import numpy as np
+
+    from data_check_spark.operators.multimodal import _parse_p6, image_stats
+
+    # 2x1 image: pixels (10,20,30) and (40,50,60)
+    good = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    w, h, maxval, rgb = _parse_p6(good)
+    assert (w, h, maxval) == (2, 1, 255)
+    assert rgb.tolist() == [10, 20, 30, 40, 50, 60]
+    # arbitrary whitespace between header tokens is legal PPM
+    wide = b"P6  2\n\n1\t255\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert _parse_p6(wide)[:3] == (2, 1, 255)
+
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"P5\n2 1\n255\n" + bytes(6))),      # wrong magic
+        (3, bytearray(b"P6\n2 1\n255\n" + bytes(5))),       # truncated raster
+        (4, bytearray(b"P6\n2 1\n70000\n" + bytes(6))),     # 16-bit maxval unsupported
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in image_stats(df, keep=["doc_id"]).collect()}
+    r1 = out[1]
+    assert (r1["width"], r1["height"], r1["maxval"], r1["n_pixels"]) == (2, 1, 255, 2)
+    assert (r1["sum_r"], r1["sum_g"], r1["sum_b"]) == (50, 70, 90)
+    for bad in (2, 3, 4, 5):
+        assert all(
+            out[bad][c] is None
+            for c in ("width", "height", "maxval", "n_pixels", "sum_r", "sum_g", "sum_b")
+        ), bad
+
+
+def test_synth_ppm_roundtrip_closed_form(spark):
+    """synth → real decode must reproduce the analytic channel sums the
+    DuckDB oracle states (the invariant image_stats_documents relies on)."""
+    from data_check_spark.operators.multimodal import image_stats, synth_ppm
+
+    params = spark.createDataFrame(
+        [(1, 8, 8, 0, 100, 200), (2, 39, 23, 200, 1, 17)],
+        "doc_id bigint, w int, h int, r_base int, g_base int, b_base int",
+    )
+    out = {r["doc_id"]: r for r in
+           image_stats(synth_ppm(params, keep=["doc_id"]), keep=["doc_id"]).collect()}
+
+    def S(n):
+        q, r = divmod(n, 16)
+        return q * 120 + r * (r - 1) // 2
+
+    for doc, w, h, rb, gb, bb in [(1, 8, 8, 0, 100, 200), (2, 39, 23, 200, 1, 17)]:
+        n = w * h
+        r = out[doc]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, n)
+        assert r["sum_r"] == n * rb + S(n)
+        assert r["sum_g"] == n * gb + S(n)
+        assert r["sum_b"] == n * bb + S(n)
+
+
+def test_real_ppm_decode_features(spark):
+    """extract_features(decode_stub=False) must route P6 payloads through
+    the real image decoder (ok=true, geometry + channel means in the vec)."""
+    from data_check_spark.operators.multimodal import extract_features
+
+    payload = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 255, 0, 0])  # pure red
+    df = spark.createDataFrame(
+        [("img1", "image", bytearray(payload), None, "p00")],
+        "media_id string, media_type string, payload binary, "
+        "meta map<string,string>, partition string",
+    )
+    row = extract_features(df, decode_stub=False).collect()[0]
+    assert row["ok"] is True
+    vec = row["feature"]
+    assert abs(vec[0] - 0.002) < 1e-6 and abs(vec[1] - 0.001) < 1e-6  # w, h /1k
+    assert abs(vec[3] - 1.0) < 1e-6 and vec[4] == 0.0 and vec[5] == 0.0  # means
