@@ -129,9 +129,13 @@ def test_zorder_write_prunes_both_columns(spark, tmp_path):
     # box predicate on x: both layouts prune
     zx, zn = files_hit(zpath, "x", 0, 7)
     # box predicate on y ALONE: the x-sorted layout reads (nearly)
-    # everything — a boundary file can straddle an x value and miss
+    # everything. repartitionByRange samples split points with an
+    # RDD-id-derived seed, so each of the 4 range partitions can end with
+    # a small remainder file holding only one x's y>=8 tail — allow up to
+    # n_tasks such misses instead of exactly one.
     sy, sn = files_hit(spath, "y", 0, 7)
-    assert sy >= sn - 1, (sy, sn)
+    assert sy >= sn - 4, (sy, sn)
+    assert sy * 4 >= sn * 3, (sy, sn)  # still reads >=75% of files
     # …the z-ordered layout skips most files on either column
     zy, _ = files_hit(zpath, "y", 0, 7)
     assert zx <= zn // 2, (zx, zn)
