@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "top_terms_documents",
     "fuzzy_decontamination_documents",
     "snapshot_diff_orders",
+    "embedding_quality_embeddings",
     "func_dep_lineitem",
     "summary_regression_orders",
     "clips_validate_portable",

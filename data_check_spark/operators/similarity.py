@@ -660,3 +660,66 @@ def portable_ivf_topk(
         )
     )
     return _rerank_probed(assigned, probes, k)
+
+
+EMBEDDING_QUALITY_RULES = (
+    "EMB_NULL", "EMB_DIM", "EMB_NON_FINITE", "EMB_ZERO", "EMB_NORM_RANGE",
+)
+
+
+def embedding_quality(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dim: int,
+    normsq_q_lo: int,
+    normsq_q_hi: int,
+) -> DataFrame:
+    """Per-row embedding QC rules — the validation-tier gate an embedding
+    table passes before it is allowed into dedup/ANN/training.
+
+    One violation row ``(id, rule_id, observed)`` per bad vector, first
+    matching rule wins (checks are ordered so each row gets its most
+    fundamental defect): NULL vector → ``EMB_NULL``; wrong dimensionality →
+    ``EMB_DIM``; any NaN/±Inf element → ``EMB_NON_FINITE``; all-zero →
+    ``EMB_ZERO``; quantized squared norm outside ``[normsq_q_lo,
+    normsq_q_hi]`` → ``EMB_NORM_RANGE`` (catches double-normalized or
+    unscaled vectors).
+
+    Integer-exact and shuffle-free: norm² is computed over
+    ``floor(x·1e6+0.5)`` int64 lanes (order-insensitive, identical in any
+    engine), non-finite elements are excluded from the sum so the fold never
+    touches NaN, and the whole operator is a single JVM projection + filter
+    — at 10^12 rows it is a map-side scan with no exchange and no Python.
+    """
+    v = F.col(vec_col)
+    d = _vec_d(vec_col)
+    inf = F.lit(float("inf"))
+    bad_elem = lambda x: F.isnan(x) | (F.abs(x) == inf)  # noqa: E731
+    n_bad = F.size(F.filter(d, bad_elem))
+    q = F.transform(
+        F.filter(d, lambda x: ~bad_elem(x)),
+        lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("bigint"),
+    )
+    normsq = F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x)
+    dim = F.size(v)
+
+    def _r(rule: str, observed: Column) -> Column:
+        return F.struct(F.lit(rule).alias("rule_id"), observed.alias("observed"))
+
+    rule = (
+        F.when(v.isNull(), _r("EMB_NULL", F.lit("null")))
+        .when(dim != expected_dim, _r("EMB_DIM", dim.cast("string")))
+        .when(n_bad > 0, _r("EMB_NON_FINITE", n_bad.cast("string")))
+        .when(normsq == 0, _r("EMB_ZERO", F.lit("zero")))
+        .when(
+            (normsq < normsq_q_lo) | (normsq > normsq_q_hi),
+            _r("EMB_NORM_RANGE", normsq.cast("string")),
+        )
+    )
+    return (
+        df.select(F.col(id_col), rule.alias("_r"))
+        .filter(F.col("_r").isNotNull())
+        .select(id_col, F.col("_r.rule_id"), F.col("_r.observed"))
+    )

@@ -4051,3 +4051,81 @@ def image_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ppm = _mm.synth_ppm(params, keep=["doc_id"])
     return _mm.image_stats(ppm, keep=["doc_id"])
+
+
+_EMBEDDING_QUALITY_SQL = """
+WITH bad AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         CASE (vec_id // 97) % 4
+           WHEN 0 THEN embedding[1:32]
+           WHEN 1 THEN list_concat(['nan'::FLOAT], embedding[2:])
+           WHEN 2 THEN list_transform(embedding, x -> 0.0::FLOAT)
+           ELSE list_transform(embedding, x -> cast(x::DOUBLE * 10 AS FLOAT))
+         END AS embedding
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+all_rows AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM bad
+),
+feat AS (
+  SELECT vec_id, embedding,
+         len(embedding) AS dim,
+         len(list_filter(embedding, x -> isnan(x) OR isinf(x))) AS n_bad,
+         cast(coalesce(list_sum(list_transform(
+             list_filter(embedding, x -> NOT (isnan(x) OR isinf(x))),
+             x -> cast(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)
+                  * cast(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT))), 0)
+           AS BIGINT) AS normsq_q
+  FROM all_rows
+),
+flagged AS (
+  SELECT vec_id,
+    CASE WHEN embedding IS NULL THEN 'EMB_NULL'
+         WHEN dim <> 64 THEN 'EMB_DIM'
+         WHEN n_bad > 0 THEN 'EMB_NON_FINITE'
+         WHEN normsq_q = 0 THEN 'EMB_ZERO'
+         WHEN normsq_q < 900000000000 OR normsq_q > 1100000000000
+           THEN 'EMB_NORM_RANGE'
+    END AS rule_id,
+    CASE WHEN embedding IS NULL THEN 'null'
+         WHEN dim <> 64 THEN cast(dim AS VARCHAR)
+         WHEN n_bad > 0 THEN cast(n_bad AS VARCHAR)
+         WHEN normsq_q = 0 THEN 'zero'
+         ELSE cast(normsq_q AS VARCHAR)
+    END AS observed
+  FROM feat
+)
+SELECT vec_id, rule_id, observed FROM flagged WHERE rule_id IS NOT NULL
+"""
+
+
+@register("embedding_quality_embeddings", _EMBEDDING_QUALITY_SQL)
+def embedding_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table validation gate: NULL / dim-mismatch / non-finite /
+    all-zero / norm-out-of-band rules in one shuffle-free JVM projection
+    (operators/similarity.py::embedding_quality). Bad rows are planted
+    deterministically from the table itself (one mutated copy per vec_id
+    divisible by 97: truncated dim, NaN element, zeroed, x10 scaled) so both
+    engines derive the identical defect set; the real rows must all pass —
+    the norm band brackets the unit-normalized corpus (quantized norm²
+    ~1e12 observed at every sf)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cls = (F.expr("vec_id div 97") % 4).cast("int")
+    nan_f = F.lit(float("nan")).cast("float")
+    bad = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.when(cls == 0, F.expr("slice(embedding, 1, 32)"))
+        .when(cls == 1, F.concat(F.array(nan_f), F.expr("slice(embedding, 2, size(embedding) - 1)")))
+        .when(cls == 2, F.transform("embedding", lambda x: F.lit(0.0).cast("float")))
+        .otherwise(
+            F.transform("embedding", lambda x: (x.cast("double") * 10).cast("float"))
+        )
+        .alias("embedding"),
+    )
+    return _sim.embedding_quality(
+        emb.unionByName(bad),
+        expected_dim=64,
+        normsq_q_lo=900_000_000_000,
+        normsq_q_hi=1_100_000_000_000,
+    )

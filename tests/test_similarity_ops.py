@@ -393,3 +393,48 @@ def test_portable_ivf_probe_guard(spark):
     q = emb.limit(1).selectExpr("vec_id as q_id", "embedding as q_vec")
     with pytest.raises(ValueError, match="n_probe"):
         portable_ivf_topk(emb, q, n_lists=4, n_probe=5)
+
+
+def test_embedding_quality_rules_and_precedence(spark):
+    from data_check_spark.operators.similarity import embedding_quality
+
+    inf, nan = float("inf"), float("nan")
+    rows = [
+        (1, [0.6, 0.8, 0.0]),            # normsq_q = 1_000_000_000_000 — in band
+        (2, None),                        # EMB_NULL
+        (3, [0.6, 0.8]),                  # EMB_DIM (2)
+        (4, [nan, 0.8, 0.0]),             # EMB_NON_FINITE
+        (5, [0.6, inf, -inf]),            # EMB_NON_FINITE (2 bad elems)
+        (6, [0.0, 0.0, 0.0]),             # EMB_ZERO
+        (7, [6.0, 8.0, 0.0]),             # EMB_NORM_RANGE (1e14, too big)
+        (8, [nan, 0.8]),                  # dim wins over non-finite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["rule_id"], r["observed"])
+        for r in embedding_quality(
+            df, expected_dim=3,
+            normsq_q_lo=900_000_000_000, normsq_q_hi=1_100_000_000_000,
+        ).collect()
+    }
+    assert 1 not in got
+    assert got[2] == ("EMB_NULL", "null")
+    assert got[3] == ("EMB_DIM", "2")
+    assert got[4] == ("EMB_NON_FINITE", "1")
+    assert got[5] == ("EMB_NON_FINITE", "2")
+    assert got[6] == ("EMB_ZERO", "zero")
+    assert got[7] == ("EMB_NORM_RANGE", "100000000000000")
+    assert got[8] == ("EMB_DIM", "2")
+
+
+def test_embedding_quality_shuffle_free_plan(spark):
+    from data_check_spark.operators.similarity import embedding_quality
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 4)], "vec_id long, embedding array<float>"
+    )
+    plan = embedding_quality(
+        df, expected_dim=4, normsq_q_lo=0, normsq_q_hi=10**15
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM projection
