@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "fuzzy_decontamination_documents",
     "snapshot_diff_orders",
     "embedding_quality_embeddings",
+    "container_sniff_documents",
     "func_dep_lineitem",
     "summary_regression_orders",
     "clips_validate_portable",

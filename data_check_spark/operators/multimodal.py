@@ -377,3 +377,34 @@ def synth_ppm(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def sniff_container(payload_col: str | Column) -> Column:
+    """Magic-byte container detection over a binary column — pure JVM.
+
+    Returns 'wav'|'flac'|'ogg'|'jpeg'|'png'|'ppm'|'mp3'|'mp4'|'unknown'
+    (NULL payload → NULL). The media analog of the reference's encoding
+    sniffing (data_check.py CSV charset fallback): at 100 TB the declared
+    ``codec`` column is an assertion, not a fact — this reads the first 16
+    bytes via ``substring``+``hex`` (column-pruned, whole-stage codegen, no
+    Python) so a CODEC_HEADER_MISMATCH rule can cross-check it on scan.
+
+    WAV requires BOTH the RIFF tag and the WAVE fourcc (other RIFF
+    containers — WebP, AVI — fall through to unknown rather than
+    misclassifying); MP4 is the ``ftyp`` brand at byte offset 4.
+    """
+    p = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    hx = F.hex(F.substring(p, 1, 16))  # uppercase hex of the first 16 bytes
+    at9 = F.substring(hx, 9, 8)
+    return (
+        F.when(p.isNull(), F.lit(None).cast("string"))
+        .when(hx.startswith("52494646") & (F.substring(hx, 17, 8) == "57415645"), "wav")
+        .when(hx.startswith("664C6143"), "flac")
+        .when(hx.startswith("4F676753"), "ogg")
+        .when(hx.startswith("FFD8FF"), "jpeg")
+        .when(hx.startswith("89504E470D0A1A0A"), "png")
+        .when(hx.startswith("50360A") | hx.startswith("503620") | hx.startswith("503609"), "ppm")
+        .when(hx.startswith("494433"), "mp3")
+        .when(at9 == "66747970", "mp4")
+        .otherwise("unknown")
+    )

@@ -4129,3 +4129,83 @@ def embedding_quality_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         normsq_q_lo=900_000_000_000,
         normsq_q_hi=1_100_000_000_000,
     )
+
+
+_CONTAINER_SNIFF_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id || ':cont'), 1, 15)) AS BIGINT) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, h,
+         (['wav','flac','ogg','jpeg','png','ppm','mp3','bin'])
+           [CAST(h % 8 AS INT) + 1] AS kind,
+         (['wav','flac','ogg','jpeg','png','ppm','mp3','bin'])
+           [CAST((h % 8 + CASE WHEN h % 11 = 0 THEN 1 ELSE 0 END) % 8 AS INT) + 1]
+           AS declared
+  FROM p
+)
+SELECT doc_id, declared,
+       CASE WHEN h % 97 = 0 THEN NULL
+            WHEN kind = 'bin' THEN 'unknown'
+            ELSE kind END AS sniffed,
+       CASE WHEN h % 97 = 0 THEN NULL
+            WHEN (CASE WHEN kind = 'bin' THEN 'unknown' ELSE kind END)
+                 = (CASE WHEN declared = 'bin' THEN 'unknown' ELSE declared END)
+              THEN NULL
+            WHEN kind = 'bin' THEN 'UNKNOWN_CONTAINER'
+            ELSE 'CODEC_HEADER_MISMATCH' END AS rule_id
+FROM r
+"""
+
+
+@register("container_sniff_documents", _CONTAINER_SNIFF_SQL)
+def container_sniff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec/container header cross-check: REAL magic bytes (RIFF/WAVE,
+    fLaC, OggS, JPEG SOI, PNG, P6, ID3) are synthesized per doc from md5
+    arithmetic, pushed through the byte-level ``sniff_container`` JVM
+    expression, and compared to the (sometimes deliberately shifted)
+    declared codec — CODEC_HEADER_MISMATCH / UNKNOWN_CONTAINER rules.
+    DuckDB never parses bytes: it re-derives which header was planted
+    analytically, so the sniffing expression itself is value-checked."""
+    from data_check_spark.operators import multimodal as _mm
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    h = _doc_h(":cont")
+    karr = F.expr("array('wav','flac','ogg','jpeg','png','ppm','mp3','bin')")
+    ki = (h % 8).cast("int")
+    di = ((h % 8 + F.when(h % 11 == 0, 1).otherwise(0)) % 8).cast("int")
+    base = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.element_at(karr, ki + 1).alias("kind"),
+        F.element_at(karr, di + 1).alias("declared"),
+    )
+    filler = F.encode(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":fill"))), "UTF-8"
+    )
+    k = F.col("kind")
+    magic = (
+        F.when(k == "wav", F.concat(F.expr("X'52494646'"), F.expr("X'00000024'"),
+                                    F.expr("X'57415645'"), filler))
+        .when(k == "flac", F.concat(F.expr("X'664C6143'"), filler))
+        .when(k == "ogg", F.concat(F.expr("X'4F676753'"), filler))
+        .when(k == "jpeg", F.concat(F.expr("X'FFD8FFE0'"), filler))
+        .when(k == "png", F.concat(F.expr("X'89504E470D0A1A0A'"), filler))
+        .when(k == "ppm", F.concat(F.expr("X'50360A'"), filler))
+        .when(k == "mp3", F.concat(F.expr("X'494433'"), filler))
+        .otherwise(F.concat(F.expr("X'001122334455667788'"), filler))
+    )
+    payload = F.when(F.col("h") % 97 == 0, F.lit(None).cast("binary")).otherwise(magic)
+    staged = base.select("doc_id", "declared", payload.alias("payload"))
+    sniffed = _mm.sniff_container("payload")
+    expected = F.when(F.col("declared") == "bin", "unknown").otherwise(F.col("declared"))
+    rule = (
+        F.when(sniffed.isNull(), F.lit(None).cast("string"))
+        .when(sniffed == expected, F.lit(None).cast("string"))
+        .when(sniffed == "unknown", "UNKNOWN_CONTAINER")
+        .otherwise("CODEC_HEADER_MISMATCH")
+    )
+    return staged.select(
+        "doc_id", "declared", sniffed.alias("sniffed"), rule.alias("rule_id")
+    )

@@ -256,3 +256,56 @@ def test_real_ppm_decode_features(spark):
     vec = row["feature"]
     assert abs(vec[0] - 0.002) < 1e-6 and abs(vec[1] - 0.001) < 1e-6  # w, h /1k
     assert abs(vec[3] - 1.0) < 1e-6 and vec[4] == 0.0 and vec[5] == 0.0  # means
+
+
+def test_sniff_container_magic_bytes(spark):
+    from data_check_spark.operators.multimodal import sniff_container
+
+    cases = [
+        ("wav", b"RIFF\x24\x00\x00\x00WAVEfmt "),
+        ("webp_riff", b"RIFF\x24\x00\x00\x00WEBPVP8 "),  # RIFF but NOT wav
+        ("avi_riff", b"RIFF\x24\x00\x00\x00AVI LIST"),
+        ("flac", b"fLaC\x00\x00\x00\x22"),
+        ("ogg", b"OggS\x00\x02"),
+        ("jpeg", b"\xff\xd8\xff\xe0\x00\x10JFIF"),
+        ("png", b"\x89PNG\r\n\x1a\x0aIHDR"),
+        ("ppm_nl", b"P6\n4 2\n255\n"),
+        ("ppm_sp", b"P6 4 2 255 "),
+        ("mp3", b"ID3\x04\x00"),
+        ("mp4", b"\x00\x00\x00\x20ftypisom"),
+        ("garbage", b"\x00\x11\x22\x33\x44\x55\x66\x77\x88"),
+        ("short", b"P"),
+        ("empty", b""),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(
+        [(n, bytearray(b) if b is not None else None) for n, b in cases],
+        "name string, payload binary",
+    )
+    got = {r["name"]: r["s"] for r in df.select("name", sniff_container("payload").alias("s")).collect()}
+    assert got["wav"] == "wav"
+    assert got["webp_riff"] == "unknown"  # RIFF without WAVE fourcc
+    assert got["avi_riff"] == "unknown"
+    assert got["flac"] == "flac"
+    assert got["ogg"] == "ogg"
+    assert got["jpeg"] == "jpeg"
+    assert got["png"] == "png"
+    assert got["ppm_nl"] == "ppm"
+    assert got["ppm_sp"] == "ppm"
+    assert got["mp3"] == "mp3"
+    assert got["mp4"] == "mp4"
+    assert got["garbage"] == "unknown"
+    assert got["short"] == "unknown"
+    assert got["empty"] == "unknown"
+    assert got["null"] is None
+
+
+def test_sniff_container_jvm_only_plan(spark):
+    from data_check_spark.operators.multimodal import sniff_container
+
+    df = spark.createDataFrame([(bytearray(b"fLaC"),)], "payload binary")
+    plan = (
+        df.select(sniff_container("payload").alias("s"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
