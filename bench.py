@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "snapshot_diff_orders",
     "embedding_quality_embeddings",
     "container_sniff_documents",
+    "autocorr_documents",
     "func_dep_lineitem",
     "summary_regression_orders",
     "clips_validate_portable",

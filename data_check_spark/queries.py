@@ -4209,3 +4209,66 @@ def container_sniff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id", "declared", sniffed.alias("sniffed"), rule.alias("rule_id")
     )
+
+
+_AUTOCORR_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         800 + CAST(('0x' || substr(md5(doc_id || ':an'), 1, 15)) AS BIGINT) % 1600 AS n,
+         CAST(('0x' || substr(md5(doc_id || ':al'), 1, 15)) AS BIGINT) % 200 AS lead,
+         1000 + CAST(('0x' || substr(md5(doc_id || ':aa'), 1, 15)) AS BIGINT) % 31000 AS amp,
+         4 + CAST(('0x' || substr(md5(doc_id || ':ak'), 1, 15)) AS BIGINT) % 28 AS k
+  FROM documents
+),
+lags AS (
+  SELECT p.*, l.lag
+  FROM p, unnest([k, 2 * k, CAST(7 AS BIGINT)]) AS l(lag)
+),
+terms AS (
+  -- DISTINCT first: when k = 7 the lag list [k, 2k, 7] repeats a lag and
+  -- a plain GROUP BY over the duplicated rows would double-count every term
+  SELECT doc_id, lag,
+         sum((CASE WHEN i.i < lead THEN 0
+                   ELSE amp * (1 - 2 * (((i.i - lead) // k) % 2)) END)
+             * (CASE WHEN i.i + lag < lead THEN 0
+                     ELSE amp * (1 - 2 * (((i.i + lag - lead) // k) % 2)) END))
+           AS r
+  FROM (SELECT DISTINCT doc_id, lag, n, lead, amp, k FROM lags) d,
+       (SELECT unnest(range(0, 2400)) AS i) i
+  WHERE i.i < n - lag
+  GROUP BY doc_id, lag
+)
+SELECT l.doc_id, l.lag,
+       l.n AS n_samples,
+       (l.n - l.lead) * l.amp * l.amp AS r0,
+       CAST(t.r AS BIGINT) AS r_lag,
+       CAST(t.r AS BIGINT) * 10000 // ((l.n - l.lead) * l.amp * l.amp) AS ratio_bp
+FROM lags l JOIN terms t ON t.doc_id = l.doc_id AND t.lag = l.lag
+"""
+
+
+@register("autocorr_documents", _AUTOCORR_SQL)
+def autocorr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodicity screen through the REAL decode path: md5-parameterized
+    square waves are synthesized as int16-LE bytes, decoded back by
+    operators/audio.autocorr_lags, and the integer autocorrelation at the
+    half period (antiphase, ratio ≈ −10⁴), the full period (ratio ≈ +10⁴
+    minus boundary terms) and a fixed off-period lag is value-checked
+    against DuckDB's direct integer replay of the same waveform."""
+    from data_check_spark.operators import audio as _audio
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(800) + _doc_h(":an") % 1600).alias("n"),
+        (_doc_h(":al") % 200).alias("lead"),
+        (F.lit(1000) + _doc_h(":aa") % 31000).alias("amp"),
+        (F.lit(4) + _doc_h(":ak") % 28).alias("k"),
+    )
+    pcm = _audio.synth_square_pcm(params)
+    with_lags = pcm.withColumn(
+        "lags", F.array(F.col("k"), F.col("k") * 2, F.lit(7).cast("bigint"))
+    )
+    return _audio.autocorr_lags(with_lags, keep=["doc_id"]).select(
+        "doc_id", "lag", "n_samples", "r0", "r_lag", "ratio_bp"
+    )

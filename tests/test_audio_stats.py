@@ -378,3 +378,39 @@ def test_training_windows_plan_no_shuffle(spark):
     plan = training_windows(segs, window_samples=256)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_autocorr_lags_hand_computed_and_edges(spark):
+    import numpy as np
+    from data_check_spark.operators.audio import autocorr_lags
+
+    def pcm(vals):
+        return bytearray(np.array(vals, dtype="<i2").tobytes())
+
+    rows = [
+        # alternating +-1: r0=4, r(1)=-3, r(2)=2, r(3)=-1, r(4)=0 (lag>=n)
+        ("alt", pcm([1, -1, 1, -1]), [1, 2, 3, 4, 0, -2]),
+        ("odd", bytearray(b"\x01\x02\x03"), [1]),      # undecodable
+        ("nul", None, [1]),                            # NULL payload
+        ("nolags", pcm([5, 5]), None),                 # NULL lag list -> no rows
+        ("silence", pcm([0, 0, 0]), [1]),              # r0=0 -> NULL ratio
+        ("neg", pcm([100, -100, 100]), [1]),           # r=-20000, trunc toward 0
+    ]
+    df = spark.createDataFrame(rows, "name string, bytes binary, lags array<bigint>")
+    got = {}
+    for r in autocorr_lags(df, keep=["name"]).collect():
+        got.setdefault(r["name"], {})[r["lag"]] = (
+            r["n_samples"], r["r0"], r["r_lag"], r["ratio_bp"]
+        )
+    assert got["alt"][1] == (4, 4, -3, -7500)
+    assert got["alt"][2] == (4, 4, 2, 5000)
+    assert got["alt"][3] == (4, 4, -1, -2500)
+    assert got["alt"][4] == (4, 4, 0, 0)       # lag >= n: empty sum
+    assert got["alt"][0] == (4, 4, None, None)  # lag <= 0
+    assert got["alt"][-2] == (4, 4, None, None)
+    assert got["odd"][1] == (None, None, None, None)
+    assert got["nul"][1] == (None, None, None, None)
+    assert "nolags" not in got
+    assert got["silence"][1] == (3, 0, 0, None)  # zero-energy: NULL ratio
+    # r(1) = 100*-100 + -100*100 = -20000, r0=30000 -> -20000*1e4 div 3e4 = -6666
+    assert got["neg"][1] == (3, 30000, -20000, -6666)
