@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "embedding_quality_embeddings",
     "container_sniff_documents",
     "autocorr_documents",
+    "compaction_plan_documents",
+    "compaction_summary_documents",
     "func_dep_lineitem",
     "summary_regression_orders",
     "clips_validate_portable",

@@ -4272,3 +4272,75 @@ def autocorr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio.autocorr_lags(with_lags, keep=["doc_id"]).select(
         "doc_id", "lag", "n_samples", "r0", "r_lag", "ratio_bp"
     )
+
+
+_COMPACTION_INV_SQL = """
+  SELECT printf('f%08d', doc_id) AS file_name,
+         printf('p%02d', CAST(CAST(('0x' || substr(md5(doc_id || ':cd'), 1, 15))
+                                   AS BIGINT) % 16 AS INT)) AS part_dir,
+         1024 + CAST(('0x' || substr(md5(doc_id || ':cs'), 1, 15)) AS BIGINT)
+                % 262144 AS file_size
+  FROM documents
+"""
+
+_COMPACTION_PLAN_SQL = f"""
+WITH inv AS ({_COMPACTION_INV_SQL})
+SELECT part_dir, file_name, file_size,
+       CASE WHEN file_size < 131072 THEN 'merge' ELSE 'keep' END AS action,
+       CASE WHEN file_size < 131072 THEN
+         coalesce(sum(CASE WHEN file_size < 131072 THEN file_size ELSE 0 END)
+                    OVER (PARTITION BY part_dir ORDER BY file_name
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // 262144
+       END AS group_id
+FROM inv
+"""
+
+_COMPACTION_SUMMARY_SQL = f"""
+WITH plan AS ({_COMPACTION_PLAN_SQL})
+SELECT part_dir,
+       count(*) AS n_files,
+       sum(CASE WHEN action = 'merge' THEN 1 ELSE 0 END) AS n_small,
+       sum(CASE WHEN action = 'merge' THEN file_size ELSE 0 END) AS bytes_small,
+       count(DISTINCT group_id) AS n_groups,
+       count(*) - sum(CASE WHEN action = 'merge' THEN 1 ELSE 0 END)
+         + count(DISTINCT group_id) AS n_files_after
+FROM plan
+GROUP BY part_dir
+"""
+
+
+def _compaction_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    return docs.select(
+        F.format_string("f%08d", F.col("doc_id")).alias("file_name"),
+        F.format_string("p%02d", (_doc_h(":cd") % 16).cast("int")).alias("part_dir"),
+        (F.lit(1024) + _doc_h(":cs") % 262144).alias("file_size"),
+    )
+
+
+@register("compaction_plan_documents", _COMPACTION_PLAN_SQL)
+def compaction_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction plan (operators/compaction.py): per-dir
+    first-fit merge groups over a deterministic synthetic file inventory —
+    group_id = cumulative-small-bytes div target, healthy files kept.
+    The inventory itself normally comes from file_inventory's _metadata
+    scan (unit-tested against pyarrow); here it is md5-derived so DuckDB
+    replays the identical greedy walk."""
+    from data_check_spark.operators import compaction as _cp
+
+    return _cp.compaction_plan(
+        _compaction_inventory(spark, sf_dir), target_bytes=262144
+    )
+
+
+@register("compaction_summary_documents", _COMPACTION_SUMMARY_SQL)
+def compaction_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dir compaction rollup: files/bytes before, merge groups, and
+    the projected post-rewrite file count."""
+    from data_check_spark.operators import compaction as _cp
+
+    plan = _cp.compaction_plan(
+        _compaction_inventory(spark, sf_dir), target_bytes=262144
+    )
+    return _cp.compaction_summary(plan)
