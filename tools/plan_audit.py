@@ -118,6 +118,23 @@ AUDITED = [
      "it with map-side partials; scoring joins are keyed (AQE broadcasts at "
      "test scale, sort-merge at corpus scale — both correct), and the final "
      "per-doc aggregate is the only other exchange."),
+    ("embedding_quality_embeddings",
+     "Embedding QC gate: one codegen'd JVM projection + filter directly "
+     "over the scan (the quantized-norm fold excludes non-finite elements "
+     "inside the expression) — no exchange, no Python, nothing but the "
+     "scan before the output."),
+    ("container_sniff_documents",
+     "Container sniffing is substring+hex CASE inside the scan projection "
+     "— one pass, the binary payload is born and dies in the same stage, "
+     "no shuffle, no Python."),
+    ("autocorr_documents",
+     "Two chained Arrow python stages (square-wave synth, then integer "
+     "autocorrelation) over one repartitioned scan — the per-lag fan-out "
+     "happens inside the second stage; no join, no shuffle between them."),
+    ("compaction_plan_documents",
+     "Compaction planning touches only the file inventory (one row per "
+     "FILE): a single keyed exchange for the per-dir name-ordered window; "
+     "the data files themselves are never read by the planner."),
     ("ivf_portable_ann_embeddings",
      "Deterministic IVF: centroid seeding is TakeOrdered + an n_lists-row "
      "collect; each Lloyd pass shuffles only (cell, dim, partial-sum) rows; "
