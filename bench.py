@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "autocorr_documents",
     "compaction_plan_documents",
     "compaction_summary_documents",
+    "null_correlation_orders",
     "func_dep_lineitem",
     "summary_regression_orders",
     "clips_validate_portable",

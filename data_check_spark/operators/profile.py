@@ -608,3 +608,65 @@ def sequence_gaps(df: DataFrame, key_col: str, *, bucket_size: int = 1 << 20) ->
         .withColumn("n_missing", F.col("gap_end") - F.col("gap_start") + 1)
         .orderBy("gap_start")
     )
+
+
+def null_correlation(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    *,
+    blank_as_missing: bool = True,
+) -> DataFrame:
+    """Co-missingness audit across column pairs — ONE aggregation pass.
+
+    For each ``(a, b)`` pair: how often is each column missing, how often
+    are they missing TOGETHER, and the association ratios. Two columns
+    that go missing together almost always point at one broken upstream
+    join or source feed, not two independent data-entry problems — this is
+    the profiling step that tells you which. Output, one row per pair:
+
+    - ``n_rows, a_missing, b_missing, both_missing`` — exact counts
+    - ``jaccard_ppm``   — both / (a ∪ b missing), 10⁶-scaled integer
+    - ``a_given_b_ppm`` — P(a missing | b missing) in ppm
+    - ``b_given_a_ppm`` — P(b missing | a missing) in ppm
+
+    ``blank_as_missing`` uses the engine-wide tri-state blank convention
+    (functions/blank.py — whitespace-only strings count as missing), else
+    plain NULL. Scale: a single hash-free global aggregate (map-side
+    partials, one 1-row result), all integer arithmetic — no second scan
+    per pair, no shuffle of data rows.
+    """
+    from data_check_spark.functions.blank import is_blank
+
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    if blank_as_missing:
+        miss = is_blank
+    else:
+        miss = lambda c: F.col(c).isNull()  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (a, b) in enumerate(pairs):
+        ma, mb = miss(a), miss(b)
+        aggs += [
+            F.sum(ma.cast("long")).alias(f"_a{i}"),
+            F.sum(mb.cast("long")).alias(f"_b{i}"),
+            F.sum((ma & mb).cast("long")).alias(f"_ab{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = [str(len(pairs))]
+    for i, (a, b) in enumerate(pairs):
+        stack_args += [f"'{a}'", f"'{b}'", f"_a{i}", f"_b{i}", f"_ab{i}"]
+    stacked = one.selectExpr(
+        "_n AS n_rows",
+        "stack(" + ", ".join(stack_args)
+        + ") AS (col_a, col_b, a_missing, b_missing, both_missing)",
+    )
+    return stacked.selectExpr(
+        "col_a", "col_b", "n_rows", "a_missing", "b_missing", "both_missing",
+        "CASE WHEN a_missing + b_missing - both_missing = 0 THEN NULL"
+        " ELSE both_missing * 1000000 div (a_missing + b_missing - both_missing)"
+        " END AS jaccard_ppm",
+        "CASE WHEN b_missing = 0 THEN NULL"
+        " ELSE both_missing * 1000000 div b_missing END AS a_given_b_ppm",
+        "CASE WHEN a_missing = 0 THEN NULL"
+        " ELSE both_missing * 1000000 div a_missing END AS b_given_a_ppm",
+    )

@@ -4344,3 +4344,66 @@ def compaction_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         _compaction_inventory(spark, sf_dir), target_bytes=262144
     )
     return _cp.compaction_summary(plan)
+
+
+_NULL_CORRELATION_SQL = """
+WITH mut AS (
+  SELECT CASE WHEN h % 7 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+         CASE WHEN h % 7 < 2 THEN '  ' ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN h % 13 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus
+  FROM (SELECT *, CAST(('0x' || substr(md5(o_orderkey || ':nc'), 1, 15)) AS BIGINT)
+               AS h
+        FROM orders)
+), m AS (
+  SELECT count(*) AS n_rows,
+         count(*) FILTER (WHERE o_custkey IS NULL) AS a1,
+         count(*) FILTER (WHERE o_orderpriority IS NULL OR regexp_replace(o_orderpriority, '[	
+                  　]+', '', 'g') = '') AS b1,
+         count(*) FILTER (WHERE o_custkey IS NULL AND (o_orderpriority IS NULL OR regexp_replace(o_orderpriority, '[	
+                  　]+', '', 'g') = '')) AS ab1,
+         count(*) FILTER (WHERE o_orderstatus IS NULL) AS b2,
+         count(*) FILTER (WHERE o_custkey IS NULL AND o_orderstatus IS NULL) AS ab2
+  FROM mut
+)
+SELECT 'o_custkey' AS col_a, 'o_orderpriority' AS col_b, n_rows,
+       a1 AS a_missing, b1 AS b_missing, ab1 AS both_missing,
+       CASE WHEN a1 + b1 - ab1 = 0 THEN NULL
+            ELSE ab1 * 1000000 // (a1 + b1 - ab1) END AS jaccard_ppm,
+       CASE WHEN b1 = 0 THEN NULL ELSE ab1 * 1000000 // b1 END AS a_given_b_ppm,
+       CASE WHEN a1 = 0 THEN NULL ELSE ab1 * 1000000 // a1 END AS b_given_a_ppm
+FROM m
+UNION ALL
+SELECT 'o_custkey' AS col_a, 'o_orderstatus' AS col_b, n_rows,
+       a1 AS a_missing, b2 AS b_missing, ab2 AS both_missing,
+       CASE WHEN a1 + b2 - ab2 = 0 THEN NULL
+            ELSE ab2 * 1000000 // (a1 + b2 - ab2) END AS jaccard_ppm,
+       CASE WHEN b2 = 0 THEN NULL ELSE ab2 * 1000000 // b2 END AS a_given_b_ppm,
+       CASE WHEN a1 = 0 THEN NULL ELSE ab2 * 1000000 // a1 END AS b_given_a_ppm
+FROM m
+"""
+
+
+@register("null_correlation_orders", _NULL_CORRELATION_SQL)
+def null_correlation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-missingness audit (profile.null_correlation): one aggregation
+    pass measures how often column pairs go missing TOGETHER — the broken
+    upstream-join detector. Missing values are planted from md5 bands so
+    the (o_custkey, o_orderpriority) pair is strongly associated (custkey
+    nulls are a subset of the blanked priorities — a_given_b ~ 500000 ppm,
+    b_given_a = 10^6) while (o_custkey, o_orderstatus) is ~independent;
+    blank-as-missing uses the engine whitespace class (the planted
+    priority value is two spaces, not NULL)."""
+    from data_check_spark.operators.profile import null_correlation
+
+    o = _t(spark, sf_dir, "orders")
+    h = _dedup._portable_hash60(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(":nc"))
+    )
+    mut = o.select(
+        F.when(h % 7 == 0, F.lit(None)).otherwise(F.col("o_custkey")).alias("o_custkey"),
+        F.when(h % 7 < 2, F.lit("  ")).otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        F.when(h % 13 == 0, F.lit(None)).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+    )
+    return null_correlation(
+        mut, [("o_custkey", "o_orderpriority"), ("o_custkey", "o_orderstatus")]
+    )

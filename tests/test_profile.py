@@ -385,3 +385,59 @@ def test_sequence_gaps_plan_no_python_no_global_sort_of_keys(spark):
     # window over raw keys would show as 'Window [...] ORDER BY' with no
     # partition spec feeding an Exchange SinglePartition over the key frame
     assert "partitionspec=[_b" in plan.lower().replace(" ", "") or "_b" in plan
+
+
+def test_null_correlation_hand_computed(spark):
+    from data_check_spark.operators.profile import null_correlation
+
+    rows = [
+        (None, "  ", "x"),      # a missing, b blank-missing
+        (None, "v", "x"),       # a missing only
+        (1, None, "x"),         # b missing only
+        (2, "v", "x"),          # none missing
+        (None, "　", None), # a + b (full-width space) + c missing
+        (3, "v", "x"),
+    ]
+    df = spark.createDataFrame(rows, "a int, b string, c string")
+    got = {(r["col_a"], r["col_b"]): r.asDict()
+           for r in null_correlation(df, [("a", "b"), ("a", "c"), ("c", "c")]).collect()}
+    ab = got[("a", "b")]
+    assert (ab["n_rows"], ab["a_missing"], ab["b_missing"], ab["both_missing"]) == (6, 3, 3, 2)
+    assert ab["jaccard_ppm"] == 2 * 1000000 // 4
+    assert ab["a_given_b_ppm"] == 2 * 1000000 // 3
+    assert ab["b_given_a_ppm"] == 2 * 1000000 // 3
+    ac = got[("a", "c")]
+    assert (ac["a_missing"], ac["b_missing"], ac["both_missing"]) == (3, 1, 1)
+    cc = got[("c", "c")]
+    assert cc["jaccard_ppm"] == 1000000  # self-pair sanity: jaccard = 1
+
+    # NULL-only mode: blanks no longer count
+    strict = {(r["col_a"], r["col_b"]): r.asDict()
+              for r in null_correlation(df, [("a", "b")], blank_as_missing=False).collect()}
+    assert strict[("a", "b")]["b_missing"] == 1
+    assert strict[("a", "b")]["both_missing"] == 0
+    assert strict[("a", "b")]["b_given_a_ppm"] == 0
+
+    # no missing values at all -> ratios NULL, not div-by-zero
+    clean = spark.createDataFrame([(1, "v")], "a int, b string")
+    r = null_correlation(clean, [("a", "b")]).collect()[0]
+    assert (r["jaccard_ppm"], r["a_given_b_ppm"], r["b_given_a_ppm"]) == (None, None, None)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        null_correlation(df, [])
+
+
+def test_null_correlation_single_pass_plan(spark):
+    from data_check_spark.operators.profile import null_correlation
+
+    df = spark.range(100).selectExpr("id AS a", "CAST(id AS STRING) AS b", "id AS c")
+    plan = (
+        null_correlation(df, [("a", "b"), ("a", "c"), ("b", "c")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one partial+final aggregate (map-side combine), pairs never re-scan;
+    # the only exchange is the 1-row final-aggregate gather
+    assert plan.count("partial_count") == 1
+    assert plan.count("Exchange") == 1
+    assert "stack" in plan
