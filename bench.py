@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "compaction_plan_documents",
     "compaction_summary_documents",
     "null_correlation_orders",
+    "loudness_gain_documents",
     "func_dep_lineitem",
     "summary_regression_orders",
     "clips_validate_portable",

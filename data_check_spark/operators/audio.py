@@ -756,3 +756,87 @@ def autocorr_lags(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=schema)
+
+
+def normalization_gain(
+    stats: DataFrame,
+    *,
+    target_ms_q: int,
+    energy_col: str = "energy",
+    n_col: str = "n_samples",
+    peak_col: str = "peak_abs",
+    full_scale: int = 32767,
+) -> DataFrame:
+    """Loudness-normalization planning over a :func:`pcm_stats` frame.
+
+    For each clip, the linear gain (in basis points) that brings its mean
+    square to ``target_ms_q``: ``gain_bp = isqrt(target·10⁸·n div energy)``
+    — i.e. 10⁴·√(target_ms / clip_ms) rounded down. Emits a SPAN-style
+    plan, never rewritten audio: at 100 TB you stamp the gain next to the
+    clip and apply it at training/serving time.
+
+    - ``gain_bp``        — the un-capped target gain (NULL if the clip has
+      no energy or no samples — you cannot normalize silence)
+    - ``max_gain_bp``    — largest clip-safe gain, ``full_scale·10⁴ div
+      peak`` (NULL when peak is 0/NULL)
+    - ``would_clip``     — target gain exceeds the safe gain
+    - ``capped_gain_bp`` — ``least(gain_bp, max_gain_bp)`` — what a
+      clipping-aware normalizer actually applies
+
+    Integer-exact and engine-portable: the square root is
+    ``floor(sqrt())`` in doubles then corrected ±1 against the
+    cross-multiplied inequality ``c²·energy ≤ target·10⁸·n`` carried in a
+    decimal(38,0)/HUGEINT lane (no int64 overflow, no float compare at the
+    boundary — the sampling/anomaly modules use the same two lanes). Pure
+    JVM projection: zero Python, zero shuffle.
+    """
+    if target_ms_q <= 0:
+        raise ValueError(f"target_ms_q must be positive, got {target_ms_q}")
+    if full_scale <= 0:
+        raise ValueError(f"full_scale must be positive, got {full_scale}")
+    e, n, p = energy_col, n_col, peak_col
+    n_t = f"(CAST({target_ms_q} AS DECIMAL(38,0)) * 100000000 * {n})"
+    bad = f"({e} IS NULL OR {e} <= 0 OR {n} IS NULL OR {n} <= 0)"
+    out = (
+        stats.withColumn(
+            "_c0",
+            F.expr(
+                f"CASE WHEN {bad} THEN NULL ELSE "
+                f"CAST(floor(sqrt(CAST({n_t} AS DOUBLE) / CAST({e} AS DOUBLE)))"
+                " AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "_c1",
+            F.expr(
+                "_c0 + (CASE WHEN CAST(_c0 + 1 AS DECIMAL(38,0)) * (_c0 + 1)"
+                f" * {e} <= {n_t} THEN 1 ELSE 0 END)"
+            ),
+        )
+        .withColumn(
+            "gain_bp",
+            F.expr(
+                "_c1 - (CASE WHEN CAST(_c1 AS DECIMAL(38,0)) * _c1"
+                f" * {e} > {n_t} THEN 1 ELSE 0 END)"
+            ),
+        )
+        .withColumn(
+            "max_gain_bp",
+            F.expr(f"CASE WHEN {p} > 0 THEN {full_scale} * 10000 div {p} END"),
+        )
+        .withColumn(
+            "would_clip",
+            F.expr(
+                "CASE WHEN gain_bp IS NULL OR max_gain_bp IS NULL THEN NULL"
+                " ELSE gain_bp > max_gain_bp END"
+            ),
+        )
+        .withColumn(
+            "capped_gain_bp",
+            F.expr(
+                "CASE WHEN gain_bp IS NULL THEN NULL"
+                " ELSE least(gain_bp, coalesce(max_gain_bp, gain_bp)) END"
+            ),
+        )
+    )
+    return out.drop("_c0", "_c1")

@@ -4407,3 +4407,60 @@ def null_correlation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return null_correlation(
         mut, [("o_custkey", "o_orderpriority"), ("o_custkey", "o_orderstatus")]
     )
+
+
+_LOUDNESS_GAIN_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         800 + CAST(('0x' || substr(md5(doc_id || ':n'), 1, 15)) AS BIGINT) % 1600 AS n,
+         CAST(('0x' || substr(md5(doc_id || ':l'), 1, 15)) AS BIGINT) % 200 AS lead,
+         1000 + CAST(('0x' || substr(md5(doc_id || ':a'), 1, 15)) AS BIGINT) % 31000 AS amp
+  FROM documents
+), s AS (
+  SELECT doc_id, n AS n_samples, (n - lead) * amp * amp AS energy, amp AS peak_abs
+  FROM p
+), g AS (
+  SELECT *,
+    CAST(10000000 AS HUGEINT) * 100000000 * n_samples AS n_t,
+    CAST(floor(sqrt((CAST(10000000 AS HUGEINT) * 100000000 * n_samples)::DOUBLE
+                    / energy::DOUBLE)) AS BIGINT) AS c0
+  FROM s
+), g1 AS (
+  SELECT *, c0 + (CASE WHEN CAST(c0 + 1 AS HUGEINT) * (c0 + 1) * energy <= n_t
+                       THEN 1 ELSE 0 END) AS c1
+  FROM g
+), g2 AS (
+  SELECT *, c1 - (CASE WHEN CAST(c1 AS HUGEINT) * c1 * energy > n_t
+                       THEN 1 ELSE 0 END) AS gain_bp,
+         32767 * 10000 // peak_abs AS max_gain_bp
+  FROM g1
+)
+SELECT doc_id, n_samples, energy, peak_abs, gain_bp, max_gain_bp,
+       gain_bp > max_gain_bp AS would_clip,
+       least(gain_bp, max_gain_bp) AS capped_gain_bp
+FROM g2
+"""
+
+
+@register("loudness_gain_documents", _LOUDNESS_GAIN_SQL)
+def loudness_gain_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness-normalization planning through the REAL decode path:
+    square-wave bytes → pcm_stats → normalization_gain (target mean square
+    10⁷ ≈ −20 dBFS). DuckDB recomputes energy/peak from the closed form
+    and replays the isqrt correction in HUGEINT, value-checking gain,
+    clip-safety cap, and the would_clip flag."""
+    from data_check_spark.operators import audio as _audio
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(800) + _doc_h(":n") % 1600).alias("n"),
+        (_doc_h(":l") % 200).alias("lead"),
+        (F.lit(1000) + _doc_h(":a") % 31000).alias("amp"),
+        (F.lit(4) + _doc_h(":k") % 28).alias("k"),
+    )
+    stats = _audio.pcm_stats(_audio.synth_square_pcm(params), keep=["doc_id"])
+    return _audio.normalization_gain(stats, target_ms_q=10_000_000).select(
+        "doc_id", "n_samples", "energy", "peak_abs",
+        "gain_bp", "max_gain_bp", "would_clip", "capped_gain_bp",
+    )

@@ -414,3 +414,76 @@ def test_autocorr_lags_hand_computed_and_edges(spark):
     assert got["silence"][1] == (3, 0, 0, None)  # zero-energy: NULL ratio
     # r(1) = 100*-100 + -100*100 = -20000, r0=30000 -> -20000*1e4 div 3e4 = -6666
     assert got["neg"][1] == (3, 30000, -20000, -6666)
+
+
+def test_normalization_gain_hand_computed(spark):
+    import math
+    from data_check_spark.operators.audio import normalization_gain
+
+    T = 10_000_000
+    rows = [
+        # (name, n, energy, peak)
+        ("quiet", 1000, 1000 * 40000, 200),   # ms=4e4 -> gain=isqrt(2.5e6)*100
+        ("loud", 1000, 1000 * 40_000_000, 20000),  # ms=4e7 > target: gain < 1e4
+        ("silence", 1000, 0, 0),
+        ("nul", None, None, None),
+        ("exact", 100, 100 * T, 5000),        # already at target: gain = 10000
+    ]
+    df = spark.createDataFrame(rows, "name string, n_samples long, energy long, peak_abs long")
+    got = {r["name"]: r.asDict() for r in
+           normalization_gain(df, target_ms_q=T).collect()}
+
+    def expect_gain(n, e):
+        return math.isqrt(T * 10**8 * n // e)
+
+    q = got["quiet"]
+    assert q["gain_bp"] == expect_gain(1000, 1000 * 40000) == 158113
+    assert q["max_gain_bp"] == 32767 * 10000 // 200
+    assert q["would_clip"] is False and q["capped_gain_bp"] == q["gain_bp"]
+    l = got["loud"]
+    assert l["gain_bp"] == expect_gain(1000, 1000 * 40_000_000) == 5000
+    assert l["would_clip"] is False
+    s = got["silence"]
+    assert s["gain_bp"] is None and s["would_clip"] is None and s["capped_gain_bp"] is None
+    assert got["nul"]["gain_bp"] is None
+    assert got["exact"]["gain_bp"] == 10000
+
+    # clip case: tiny rms but peak already near full scale
+    df2 = spark.createDataFrame([("spike", 1000, 1000 * 100, 30000)],
+                                "name string, n_samples long, energy long, peak_abs long")
+    r = {x["name"]: x.asDict() for x in normalization_gain(df2, target_ms_q=T).collect()}["spike"]
+    assert r["would_clip"] is True
+    assert r["capped_gain_bp"] == 32767 * 10000 // 30000 < r["gain_bp"]
+
+
+def test_normalization_gain_isqrt_matches_python(spark):
+    import math
+    from data_check_spark.operators.audio import normalization_gain
+
+    # stress the floor(sqrt)+-1 correction across magnitudes incl. perfect
+    # squares and off-by-one boundaries
+    rows = []
+    for i, e in enumerate([1, 2, 3, 4, 99, 100, 101, 10**6, 10**6 + 1,
+                           999983, 2**40, 2**40 + 1, 3**20]):
+        rows.append((i, 2400, e, 100))
+    df = spark.createDataFrame(rows, "i long, n_samples long, energy long, peak_abs long")
+    got = {r["i"]: r["gain_bp"] for r in
+           normalization_gain(df, target_ms_q=10_000_000).collect()}
+    for i, (_, n, e, _p) in enumerate(rows):
+        assert got[i] == math.isqrt(10_000_000 * 10**8 * n // e), (i, e)
+
+
+def test_normalization_gain_guards_and_plan(spark):
+    import pytest as _pytest
+    from data_check_spark.operators.audio import normalization_gain
+
+    df = spark.createDataFrame([(1, 1, 1)], "n_samples long, energy long, peak_abs long")
+    with _pytest.raises(ValueError, match="target_ms_q"):
+        normalization_gain(df, target_ms_q=0)
+    with _pytest.raises(ValueError, match="full_scale"):
+        normalization_gain(df, target_ms_q=1, full_scale=0)
+    plan = (
+        normalization_gain(df, target_ms_q=10_000_000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
