@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "compaction_summary_documents",
     "null_correlation_orders",
     "loudness_gain_documents",
+    "embedding_drift_embeddings",
     "func_dep_lineitem",
     "summary_regression_orders",
     "clips_validate_portable",

@@ -723,3 +723,72 @@ def embedding_quality(
         .filter(F.col("_r").isNotNull())
         .select(id_col, F.col("_r.rule_id"), F.col("_r.observed"))
     )
+
+
+def dim_means(df: DataFrame, *, vec_col: str = "embedding", scale: int = QUANT_SCALE) -> DataFrame:
+    """Per-dimension quantized means: ``(pos, n_vecs, sum_q, mean_q)`` —
+    :func:`label_centroids` without the label (same map-side-collapsed
+    posexplode shape: the shuffle carries dim×partitions partial rows,
+    never n×dim)."""
+    q = F.transform(
+        _vec_d(vec_col), lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    )
+    rows = df.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(q).alias("pos0", "xq")
+    )
+    return (
+        rows.groupBy((F.col("pos0") + 1).alias("pos"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("xq").alias("sum_q"))
+        .withColumn("mean_q", F.expr("sum_q div n_vecs"))
+    )
+
+
+def embedding_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+    threshold_q: int,
+) -> DataFrame:
+    """Per-dimension mean drift of an embedding column vs a baseline slice
+    — the encoder-version tripwire: a silently swapped/retrained embedding
+    model shifts per-dimension means immediately, long before any
+    downstream metric notices. The drift family's member for the
+    ``embeddings`` table (value drift = t-digest W1, category mix =
+    cat_drift, rates/volumes = rate/volume_drift; this is direction-wise
+    mean shift).
+
+    One row per dimension present in either side: ``(pos, n_cur, n_base,
+    mean_cur_q, mean_base_q, delta_q, drifted)`` with ``delta_q =
+    mean_cur_q − mean_base_q`` in quantized (``scale``) units and
+    ``drifted = |delta_q| > threshold_q``. A side with no vectors for a
+    dimension yields NULL means and NULL drifted (never a silent pass).
+    Both inputs aggregate to dim-sized frames before the single tiny join
+    — at 10^12 rows the only data-sized work is the two map-side-combined
+    posexplode aggregations.
+    """
+    if threshold_q <= 0:
+        raise ValueError(f"threshold_q must be positive, got {threshold_q}")
+    cur = dim_means(current, vec_col=vec_col, scale=scale).select(
+        "pos", F.col("n_vecs").alias("n_cur"), F.col("mean_q").alias("mean_cur_q")
+    )
+    base = dim_means(baseline, vec_col=vec_col, scale=scale).select(
+        "pos", F.col("n_vecs").alias("n_base"), F.col("mean_q").alias("mean_base_q")
+    )
+    return (
+        cur.join(base, "pos", "full_outer")
+        .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)))
+        .withColumn("n_base", F.coalesce("n_base", F.lit(0)))
+        .withColumn("delta_q", F.expr("mean_cur_q - mean_base_q"))
+        .withColumn(
+            "drifted",
+            F.expr(
+                f"CASE WHEN delta_q IS NULL THEN NULL"
+                f" ELSE abs(delta_q) > {threshold_q} END"
+            ),
+        )
+        .select(
+            "pos", "n_cur", "n_base", "mean_cur_q", "mean_base_q", "delta_q", "drifted"
+        )
+    )

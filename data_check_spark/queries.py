@@ -4464,3 +4464,50 @@ def loudness_gain_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_samples", "energy", "peak_abs",
         "gain_bp", "max_gain_bp", "would_clip", "capped_gain_bp",
     )
+
+
+_EMBEDDING_DRIFT_SQL = """
+WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+cur AS (
+  SELECT p.i AS pos, count(*) AS n_cur,
+         sum(cast(floor((e.embedding[p.i]::DOUBLE +
+               CASE WHEN p.i <= 8 THEN 0.05 ELSE 0 END) * 1000000 + 0.5)
+             AS BIGINT)) AS sum_q
+  FROM embeddings e, pos p
+  WHERE e.vec_id % 2 = 1 AND e.embedding IS NOT NULL
+  GROUP BY p.i
+),
+base AS (
+  SELECT p.i AS pos, count(*) AS n_base,
+         sum(cast(floor(e.embedding[p.i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+           AS sum_q
+  FROM embeddings e, pos p
+  WHERE e.vec_id % 2 = 0 AND e.embedding IS NOT NULL
+  GROUP BY p.i
+)
+SELECT c.pos, c.n_cur, b.n_base,
+       c.sum_q // c.n_cur AS mean_cur_q,
+       b.sum_q // b.n_base AS mean_base_q,
+       c.sum_q // c.n_cur - b.sum_q // b.n_base AS delta_q,
+       abs(c.sum_q // c.n_cur - b.sum_q // b.n_base) > 20000 AS drifted
+FROM cur c JOIN base b ON b.pos = c.pos
+"""
+
+
+@register("embedding_drift_embeddings", _EMBEDDING_DRIFT_SQL)
+def embedding_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding mean drift (similarity.embedding_drift):
+    the encoder-version tripwire. The 'current' slice (odd vec_ids) is
+    deterministically shifted +0.05 on dims 1-8, the baseline (even ids)
+    is untouched — exactly those dims must flag at threshold_q=20000.
+    Both engines quantize AFTER the identical double-precision shift, so
+    the drift frame hash-compares exactly."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shift = F.transform(
+        "embedding",
+        lambda x, i: x.cast("double")
+        + F.when(i < 8, F.lit(0.05)).otherwise(F.lit(0.0)),
+    )
+    current = emb.filter(F.col("vec_id") % 2 == 1).select(shift.alias("embedding"))
+    baseline = emb.filter(F.col("vec_id") % 2 == 0).select("embedding")
+    return _sim.embedding_drift(current, baseline, threshold_q=20000)

@@ -438,3 +438,49 @@ def test_embedding_quality_shuffle_free_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan  # pure JVM projection
+
+
+def test_embedding_drift_flags_shifted_dims(spark):
+    from data_check_spark.operators.similarity import embedding_drift
+
+    base_rows = [(i, [0.1, -0.2, 0.3]) for i in range(40)]
+    # current: dim 2 shifted by +0.5, dim 1/3 unchanged
+    cur_rows = [(i, [0.1, 0.3, 0.3]) for i in range(40)]
+    base = spark.createDataFrame(base_rows, "id long, embedding array<double>")
+    cur = spark.createDataFrame(cur_rows, "id long, embedding array<double>")
+    got = {r["pos"]: r.asDict() for r in
+           embedding_drift(cur, base, threshold_q=100_000).collect()}
+    assert len(got) == 3
+    assert got[1]["drifted"] is False and got[1]["delta_q"] == 0
+    assert got[2]["drifted"] is True
+    assert got[2]["delta_q"] == 500_000
+    assert got[2]["mean_base_q"] == -200_000 and got[2]["mean_cur_q"] == 300_000
+    assert got[3]["drifted"] is False
+    assert got[1]["n_cur"] == 40 and got[1]["n_base"] == 40
+
+
+def test_embedding_drift_dim_mismatch_and_guard(spark):
+    import pytest as _pytest
+    from data_check_spark.operators.similarity import embedding_drift
+
+    base = spark.createDataFrame([(1, [0.1, 0.2])], "id long, embedding array<double>")
+    cur = spark.createDataFrame([(1, [0.1, 0.2, 0.9])], "id long, embedding array<double>")
+    got = {r["pos"]: r.asDict() for r in
+           embedding_drift(cur, base, threshold_q=1000).collect()}
+    # dim 3 exists only in current: NULL baseline mean, NULL drifted, n_base=0
+    assert got[3]["mean_base_q"] is None
+    assert got[3]["drifted"] is None
+    assert got[3]["n_base"] == 0 and got[3]["n_cur"] == 1
+    with _pytest.raises(ValueError, match="threshold_q"):
+        embedding_drift(cur, base, threshold_q=0)
+
+
+def test_dim_means_partial_agg_plan(spark):
+    from data_check_spark.operators.similarity import dim_means
+
+    df = spark.createDataFrame([(i, [0.1] * 8) for i in range(100)],
+                               "id long, embedding array<double>")
+    plan = dim_means(df)._jdf.queryExecution().executedPlan().toString()
+    # the posexplode blow-up collapses map-side before the exchange
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert plan.count("Exchange") == 1
