@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "null_correlation_orders",
     "loudness_gain_documents",
     "embedding_drift_embeddings",
+    "token_drift_documents",
     "func_dep_lineitem",
     "summary_regression_orders",
     "clips_validate_portable",

@@ -646,3 +646,66 @@ def bigram_coherence(
             ).otherwise(F.lit(0).cast("long")),
         )
     )
+
+
+def token_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 20,
+    threshold_ppm: int = 1000,
+) -> DataFrame:
+    """Top-k token-share drift between two corpus slices — the text
+    analog of similarity.embedding_drift (tokenizer / scraper / upstream
+    filter changes move head-token shares immediately).
+
+    One counts pass over the union (side-tagged conditional sums, map-side
+    partials), TakeOrdered head by combined count (deterministic count-desc
+    then token-asc tie-break — never a global sort), then per-token shares
+    in ppm of each slice's total tokens: ``(token, cnt_cur, cnt_base,
+    share_cur_ppm, share_base_ppm, delta_ppm, drifted)`` with
+    ``drifted = |delta_ppm| > threshold_ppm``. NULL/blank texts contribute
+    no tokens. Scale: the shuffle carries one (token, partials) row per
+    distinct token per partition; the head and the two 1-row totals are the
+    only driver-sized artifacts.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if threshold_ppm <= 0:
+        raise ValueError(f"threshold_ppm must be positive, got {threshold_ppm}")
+    tagged = current.select(
+        F.lit(1).alias("_cur"), _tokens(text_col).alias("_toks")
+    ).unionByName(
+        baseline.select(F.lit(0).alias("_cur"), _tokens(text_col).alias("_toks"))
+    )
+    tok = tagged.select("_cur", F.explode("_toks").alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum("_cur").cast("long").alias("cnt_cur"),
+        F.sum(1 - F.col("_cur")).cast("long").alias("cnt_base"),
+    )
+    head = counts.orderBy(
+        F.desc(F.col("cnt_cur") + F.col("cnt_base")), F.asc("token")
+    ).limit(k)
+    totals = counts.agg(
+        F.sum("cnt_cur").alias("_tot_cur"), F.sum("cnt_base").alias("_tot_base")
+    )
+    return (
+        head.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "token", "cnt_cur", "cnt_base",
+            "CASE WHEN _tot_cur > 0 THEN cnt_cur * 1000000 div _tot_cur"
+            " ELSE NULL END AS share_cur_ppm",
+            "CASE WHEN _tot_base > 0 THEN cnt_base * 1000000 div _tot_base"
+            " ELSE NULL END AS share_base_ppm",
+        )
+        .selectExpr(
+            "token", "cnt_cur", "cnt_base", "share_cur_ppm", "share_base_ppm",
+            "share_cur_ppm - share_base_ppm AS delta_ppm",
+            f"CASE WHEN share_cur_ppm - share_base_ppm IS NULL THEN NULL"
+            f" ELSE abs(share_cur_ppm - share_base_ppm) > {threshold_ppm} END"
+            " AS drifted",
+        )
+    )

@@ -4511,3 +4511,61 @@ def embedding_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     current = emb.filter(F.col("vec_id") % 2 == 1).select(shift.alias("embedding"))
     baseline = emb.filter(F.col("vec_id") % 2 == 0).select("embedding")
     return _sim.embedding_drift(current, baseline, threshold_q=20000)
+
+
+_TOKEN_DRIFT_SQL = r"""
+WITH cur AS (
+  SELECT regexp_replace(text, '\bjoin\b', 'zzdrift', 'g') AS text
+  FROM documents WHERE doc_id % 2 = 1
+),
+base AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+toks AS (
+  SELECT 1 AS is_cur, t.tok FROM cur,
+         unnest(regexp_split_to_array(trim(text), '\s+')) t(tok)
+  WHERE text IS NOT NULL AND trim(text) <> '' AND t.tok <> ''
+  UNION ALL
+  SELECT 0 AS is_cur, t.tok FROM base,
+         unnest(regexp_split_to_array(trim(text), '\s+')) t(tok)
+  WHERE text IS NOT NULL AND trim(text) <> '' AND t.tok <> ''
+),
+counts AS (
+  SELECT tok AS token,
+         sum(is_cur)::BIGINT AS cnt_cur,
+         sum(1 - is_cur)::BIGINT AS cnt_base
+  FROM toks GROUP BY tok
+),
+tot AS (SELECT sum(cnt_cur) AS tc, sum(cnt_base) AS tb FROM counts),
+head AS (
+  SELECT * FROM counts ORDER BY cnt_cur + cnt_base DESC, token LIMIT 32
+),
+shared AS (
+  SELECT token, cnt_cur, cnt_base,
+         CASE WHEN (SELECT tc FROM tot) > 0
+              THEN cnt_cur * 1000000 // (SELECT tc FROM tot) END AS share_cur_ppm,
+         CASE WHEN (SELECT tb FROM tot) > 0
+              THEN cnt_base * 1000000 // (SELECT tb FROM tot) END AS share_base_ppm
+  FROM head
+)
+SELECT token, cnt_cur, cnt_base, share_cur_ppm, share_base_ppm,
+       share_cur_ppm - share_base_ppm AS delta_ppm,
+       CASE WHEN share_cur_ppm - share_base_ppm IS NULL THEN NULL
+            ELSE abs(share_cur_ppm - share_base_ppm) > 10000 END AS drifted
+FROM shared
+"""
+
+
+@register("token_drift_documents", _TOKEN_DRIFT_SQL)
+def token_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-token share drift between corpus slices (text.token_drift) —
+    the tokenizer/scraper-change tripwire, text sibling of
+    embedding_drift_embeddings. The 'current' slice (odd doc_ids) has the
+    token 'join' rewritten to 'zzdrift', so exactly that pair moves ≈3.5%
+    of token mass in opposite directions and flags at the 1% threshold;
+    the 31-token vocab fits the k=32 head, and even/odd slice noise stays
+    well under the threshold."""
+    docs = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+    current = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.regexp_replace("text", r"\bjoin\b", "zzdrift").alias("text")
+    )
+    baseline = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    return _text.token_drift(current, baseline, k=32, threshold_ppm=10000)

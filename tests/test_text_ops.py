@@ -302,3 +302,42 @@ def test_bigram_coherence_signals(spark):
     salad_rows = out.filter("doc_id >= 100").collect()
     assert all(r["coherence_bp"] == 10000 for r in salad_rows)  # P = 1/1
     assert all(r["n_unseen"] == r["n_bigrams"] == 4 for r in salad_rows)
+
+
+def test_token_drift_hand_computed(spark):
+    from data_check_spark.operators.text import token_drift
+
+    cur = spark.createDataFrame(
+        [("a a b",), ("a c",), (None,), ("   ",)], "text string"
+    )  # cur totals: a=3, b=1, c=1 (5)
+    base = spark.createDataFrame(
+        [("a b b",), ("b d",)], "text string"
+    )  # base totals: a=1, b=3, d=1 (5)
+    got = {r["token"]: r.asDict() for r in
+           token_drift(cur, base, k=10, threshold_ppm=300_000).collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    a = got["a"]
+    assert (a["cnt_cur"], a["cnt_base"]) == (3, 1)
+    assert a["share_cur_ppm"] == 600000 and a["share_base_ppm"] == 200000
+    assert a["delta_ppm"] == 400000 and a["drifted"] is True
+    b = got["b"]
+    assert b["delta_ppm"] == 200000 - 600000 and b["drifted"] is True
+    c = got["c"]
+    assert (c["cnt_base"], c["share_base_ppm"], c["delta_ppm"]) == (0, 0, 200000)
+    assert c["drifted"] is False  # 20% < 30% threshold
+    assert got["d"]["delta_ppm"] == -200000
+
+
+def test_token_drift_head_tiebreak_and_guards(spark):
+    import pytest as _pytest
+    from data_check_spark.operators.text import token_drift
+
+    cur = spark.createDataFrame([("z y x w",)], "text string")
+    base = spark.createDataFrame([("x w v u",)], "text string")
+    # combined counts: w=2, x=2, then u/v/y/z tie at 1 -> asc-name tiebreak
+    got = [r["token"] for r in token_drift(cur, base, k=3).collect()]
+    assert set(got) == {"w", "x", "u"}
+    with _pytest.raises(ValueError, match="k must"):
+        token_drift(cur, base, k=0)
+    with _pytest.raises(ValueError, match="threshold_ppm"):
+        token_drift(cur, base, threshold_ppm=0)
