@@ -138,11 +138,15 @@ def _datagen_fingerprint() -> str:
         return hashlib.md5(f.read()).hexdigest()
 
 
-def ensure_clip_cache(spark, n_rows: int) -> str:
+def ensure_clip_cache(spark, n_rows: int) -> tuple[str, bool]:
     """Generate (once) the synthetic clip table + dims as parquet.
 
     The marker embeds a datagen.py fingerprint so generator edits invalidate
-    the cache instead of silently benchmarking stale data."""
+    the cache instead of silently benchmarking stale data. Returns
+    ``(root, generated)`` — callers MUST NOT measure in a JVM that just ran
+    generation (measured 2x the steady-state wall on this host: generation
+    churns the heap and dirties the page cache, and the damage survives
+    warmup); main() re-execs into a fresh process on a cache miss."""
     from pyspark.sql import functions as F
 
     from data_check_spark import datagen
@@ -154,7 +158,7 @@ def ensure_clip_cache(spark, n_rows: int) -> str:
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:
-                return root
+                return root, False
     clips = (
         datagen.clips_df(spark, n_rows, with_bytes=True, bytes_cap_ms=BYTES_CAP_MS)
         .drop("_gen_id", "_viol")
@@ -170,7 +174,7 @@ def ensure_clip_cache(spark, n_rows: int) -> str:
     )
     with open(marker, "w") as f:
         f.write(stamp)
-    return root
+    return root, True
 
 
 def warmup(spark, root: str) -> None:
@@ -250,7 +254,16 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
 
     n_rows = int(os.environ.get("BENCH_CLIP_ROWS", "0")) or max(int(sf * 10_000_000), 10_000)
-    root = ensure_clip_cache(spark, n_rows)
+    root, generated = ensure_clip_cache(spark, n_rows)
+    if generated and os.environ.get("BENCH_REEXEC") != "1":
+        # Never measure in the JVM that just generated the cache: the
+        # generation pass churns the heap and page cache and the first
+        # timed runs land ~2x steady state on this host (measured 31.7s vs
+        # 14.6s for the identical 1M-clip validation). Re-exec into a
+        # fresh process; the cache now hits, so this happens at most once.
+        spark.stop()
+        env = dict(os.environ, BENCH_REEXEC="1")
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
     if os.environ.get("BENCH_SKIP_WARMUP") != "1":
         warmup(spark, root)
     # Steady-state measurement: repeat in-process and take the best run —
