@@ -57,6 +57,7 @@ from data_check_spark.operators.drift import (
 from data_check_spark.operators.referential import (
     anti_join_violations,
     orphan_violations,
+    reconcile_violations,
     semi_join_violations,
 )
 from data_check_spark.operators.funcdep import func_dep_violations
@@ -177,6 +178,17 @@ def _dispatch_set_rule(
             partition_col=partition_col,
             count_null_dependent=p.get("count_null_dependent", False),
             grain=p.get("grain", "row"),
+        )
+    if rule.kind == "reconcile":
+        scoped = clips.filter(gate) if gate is not None else clips
+        return reconcile_violations(
+            scoped, dims[p["dim"]], rule.rule_id,
+            parent_key=p.get("fact_key", "clip_id"),
+            child_key=p.get("dim_key", "clip_id"),
+            total_col=rule.column,
+            amount_col=p["amount_col"],
+            tolerance_cents=p.get("tolerance_cents", 0),
+            partition_col=partition_col,
         )
     if rule.kind == "transcript_match":
         # Mirror the fused path exactly (fused_dim_checks call below): the
@@ -466,13 +478,15 @@ def run_validation(
         # resume run must compute over all partitions, not just the
         # remaining ones.
         # func_dep too: the violating-key set depends on the whole table.
+        # reconcile: orphan child totals are not partition-scoped (no parent
+        # row), so like referential/orphan a resume run must see all keys.
         # outlier: fences are per-group — when grouped by the partition
         # column (the default) each partition's fence is self-contained, so
         # partition grain; grouped by anything else, the fence spans
         # partitions and a resume run must learn it over the whole table.
         global_grain = rule.kind in (
             "unique", "aggregate_unique", "cat_drift", "rate_drift", "volume_drift",
-            "func_dep",
+            "func_dep", "reconcile",
         ) or (
             rule.kind == "referential" and rule.params.get("mode") == "orphan"
         ) or (
@@ -487,7 +501,7 @@ def run_validation(
                 v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
                                        shared_dups=dups, run_ts=run_ts)
                 if rule.kind in ("unique", "cat_drift", "rate_drift", "volume_drift",
-                                 "func_dep", "outlier"):
+                                 "func_dep", "outlier", "reconcile"):
                     # Partition-attributed output: rows in completed
                     # partitions were already reported by the run that
                     # checkpointed them. Keep NULL-partition rows — ~isin is

@@ -226,6 +226,110 @@ def fused_dim_checks(
     )
 
 
+def _cents(col: F.Column) -> F.Column:
+    """Money column → exact integer cents (bigint). Going through
+    decimal(18,2) first pins the HALF_UP rounding of the double→decimal
+    cast; ×100 on the decimal lane is exact, so the bigint carries the
+    full value with no float compare anywhere downstream."""
+    return (col.cast("decimal(18,2)") * 100).cast("long")
+
+
+def aggregate_reconcile(
+    parent: DataFrame,
+    child: DataFrame,
+    *,
+    parent_key: str,
+    child_key: str,
+    total_col: str,
+    amount_col: str,
+    tolerance_cents: int = 0,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Parent stored total vs sum over its child rows — the aggregate-grain
+    arithmetic-consistency check (reference analog: the row-grain price
+    arithmetic rule, innosite.py CHK_0002 family, lifted to the
+    header↔detail reconciliation every warehouse audit runs).
+
+    Output: one row per out-of-balance key —
+    ``(<parent_key>, parent_cents, child_cents, delta_cents, status)`` with
+    status ``total_mismatch`` (both sides present, |delta| > tolerance),
+    ``no_child_rows`` (parent total with zero child rows) or
+    ``orphan_child_total`` (child rows summing under a key no parent has).
+    Amounts are exact integer cents (see ``_cents``) — the comparison is
+    pure bigint arithmetic, bit-identical across engines.
+
+    Scale shape: the child side collapses FIRST (map-side partial sum; the
+    shuffle carries (key, partial cents), never child rows), then one keyed
+    full-outer join against the parent projection (key, cents). Both sides
+    are pre-aggregated/pruned, so at 10^12 child rows the exchange is
+    O(#keys); AQE picks broadcast when one side turns out small. NULL/blank
+    keys are exempt on both sides — the not-null rule owns those rows.
+    """
+    p = parent.filter(is_present(parent_key)).select(
+        F.col(parent_key).alias("_pk"),
+        _cents(F.col(total_col)).alias("parent_cents"),
+        *[F.col(c) for c in carry],
+    )
+    c = (
+        child.filter(is_present(child_key))
+        .groupBy(F.col(child_key).alias("_ck"))
+        .agg((F.sum(F.col(amount_col).cast("decimal(18,2)")) * 100).cast("long").alias("child_cents"))
+    )
+    j = p.join(c, F.col("_pk") == F.col("_ck"), "full_outer")
+    delta = F.col("parent_cents") - F.col("child_cents")
+    status = (
+        F.when(F.col("child_cents").isNull(), F.lit("no_child_rows"))
+        .when(F.col("parent_cents").isNull(), F.lit("orphan_child_total"))
+        .when(F.abs(delta) > tolerance_cents, F.lit("total_mismatch"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("_pk"), F.col("_ck")).alias(parent_key),
+            "parent_cents",
+            "child_cents",
+            delta.alias("delta_cents"),
+            status.alias("status"),
+            *[F.col(c) for c in carry],
+        )
+        .filter(F.col("status").isNotNull())
+    )
+
+
+def reconcile_violations(
+    parent: DataFrame,
+    child: DataFrame,
+    rule_id: str,
+    *,
+    parent_key: str,
+    child_key: str,
+    total_col: str,
+    amount_col: str,
+    tolerance_cents: int = 0,
+    partition_col: str | None = "partition",
+) -> DataFrame:
+    """``aggregate_reconcile`` in the violations contract. The parent's
+    partition column is carried through the reconciliation join (orphan
+    child totals have no parent row → NULL partition); ``observed`` packs
+    the status and signed delta so triage never needs a second query."""
+    has_part = bool(partition_col) and partition_col in parent.columns
+    recon = aggregate_reconcile(
+        parent, child,
+        parent_key=parent_key, child_key=child_key,
+        total_col=total_col, amount_col=amount_col,
+        tolerance_cents=tolerance_cents,
+        carry=(partition_col,) if has_part else (),
+    )
+    part = F.col(partition_col) if has_part else F.lit(None).cast("string")
+    return recon.select(
+        F.lit(rule_id).alias("rule_id"),
+        F.col(parent_key).cast("string").alias("clip_id"),
+        part.cast("string").alias("partition"),
+        F.concat_ws(
+            ":", F.col("status"), F.coalesce(F.col("delta_cents").cast("string"), F.lit("null"))
+        ).alias("observed"),
+    )
+
+
 def semi_anti_violations(
     df: DataFrame,
     dim_in: DataFrame,

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_check_spark.operators.referential import (
+    aggregate_reconcile,
     orphan_violations,
     semi_anti_violations,
     semi_join_violations,
@@ -4569,3 +4570,53 @@ def token_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     baseline = docs.filter(F.col("doc_id") % 2 == 0).select("text")
     return _text.token_drift(current, baseline, k=32, threshold_ppm=10000)
+
+
+# ---------------------------------------------------------------------------
+# Aggregate reconciliation (operators/referential.py::aggregate_reconcile):
+# header↔detail arithmetic consistency — the aggregate-grain lift of the
+# row-grain price-arithmetic family (reference: innosite.py CHK_0002).
+_RECONCILE_SQL = """
+WITH p AS (
+  SELECT o_orderkey AS pk,
+         cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS parent_cents
+  FROM orders WHERE o_orderkey IS NOT NULL
+),
+c AS (
+  SELECT l_orderkey AS ck,
+         cast(sum(cast(l_extendedprice AS decimal(18,2))) * 100 AS bigint) AS child_cents
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+  GROUP BY l_orderkey
+),
+j AS (
+  SELECT coalesce(pk, ck) AS o_orderkey, parent_cents, child_cents,
+         parent_cents - child_cents AS delta_cents,
+         CASE WHEN child_cents IS NULL THEN 'no_child_rows'
+              WHEN parent_cents IS NULL THEN 'orphan_child_total'
+              WHEN abs(parent_cents - child_cents) > 0 THEN 'total_mismatch'
+         END AS status
+  FROM p FULL OUTER JOIN c ON pk = ck
+)
+SELECT o_orderkey, parent_cents, child_cents, delta_cents, status
+FROM j WHERE status IS NOT NULL
+"""
+
+
+@register("reconcile_orders_lineitem", _RECONCILE_SQL)
+def reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose stored o_totalprice does not equal the sum of their
+    lineitem extended prices (plus orders with no lineitems at all) —
+    engine rule kind `reconcile`. The synthetic o_totalprice is drawn
+    independently of lineitem, so effectively every joined order
+    mismatches and 257 orders (sf0.01) have no lineitems; amounts compare
+    as exact integer cents, so the cross-engine hash has no float
+    representation hazard. Plan shape: lineitem collapses map-side before
+    its (key, cents) shuffle; one keyed full-outer join against the
+    pruned (key, cents) orders projection."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregate_reconcile(
+        orders, li,
+        parent_key="o_orderkey", child_key="l_orderkey",
+        total_col="o_totalprice", amount_col="l_extendedprice",
+    )

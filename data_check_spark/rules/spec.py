@@ -58,6 +58,16 @@ Set-oriented kinds (dispatched to operators, not the projection):
                             dependent value per determinant tuple violates;
                             ``grain`` row|group, NULL dependents ignored
                             unless ``count_null_dependent``)
+- ``reconcile``           — aggregate-grain arithmetic consistency: the
+                            fact table's stored total (``column``) must
+                            equal the sum of ``params["amount_col"]`` over
+                            the child rows in ``params["dim"]`` grouped by
+                            ``params["dim_key"]`` (joined to the fact's
+                            ``params["fact_key"]``), to within
+                            ``params["tolerance_cents"]`` integer cents.
+                            Header↔detail reconciliation — the aggregate
+                            lift of the row-grain price-arithmetic family
+                            (innosite.py CHK_0002)
 - ``outlier``             — per-group robust outliers: rows whose ``column``
                             falls outside Tukey's fence (Q1−1.5·IQR,
                             Q3+1.5·IQR] of their group's own distribution —
@@ -97,6 +107,7 @@ SET_KINDS = {
     "transcript_match",
     "func_dep",
     "outlier",
+    "reconcile",
 }
 
 
