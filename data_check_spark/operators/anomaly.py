@@ -31,6 +31,58 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def out_of_order_rows(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    seq_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rows whose timestamp runs BACKWARD against their arrival sequence —
+    per ``key_col``, a row violates when its ``ts_col`` is earlier than the
+    maximum timestamp of any lower-``seq_col`` row of the same key.
+
+    This is the watermark-sizing audit for a streaming ingest: the
+    ``late_by_us`` distribution of the violations IS the out-of-orderness
+    bound a Structured Streaming ``withWatermark`` must cover (late rows
+    beyond it are silently dropped by windowed aggregation). The drift
+    family says *values* moved; this says *time itself* isn't monotone.
+
+    Output per violating row: ``(key, seq, ts_str, prev_max_ts_str,
+    late_by_us)``. ``late_by_us`` is exact integer epoch-microseconds —
+    never a float interval. NULL keys/sequence numbers are exempt (the
+    not-null rule owns those rows); NULL timestamps never flag and never
+    poison the running max (``max`` ignores NULLs).
+
+    Scale shape: ONE exchange keyed on ``key_col``, then a per-key running
+    max — no self-join, no global sort. Keys are users/devices (high
+    cardinality), so partitions stay balanced; a single hot key is a data
+    bug this very check surfaces.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scoped = df.filter(F.col(key_col).isNotNull() & F.col(seq_col).isNotNull())
+    marked = scoped.select(
+        key_col,
+        seq_col,
+        F.col(ts_col),
+        F.max(ts_col).over(w).alias("_prev_max"),
+    )
+    return marked.filter(F.col(ts_col) < F.col("_prev_max")).select(
+        key_col,
+        seq_col,
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.date_format("_prev_max", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("prev_max_ts_str"),
+        (
+            F.unix_micros(F.col("_prev_max").cast("timestamp"))
+            - F.unix_micros(F.col(ts_col).cast("timestamp"))
+        ).alias("late_by_us"),
+    )
+
+
 def daily_volume_anomaly(
     df: DataFrame,
     *,

@@ -4620,3 +4620,50 @@ def reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         parent_key="o_orderkey", child_key="l_orderkey",
         total_col="o_totalprice", amount_col="l_extendedprice",
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order arrival screen (operators/anomaly.py::out_of_order_rows):
+# the watermark-sizing audit — rows whose timestamp runs backward against
+# their arrival sequence.
+_OUT_OF_ORDER_SQL = """
+WITH src AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 11 = 7 THEN ts - INTERVAL 2 HOUR ELSE ts END AS ts
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+),
+m AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM src
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       strftime(pm, '%Y-%m-%d %H:%M:%S.%f') AS prev_max_ts_str,
+       epoch_us(pm) - epoch_us(ts) AS late_by_us
+FROM m WHERE ts < pm
+"""
+
+
+@register("out_of_order_events", _OUT_OF_ORDER_SQL)
+def out_of_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival screen (anomaly.out_of_order_rows): per user, events
+    whose timestamp precedes the running max of earlier-sequenced events.
+    The synthetic events table is perfectly ordered, so a deterministic
+    band (event_id % 11 == 7) is shifted 2 hours into the past in BOTH
+    engines — the planted late arrivals that actually land behind a
+    predecessor flag (147 at sf0.01), and late_by_us is exact integer
+    epoch-microseconds. The late_by_us distribution is the evidence a
+    streaming watermark bound must cover."""
+    from data_check_spark.operators.anomaly import out_of_order_rows
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 11 == 7,
+            F.col("ts") - F.expr("INTERVAL 2 HOURS"),
+        ).otherwise(F.col("ts")),
+    )
+    return out_of_order_rows(ev, key_col="user_id", seq_col="event_id", ts_col="ts")

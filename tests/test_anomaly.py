@@ -82,3 +82,59 @@ def test_total_outage_day_and_calendar_gap_densified(spark):
     # first outage day fires; the second doesn't (day 8's zero is now in
     # the window and inflates its variance) — both match the brute force
     assert got[8].is_anomaly == 1 and got[9].is_anomaly == 0
+
+
+# --- out_of_order_rows (late-arrival / watermark-sizing screen) -----------
+
+def _seq_events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+
+
+def test_out_of_order_flags_against_running_max(spark):
+    """The comparison is vs the running MAX of all predecessors, not just
+    the immediately previous row: e3 is later than e2 but still before the
+    e1 high-water mark, so it flags."""
+    from data_check_spark.operators.anomaly import out_of_order_rows
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0 + dt.timedelta(minutes=30)),  # high-water mark
+        (1, 2, t0),                             # 30 min behind e1 -> flags
+        (1, 3, t0 + dt.timedelta(minutes=10)),  # after e2, before e1 -> flags
+        (1, 4, t0 + dt.timedelta(minutes=40)),  # new max -> ok
+        (2, 5, t0),                             # other key, first row -> ok
+    ]
+    got = {r.event_id: r for r in out_of_order_rows(_seq_events(spark, rows)).collect()}
+    assert set(got) == {2, 3}
+    assert got[2].late_by_us == 30 * 60 * 1_000_000
+    assert got[3].late_by_us == 20 * 60 * 1_000_000
+    assert got[2].prev_max_ts_str == "2024-01-01 12:30:00.000000"
+
+
+def test_out_of_order_null_handling(spark):
+    """NULL key/seq rows are exempt; NULL ts rows never flag and never
+    poison the running max."""
+    from data_check_spark.operators.anomaly import out_of_order_rows
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0 + dt.timedelta(hours=2)),
+        (1, 2, None),                          # NULL ts: no flag, no poison
+        (1, 3, t0 + dt.timedelta(hours=1)),    # behind e1 -> flags
+        (None, 4, t0),                         # NULL key exempt
+        (1, None, t0),                         # NULL seq exempt
+    ]
+    got = out_of_order_rows(_seq_events(spark, rows)).collect()
+    assert [(r.user_id, r.event_id) for r in got] == [(1, 3)]
+
+
+def test_out_of_order_single_keyed_exchange(spark):
+    """One exchange on the key column; no self-join, no global sort."""
+    from data_check_spark.operators.anomaly import out_of_order_rows
+
+    plan = (
+        out_of_order_rows(_seq_events(spark, [(1, 1, dt.datetime(2024, 1, 1))]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "rangepartitioning" not in plan
