@@ -129,6 +129,52 @@ def exact_duplicate_rows(
     )
 
 
+def duplicate_label_conflicts(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Label noise on duplicated content: identical text, different labels.
+
+    The training-data failure the exact-dedup pass alone cannot see: two
+    byte-identical documents carrying contradictory labels (language tag,
+    source tier, quality class) — keeping either one propagates a wrong
+    label, and a model trained on both learns noise. One row per
+    conflicted fingerprint group:
+
+    - ``fingerprint`` — md5 of the UTF-8 text (never shuffles raw text)
+    - ``n_rows``      — group size
+    - ``n_labels``    — distinct non-NULL labels (> 1 by construction)
+    - ``labels``      — '|'-joined sorted distinct labels (portable render)
+    - ``first_id`` / ``last_id`` — min/max doc id, bounded example pointers
+      (a full id list is unbounded on a degenerate group)
+
+    Plan shape: same two-phase hash aggregate as ``exact_duplicate_groups``
+    — one shuffle keyed by the 128-bit fingerprint; collect_set is bounded
+    by the label-domain cardinality, not the group size."""
+    fp = df.select(
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("fingerprint"),
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_label"),
+    )
+    return (
+        fp.filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # long, not int: keeps the schema portable against engines whose
+            # count(DISTINCT …) is 64-bit (the driver compares schemas).
+            F.size(F.collect_set("_label")).cast("long").alias("n_labels"),
+            F.array_join(F.array_sort(F.collect_set("_label")), "|").alias("labels"),
+            F.min("_id").alias("first_id"),
+            F.max("_id").alias("last_id"),
+        )
+        .filter(F.col("n_labels") > 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -610,6 +610,65 @@ def sequence_gaps(df: DataFrame, key_col: str, *, bucket_size: int = 1 << 20) ->
     )
 
 
+import math as _math
+
+# floor(log10(1 + 1/d) * 1e6 + 0.5) for d = 1..9 — Benford's law expected
+# first-digit shares in parts-per-million. Computed once driver-side and
+# inlined as integer literals into BOTH engines, so no cross-engine log10
+# boundary hazard can exist.
+BENFORD_PPM = {
+    d: int(_math.floor(_math.log10(1.0 + 1.0 / d) * 1_000_000 + 0.5))
+    for d in range(1, 10)
+}
+
+
+def benford_screen(df: DataFrame, value_col: str, *, scale: int = 100) -> DataFrame:
+    """First-significant-digit (Benford) screen over a numeric column.
+
+    Naturally-occurring monetary/size/duration columns follow Benford's
+    law (P(first digit = d) = log10(1 + 1/d)); fabricated, truncated, or
+    unit-mangled feeds do not — a large per-digit deviation is the classic
+    "this column was synthesized/mis-parsed upstream" tripwire (the
+    reference's numeric screens are per-row range checks only; this is the
+    distribution-level complement, same family as the drift rules).
+
+    One row per first digit 1..9 present: ``(digit, n, share_ppm,
+    benford_ppm, delta_ppm)``. Integer-exact cross-engine contract:
+    values quantize to ``floor(abs(x)*scale + 0.5)`` bigints (zeros drop —
+    they have no first significant digit), the first digit comes from the
+    decimal string rendering (identical in any engine; no float log10),
+    and shares are half-up integer ppm ``(n*1e6 + total/2) div total``.
+    Plan shape: one scan → 9-group hash aggregate (map-side partials);
+    the total joins back via a single-partition window over ≤9 rows.
+    NaN/±Inf are ignored like NULL (ANSI-safe, see ``_finite``)."""
+    q = (
+        df.select(_finite(F.col(value_col)).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select(F.expr(f"cast(floor(abs(_v) * {int(scale)} + 0.5) as bigint)").alias("_q"))
+        .filter(F.col("_q") > 0)
+    )
+    g = (
+        q.select(F.substring(F.col("_q").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()  # ≤9 rows reach this window — not a scale hazard
+    expected = F.element_at(
+        F.expr("array(" + ", ".join(str(BENFORD_PPM[d]) + "L" for d in range(1, 10)) + ")"),
+        F.col("digit"),
+    )
+    return (
+        g.withColumn("_total", F.sum("n").over(w))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000 + _total div 2) div _total").alias("share_ppm"),
+            expected.alias("benford_ppm"),
+        )
+        .withColumn("delta_ppm", F.abs(F.col("share_ppm") - F.col("benford_ppm")))
+    )
+
+
 def null_correlation(
     df: DataFrame,
     pairs: list[tuple[str, str]],

@@ -479,3 +479,51 @@ def cluster_safe_split(
         rep.alias("cluster_rep"),
         side.alias("side"),
     )
+
+
+def split_leakage_audit(
+    pairs: DataFrame,
+    assignments: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    side_col: str = "side",
+) -> DataFrame:
+    """Audit an EXISTING train/eval split for contamination.
+
+    :func:`cluster_safe_split` prevents leakage at assignment time; this is
+    the after-the-fact validator for a split you did not produce (inherited
+    snapshot, upstream team, historical run): given a near-duplicate /
+    exact-duplicate pair set and the split assignment, report every pair
+    that straddles the boundary — each one is an eval example whose
+    training twin inflates the benchmark.
+
+    Returns one row per problem pair: the pair's columns plus
+    ``side_a, side_b, status`` where status is ``leak`` (both assigned,
+    different sides) or ``unassigned`` (either member missing from the
+    assignment frame — itself a split-integrity defect). Same-side pairs
+    are dropped.
+
+    Plan shape: the pair set (near-dup output, orders of magnitude smaller
+    than the corpus) joins twice against the (id, side) projection of the
+    assignment frame — two keyed equi-joins AQE can broadcast whenever the
+    pair set is small; the corpus text never shuffles."""
+    asg = assignments.select(
+        F.col(id_col).alias("_k"), F.col(side_col).alias("_s")
+    )
+    j = (
+        pairs.join(asg.withColumnsRenamed({"_k": "_ka", "_s": "side_a"}),
+                   pairs[a_col] == F.col("_ka"), "left")
+        .join(asg.withColumnsRenamed({"_k": "_kb", "_s": "side_b"}),
+              pairs[b_col] == F.col("_kb"), "left")
+    )
+    status = (
+        F.when(F.col("side_a").isNull() | F.col("side_b").isNull(), F.lit("unassigned"))
+        .when(F.col("side_a") != F.col("side_b"), F.lit("leak"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .drop("_ka", "_kb")
+    )

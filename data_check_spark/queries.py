@@ -4667,3 +4667,174 @@ def out_of_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("ts")),
     )
     return out_of_order_rows(ev, key_col="user_id", seq_col="event_id", ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit screen (operators/profile.py::benford_screen):
+# the fabricated/mis-parsed-numeric-feed tripwire. Expected shares are
+# integer ppm constants computed ONCE driver-side (profile.BENFORD_PPM) and
+# inlined into both engines; digit extraction goes through the bigint's
+# decimal string, and shares are half-up integer division — no float log10
+# or division anywhere in the compared values.
+def _benford_oracle() -> str:
+    from data_check_spark.operators.profile import BENFORD_PPM
+
+    values = ", ".join(f"({d}, {BENFORD_PPM[d]})" for d in range(1, 10))
+    return f"""
+WITH q AS (
+  SELECT CAST(floor(abs(o_totalprice) * 100 + 0.5) AS BIGINT) AS qv
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+        AND NOT isinf(o_totalprice)
+),
+g AS (
+  SELECT CAST(substr(CAST(qv AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM q WHERE qv > 0 GROUP BY 1
+),
+t AS (SELECT sum(n) AS total FROM g),
+e(digit, benford_ppm) AS (VALUES {values})
+SELECT g.digit, g.n,
+       (g.n * 1000000 + (SELECT total FROM t) // 2) // (SELECT total FROM t)
+           AS share_ppm,
+       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+       abs((g.n * 1000000 + (SELECT total FROM t) // 2) // (SELECT total FROM t)
+           - e.benford_ppm) AS delta_ppm
+FROM g JOIN e USING (digit)
+ORDER BY digit
+"""
+
+
+@register("benford_orders", _benford_oracle())
+def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of o_totalprice vs Benford's law — the
+    distribution-level complement of the per-row range rules (a synthetic
+    or unit-mangled monetary feed deviates wildly even when every row
+    passes its range check). One scan, 9-group hash aggregate."""
+    from data_check_spark.operators.profile import benford_screen
+
+    return benford_screen(_t(spark, sf_dir, "orders"), "o_totalprice").orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Label noise on duplicated content (operators/dedup.py::duplicate_label_conflicts):
+# identical text carrying contradictory labels. The synthetic corpus has no
+# exact duplicates, so a deterministic band (doc_id % 20 < 2) is collapsed
+# onto 5 planted texts in BOTH engines; each planted group spans all 5
+# languages and must surface with the full sorted label list.
+_LABEL_CONFLICT_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 < 2
+              THEN 'PLANTED DUP TEXT ' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS text,
+         lang
+  FROM documents
+)
+SELECT md5(text) AS fingerprint,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_labels,
+       string_agg(DISTINCT lang, '|' ORDER BY lang) AS labels,
+       min(doc_id) AS first_id,
+       max(doc_id) AS last_id
+FROM src
+WHERE text IS NOT NULL
+GROUP BY 1
+HAVING count(DISTINCT lang) > 1
+ORDER BY fingerprint
+"""
+
+
+@register("label_conflict_documents", _LABEL_CONFLICT_SQL)
+def label_conflict_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-content label conflicts: the training-label-noise audit the
+    dedup pass alone cannot see (keeping either copy of a conflicted pair
+    propagates a wrong label). Same two-phase fingerprint aggregate as
+    exact dedup; labels render as a '|'-joined sorted list."""
+    from data_check_spark.operators.dedup import duplicate_label_conflicts
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 < 2,
+            F.concat(F.lit("PLANTED DUP TEXT "), (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.col("text")),
+    )
+    return duplicate_label_conflicts(
+        docs, id_col="doc_id", text_col="text", label_col="lang"
+    ).orderBy("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit (operators/sampling.py::split_leakage_audit): audit an
+# EXISTING train/eval split against a duplicate-pair set. The split here is
+# a deliberately naive per-doc hash split (NOT cluster_safe_split), so the
+# planted duplicate groups straddle it — exactly the contamination the
+# audit exists to catch. eval threshold: md5 32-bit prefix < round(0.1*2^32).
+_SPLIT_LEAKAGE_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 < 2
+              THEN 'PLANTED DUP TEXT ' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+fp AS (SELECT doc_id, md5(text) AS fingerprint FROM src WHERE text IS NOT NULL),
+g AS (
+  SELECT fingerprint, min(doc_id) AS keep_id
+  FROM fp GROUP BY 1 HAVING count(*) > 1
+),
+pairs AS (
+  SELECT g.keep_id AS doc_a, f.doc_id AS doc_b
+  FROM fp f JOIN g USING (fingerprint)
+  WHERE f.doc_id <> g.keep_id
+),
+asg AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substring(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   < 429496730
+              THEN 'eval' ELSE 'train' END AS side
+  FROM src
+),
+j AS (
+  SELECT p.doc_a, p.doc_b, a.side AS side_a, b.side AS side_b
+  FROM pairs p
+  LEFT JOIN asg a ON p.doc_a = a.doc_id
+  LEFT JOIN asg b ON p.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, side_a, side_b,
+       CASE WHEN side_a IS NULL OR side_b IS NULL THEN 'unassigned'
+            WHEN side_a <> side_b THEN 'leak' END AS status
+FROM j
+WHERE side_a IS NULL OR side_b IS NULL OR side_a <> side_b
+ORDER BY doc_b
+"""
+
+
+@register("split_leakage_documents", _SPLIT_LEAKAGE_SQL)
+def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: exact-duplicate pairs (canonical ↔
+    copy) joined against a naive per-doc hash split; every cross-side pair
+    is an eval example with a training twin. Two keyed joins of the small
+    pair set against the (id, side) projection — the corpus text never
+    shuffles."""
+    from data_check_spark.operators.dedup import exact_duplicate_rows
+    from data_check_spark.operators.sampling import sample_mark, split_leakage_audit
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 < 2,
+            F.concat(F.lit("PLANTED DUP TEXT "), (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.col("text")),
+    )
+    pairs = exact_duplicate_rows(docs).select(
+        F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    assignments = docs.select(
+        "doc_id",
+        F.when(sample_mark("doc_id", 0.1, seed="split1"), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("side"),
+    )
+    return split_leakage_audit(pairs, assignments).orderBy("doc_b")

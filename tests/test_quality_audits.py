@@ -1,0 +1,99 @@
+"""Benford screen, duplicate-label conflicts, split-leakage audit."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_check_spark.operators.dedup import duplicate_label_conflicts
+from data_check_spark.operators.profile import BENFORD_PPM, benford_screen
+from data_check_spark.operators.sampling import split_leakage_audit
+
+
+# ---------------------------------------------------------------------------
+# Benford screen
+
+
+def test_benford_ppm_constants():
+    # the inlined constants ARE log10(1 + 1/d) in half-up ppm, and a full
+    # distribution sums to ~1e6 (rounding spreads at most 9 half-ulps)
+    for d in range(1, 10):
+        assert BENFORD_PPM[d] == int(
+            math.floor(math.log10(1.0 + 1.0 / d) * 1_000_000 + 0.5)
+        )
+    assert abs(sum(BENFORD_PPM.values()) - 1_000_000) <= 9
+
+
+def test_benford_screen_counts_and_shares(spark):
+    # 1.00 ×2, 25.50 ×1, 0.009 (rounds to 0.01 → digit 1), 900.0 ×1,
+    # 0.0 / NULL / NaN / -3.0 (abs → digit 3) — zeros and NULLs drop
+    rows = [(1.0,), (1.0,), (25.50,), (0.009,), (900.0,), (0.0,), (None,),
+            (float("nan",),), (-3.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_screen(df, "v").collect()}
+    assert {d: out[d]["n"] for d in out} == {1: 3, 2: 1, 3: 1, 9: 1}
+    total = sum(r["n"] for r in out.values())
+    assert total == 6
+    # half-up integer ppm: 3/6 = 500000 exactly
+    assert out[1]["share_ppm"] == 500_000
+    assert out[1]["benford_ppm"] == BENFORD_PPM[1]
+    assert out[1]["delta_ppm"] == abs(500_000 - BENFORD_PPM[1])
+    # shares of the digits present sum to ~1e6 (each digit rounds ≤ half-up)
+    assert abs(sum(r["share_ppm"] for r in out.values()) - 1_000_000) <= len(out)
+
+
+def test_benford_screen_uniform_data_flags_deviation(spark):
+    # uniform 1..9999 first digits are NOT Benford: digit 1 share ≈ 1/9 vs
+    # expected ≈ 0.301 — the screen must show a large delta
+    df = spark.range(1, 10_000).select((F.col("id").cast("double")).alias("v"))
+    out = {r["digit"]: r for r in benford_screen(df, "v", scale=1).collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1]["delta_ppm"] > 150_000
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-content label conflicts
+
+
+def test_duplicate_label_conflicts(spark):
+    rows = [
+        (1, "same text", "en"),
+        (2, "same text", "de"),
+        (3, "same text", "en"),
+        (4, "other text", "en"),
+        (5, "other text", "en"),   # duplicated but label-consistent: no row
+        (6, "solo", "fr"),
+        (7, None, "en"),
+        (8, None, "de"),           # NULL text is not duplicated content
+        (9, "null label", None),
+        (10, "null label", "es"),  # NULL label ignored → 1 label → no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = duplicate_label_conflicts(df).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r["n_rows"] == 3
+    assert r["n_labels"] == 2
+    assert r["labels"] == "de|en"
+    assert (r["first_id"], r["last_id"]) == (1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit
+
+
+def test_split_leakage_audit(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (6, 7)], "doc_a long, doc_b long"
+    )
+    asg = spark.createDataFrame(
+        [(1, "train"), (2, "eval"), (3, "train"), (4, "eval"), (5, "eval"), (6, "train")],
+        "doc_id long, side string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in split_leakage_audit(pairs, asg).collect()}
+    # (1,2) straddles; (1,3) same side; (4,5) same side; (6,7) has an
+    # unassigned member
+    assert set(out) == {(1, 2), (6, 7)}
+    assert out[(1, 2)]["status"] == "leak"
+    assert out[(1, 2)]["side_a"] == "train" and out[(1, 2)]["side_b"] == "eval"
+    assert out[(6, 7)]["status"] == "unassigned"
+    assert out[(6, 7)]["side_b"] is None
