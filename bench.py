@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "benford_orders",
     "label_conflict_documents",
     "split_leakage_documents",
+    "freshness_events",
+    "calendar_gaps_events",
+    "format_masks_customer",
 ]
 
 

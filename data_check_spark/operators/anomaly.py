@@ -142,3 +142,82 @@ def daily_volume_anomaly(
         .otherwise(F.lit(0))
         .alias("is_anomaly"),
     )
+
+
+TS_US_PATTERN = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def freshness_audit(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    as_of: str,
+    max_age_minutes: int = 60,
+) -> DataFrame:
+    """Per-feed staleness check: how long since each key last produced a row.
+
+    The "this source silently stopped" alarm — volume anomaly
+    (:func:`daily_volume_anomaly`) needs a whole broken day to fire; this
+    fires the moment a feed's newest row is older than the SLA. ``as_of``
+    is the pinned audit instant (never wall-clock — runs must be
+    reproducible, same convention as the engine's ``run_ts``).
+
+    One row per key: ``(key, n_rows, last_ts_str, age_sec, stale)`` with
+    ``age_sec`` exact integer seconds (epoch-microsecond difference, floor
+    division — no float datetime arithmetic) and ``last_ts_str`` rendered
+    with an explicit microsecond pattern.
+
+    Scale shape: counts/max only — ONE map-side-combined aggregate keyed by
+    the feed id; no row ever shuffles."""
+    as_of_us = F.unix_micros(F.to_timestamp(F.lit(as_of)))
+    per = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.max(ts_col).alias("_last"))
+    )
+    age_sec = (as_of_us - F.unix_micros(F.col("_last").cast("timestamp"))) / F.lit(1_000_000)
+    return per.select(
+        key_col,
+        "n_rows",
+        F.date_format("_last", TS_US_PATTERN).alias("last_ts_str"),
+        F.floor(age_sec).cast("long").alias("age_sec"),
+        (F.floor(age_sec) > max_age_minutes * 60).alias("stale"),
+    )
+
+
+def calendar_gaps(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Missing calendar days per feed: dates with ZERO rows between a key's
+    first and last active date.
+
+    :func:`profile.sequence_gaps` finds holes in an ID sequence; this finds
+    holes in TIME — the "ingest skipped Jan 5" signal that a volume z-test
+    can't express (an absent day contributes no row to test). One output
+    row per (key, missing date), date rendered ``yyyy-MM-dd``.
+
+    Scale shape: the corpus collapses to distinct (key, date) pairs in one
+    map-side-combined aggregate (≤ keys × span rows); the calendar expands
+    from the tiny per-key (min, max) frame via ``sequence`` — bounded by
+    the date span, not the row count — and the anti-join runs on (key,
+    date) pairs only."""
+    present = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(F.col(key_col), F.to_date(ts_col).alias("_d"))
+        .distinct()
+    )
+    bounds = present.groupBy(key_col).agg(
+        F.min("_d").alias("_lo"), F.max("_d").alias("_hi")
+    )
+    cal = bounds.select(
+        key_col,
+        F.explode(F.expr("sequence(_lo, _hi, interval 1 day)")).alias("_d"),
+    )
+    return (
+        cal.join(present, [key_col, "_d"], "left_anti")
+        .select(key_col, F.date_format("_d", "yyyy-MM-dd").alias("missing_date"))
+    )

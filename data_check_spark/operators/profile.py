@@ -729,3 +729,51 @@ def null_correlation(
         "CASE WHEN a_missing = 0 THEN NULL"
         " ELSE both_missing * 1000000 div a_missing END AS b_given_a_ppm",
     )
+
+
+def _mask_expr(col: str) -> Column:
+    """Structure mask: uppercase→'A', lowercase→'a', digit→'9'; punctuation
+    and non-ASCII kept verbatim; NULL → the literal '<null>' bucket."""
+    m = F.regexp_replace(F.col(col), "[A-Z]", "A")
+    m = F.regexp_replace(m, "[a-z]", "a")
+    m = F.regexp_replace(m, "[0-9]", "9")
+    return F.coalesce(m, F.lit("<null>"))
+
+
+def format_masks(df: DataFrame, columns: list[str], *, top_n: int = 5) -> DataFrame:
+    """Per-column structure-mask histogram — format DISCOVERY, one scan.
+
+    The format *rules* (rules/compiler.py regex kind) verify a format you
+    already know; this tells you what formats a column actually contains —
+    the profiling step that writes the rule. Each string maps to its mask
+    ('Customer#000000042' → 'Aaaaaaaa#999999999'); masks preserve width, so
+    length anomalies surface as separate masks. Output: top ``top_n``
+    masks per column with exact count, half-up integer-ppm share of ALL
+    rows (NULLs bucket as '<null>'), and a deterministic rank
+    (count desc, mask asc).
+
+    Scale shape: ONE scan; ``stack`` reshapes to (col, mask) rows feeding a
+    single map-side-combined aggregate bounded by Σ distinct masks — the
+    windows below run over that small frame, never the corpus."""
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    masked = df.select(*[_mask_expr(c).alias(c) for c in columns])
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in columns)
+    long = masked.selectExpr(
+        f"stack({len(columns)}, {stack_args}) AS (col_name, mask)"
+    )
+    g = long.groupBy("col_name", "mask").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("col_name")
+    wr = Window.partitionBy("col_name").orderBy(F.col("n").desc(), F.col("mask"))
+    return (
+        g.withColumn("_total", F.sum("n").over(w))
+        .withColumn("mask_rank", F.row_number().over(wr))
+        .filter(F.col("mask_rank") <= top_n)
+        .select(
+            "col_name",
+            "mask",
+            "n",
+            F.expr("(n * 1000000 + _total div 2) div _total").alias("share_ppm"),
+            "mask_rank",
+        )
+    )

@@ -4838,3 +4838,132 @@ def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("side"),
     )
     return split_leakage_audit(pairs, assignments).orderBy("doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Freshness audit (operators/anomaly.py::freshness_audit): per-feed staleness
+# vs a pinned as-of instant. The events table ends 2024-01-30 ~23:57; audited
+# as of 2024-01-31 00:00:00 with a 30-minute SLA, the feeds whose newest row
+# is older than 30 minutes flag stale — exact integer epoch-microsecond
+# arithmetic in both engines.
+_FRESHNESS_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts_str,
+       (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(max(ts))) // 1000000
+           AS age_sec,
+       ((epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(max(ts))) // 1000000)
+           > 1800 AS stale
+FROM events
+WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("freshness_events", _FRESHNESS_SQL)
+def freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed staleness: seconds since each event_type last produced a row,
+    against a pinned audit instant (reproducible runs — the engine's run_ts
+    convention). Counts/max only: one map-side-combined aggregate, no row
+    shuffle."""
+    from data_check_spark.operators.anomaly import freshness_audit
+
+    return freshness_audit(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        key_col="event_type",
+        as_of="2024-01-31 00:00:00",
+        max_age_minutes=30,
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Calendar-gap detection (operators/anomaly.py::calendar_gaps): dates with
+# ZERO rows between a feed's first and last active day. The synthetic events
+# table has every day populated, so two click days are deterministically
+# removed in BOTH engines — the audit must report exactly those.
+_CALENDAR_GAPS_SQL = """
+WITH src AS (
+  SELECT event_type, ts FROM events
+  WHERE NOT (event_type = 'click' AND day(ts) IN (5, 12))
+),
+p AS (
+  SELECT event_type, CAST(ts AS DATE) AS d FROM src
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(d) AS lo, max(d) AS hi FROM p GROUP BY 1),
+cal AS (
+  SELECT event_type,
+         unnest(range(lo, hi + INTERVAL 1 DAY, INTERVAL 1 DAY))::DATE AS d
+  FROM b
+)
+SELECT c.event_type, strftime(c.d, '%Y-%m-%d') AS missing_date
+FROM cal c LEFT JOIN p ON c.event_type = p.event_type AND c.d = p.d
+WHERE p.d IS NULL
+ORDER BY 1, 2
+"""
+
+
+@register("calendar_gaps_events", _CALENDAR_GAPS_SQL)
+def calendar_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-day detection per feed: the hole a volume z-test can't see
+    (an absent day contributes no row to test). Corpus collapses to
+    distinct (key, date) map-side; the calendar expands from the tiny
+    per-key bounds frame; anti-join on (key, date) pairs only."""
+    from data_check_spark.operators.anomaly import calendar_gaps
+
+    ev = _t(spark, sf_dir, "events").filter(
+        ~((F.col("event_type") == "click") & F.dayofmonth("ts").isin(5, 12))
+    )
+    return calendar_gaps(ev, ts_col="ts", key_col="event_type").orderBy(
+        "event_type", "missing_date"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Format-mask profiling (operators/profile.py::format_masks): structure
+# discovery — the profiling step that WRITES the format rules the compiler
+# then enforces. Masks: A=upper, a=lower, 9=digit, punctuation kept, NULL
+# buckets as '<null>'; shares in half-up integer ppm of all rows.
+_FORMAT_MASKS_SQL = """
+WITH long AS (
+  SELECT 'c_mktsegment' AS col_name,
+         coalesce(regexp_replace(regexp_replace(regexp_replace(
+             c_mktsegment, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+             '[0-9]', '9', 'g'), '<null>') AS mask
+  FROM customer
+  UNION ALL
+  SELECT 'c_name',
+         coalesce(regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+             '[0-9]', '9', 'g'), '<null>')
+  FROM customer
+),
+g AS (SELECT col_name, mask, count(*) AS n FROM long GROUP BY 1, 2),
+t AS (
+  SELECT col_name, mask, n,
+         sum(n) OVER (PARTITION BY col_name) AS total,
+         row_number() OVER (PARTITION BY col_name ORDER BY n DESC, mask)
+             AS mask_rank
+  FROM g
+)
+SELECT col_name, mask, n,
+       CAST((n * 1000000 + total // 2) // total AS BIGINT) AS share_ppm,
+       CAST(mask_rank AS INTEGER) AS mask_rank
+FROM t WHERE mask_rank <= 5
+ORDER BY col_name, mask_rank
+"""
+
+
+@register("format_masks_customer", _FORMAT_MASKS_SQL)
+def format_masks_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 structure masks for customer name/segment columns — the
+    format-rule discovery pass. ONE scan; the histogram aggregate is
+    bounded by distinct-mask counts, and the ranking windows run over that
+    small frame, never the corpus."""
+    from data_check_spark.operators.profile import format_masks
+
+    return format_masks(
+        _t(spark, sf_dir, "customer"), ["c_mktsegment", "c_name"], top_n=5
+    ).orderBy("col_name", "mask_rank")

@@ -97,3 +97,104 @@ def test_split_leakage_audit(spark):
     assert out[(1, 2)]["side_a"] == "train" and out[(1, 2)]["side_b"] == "eval"
     assert out[(6, 7)]["status"] == "unassigned"
     assert out[(6, 7)]["side_b"] is None
+
+
+# ---------------------------------------------------------------------------
+# Freshness audit
+
+
+def test_freshness_audit(spark):
+    from data_check_spark.operators.anomaly import freshness_audit
+
+    rows = [
+        ("a", "2024-01-01 10:00:00.000000"),
+        ("a", "2024-01-01 11:30:00.500000"),
+        ("b", "2024-01-01 09:00:00.000000"),
+        ("c", None),
+        (None, "2024-01-01 11:59:00.000000"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        r["k"]: r
+        for r in freshness_audit(
+            df, ts_col="ts", key_col="k", as_of="2024-01-01 12:00:00",
+            max_age_minutes=60,
+        ).collect()
+    }
+    # NULL ts rows and NULL keys drop entirely
+    assert set(out) == {"a", "b"}
+    # a: newest 11:30:00.5 → 1799.5s old → floor 1799 → within the 3600s SLA
+    assert out["a"]["age_sec"] == 1799
+    assert out["a"]["stale"] is False
+    assert out["a"]["n_rows"] == 2
+    assert out["a"]["last_ts_str"] == "2024-01-01 11:30:00.500000"
+    # b: 3 hours old → stale
+    assert out["b"]["age_sec"] == 3 * 3600
+    assert out["b"]["stale"] is True
+
+
+# ---------------------------------------------------------------------------
+# Calendar gaps
+
+
+def test_calendar_gaps(spark):
+    from data_check_spark.operators.anomaly import calendar_gaps
+
+    rows = [
+        ("a", "2024-01-01 05:00:00"),
+        ("a", "2024-01-02 05:00:00"),
+        ("a", "2024-01-05 05:00:00"),   # a missing Jan 3, 4
+        ("b", "2024-02-10 00:00:00"),
+        ("b", "2024-02-10 23:59:59"),   # b: single active day, no gap
+        ("c", None),                     # NULL ts only → no bounds → no rows
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sorted(
+        (r["k"], r["missing_date"])
+        for r in calendar_gaps(df, ts_col="ts", key_col="k").collect()
+    )
+    assert out == [("a", "2024-01-03"), ("a", "2024-01-04")]
+
+
+# ---------------------------------------------------------------------------
+# Format masks
+
+
+def test_format_masks(spark):
+    from data_check_spark.operators.profile import format_masks
+
+    rows = [
+        ("Customer#001", "AB-12"),
+        ("Customer#002", "AB-34"),
+        ("customerX999", None),
+        (None, "zz"),
+    ]
+    df = spark.createDataFrame(rows, "name string, code string")
+    out = format_masks(df, ["name", "code"], top_n=2).collect()
+    by = {(r["col_name"], r["mask"]): r for r in out}
+    # name: 'Aaaaaaaa#999' ×2 ranks 1, others tie at 1 broken mask-asc
+    top_name = [r for r in out if r["col_name"] == "name" and r["mask_rank"] == 1]
+    assert top_name[0]["mask"] == "Aaaaaaaa#999"
+    assert top_name[0]["n"] == 2
+    assert top_name[0]["share_ppm"] == 500_000
+    # rank 2 for name: '<null>' sorts before 'aaaaaaaaA999'
+    rank2 = [r for r in out if r["col_name"] == "name" and r["mask_rank"] == 2]
+    assert rank2[0]["mask"] == "<null>"
+    # code: 'AA-99' ×2 wins
+    assert ("code", "AA-99") in by and by[("code", "AA-99")]["mask_rank"] == 1
+    # top_n bound respected
+    assert all(r["mask_rank"] <= 2 for r in out)
+
+
+def test_format_masks_empty_columns_guard(spark):
+    import pytest as _pytest
+
+    from data_check_spark.operators.profile import format_masks
+
+    df = spark.createDataFrame([("x",)], "a string")
+    with _pytest.raises(ValueError):
+        format_masks(df, [])
