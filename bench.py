@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "freshness_events",
     "calendar_gaps_events",
     "format_masks_customer",
+    "cardinality_orders_lineitem",
+    "watermark_plan_events",
 ]
 
 

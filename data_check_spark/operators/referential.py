@@ -361,3 +361,57 @@ def semi_anti_violations(
             F.col(fact_key).cast("string").alias("observed"),
         )
     )
+
+
+def cardinality_violations(
+    parent: DataFrame,
+    child: DataFrame,
+    *,
+    parent_key: str,
+    child_key: str,
+    min_children: int = 1,
+    max_children: int | None = None,
+) -> DataFrame:
+    """Relationship-cardinality check: parents whose child count is outside
+    ``[min_children, max_children]``.
+
+    The structural constraint the per-row rules can't express (an order
+    "should" have 1-7 line items; a clip "should" have exactly one
+    transcript): referential semi/anti joins prove existence, this proves
+    MULTIPLICITY. One row per offending parent: ``(key, n_children,
+    status)`` with status ``too_few`` (including zero — the no-children
+    case arrives via the left join's NULL→0) or ``too_many``.
+
+    NULL parent keys can't join and are skipped (they are a not-null
+    rule's finding, not a cardinality finding); NULL child keys match no
+    parent and never count.
+
+    Scale shape: the child table collapses map-side to (key, count) before
+    its shuffle; the join is keyed parent-keys × per-key counts — the
+    child rows themselves never move. ``status`` derives from exact long
+    arithmetic; bounds are validated driver-side."""
+    if min_children < 0:
+        raise ValueError(f"min_children must be >= 0, got {min_children}")
+    if max_children is not None and max_children < min_children:
+        raise ValueError(
+            f"max_children ({max_children}) < min_children ({min_children})"
+        )
+    counts = (
+        child.filter(F.col(child_key).isNotNull())
+        .groupBy(F.col(child_key).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    pk = parent.filter(F.col(parent_key).isNotNull()).select(
+        F.col(parent_key).alias("key")
+    )
+    joined = pk.join(counts, pk["key"] == counts["_k"], "left").select(
+        "key", F.coalesce(F.col("_n"), F.lit(0)).alias("n_children")
+    )
+    status = F.when(F.col("n_children") < min_children, F.lit("too_few"))
+    if max_children is not None:
+        status = status.when(F.col("n_children") > max_children, F.lit("too_many"))
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("key", "n_children", "status")
+    )

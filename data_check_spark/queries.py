@@ -4967,3 +4967,96 @@ def format_masks_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return format_masks(
         _t(spark, sf_dir, "customer"), ["c_mktsegment", "c_name"], top_n=5
     ).orderBy("col_name", "mask_rank")
+
+
+# ---------------------------------------------------------------------------
+# Relationship-cardinality check (operators/referential.py::cardinality_violations):
+# multiplicity, not just existence — orders must have 1..5 line items here,
+# so childless orders flag too_few and 6-7-item orders flag too_many.
+_CARDINALITY_SQL = """
+WITH c AS (
+  SELECT l_orderkey AS k, count(*) AS n
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderkey AS key, coalesce(c.n, 0) AS n_children
+  FROM orders o LEFT JOIN c ON o.o_orderkey = c.k
+  WHERE o.o_orderkey IS NOT NULL
+)
+SELECT key, n_children,
+       CASE WHEN n_children < 1 THEN 'too_few'
+            WHEN n_children > 5 THEN 'too_many' END AS status
+FROM j
+WHERE n_children < 1 OR n_children > 5
+ORDER BY key
+"""
+
+
+@register("cardinality_orders_lineitem", _CARDINALITY_SQL)
+def cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose lineitem count is outside [1, 5] — the structural
+    multiplicity constraint semi/anti joins can't express. Child table
+    collapses map-side to (key, count); child rows never shuffle."""
+    from data_check_spark.operators.referential import cardinality_violations
+
+    return cardinality_violations(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        min_children=1,
+        max_children=5,
+    ).orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# Watermark sizing plan (composition: out_of_order_rows → numeric_quantiles):
+# the lateness distribution a streaming watermark bound must cover, as exact
+# interpolated quartiles + max over the planted late band. scale=1 — the
+# lateness values are already integer microseconds.
+_WATERMARK_PLAN_SQL = """
+WITH src AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 11 = 7 THEN ts - INTERVAL 2 HOUR ELSE ts END AS ts
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+),
+m AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM src
+),
+late AS (SELECT epoch_us(pm) - epoch_us(ts) AS late_by_us FROM m WHERE ts < pm),
+q AS (
+  SELECT 'late_by_us' AS col_name,
+         quantile_cont(CAST(round(late_by_us) AS BIGINT), [0.25,0.5,0.75,1.0]) AS qs
+  FROM late
+)
+SELECT col_name, CAST(p.percentile AS DOUBLE) AS percentile,
+       CAST(qs[p.i] * 4 AS BIGINT) AS q_scaled
+FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 1.0)) p(i, percentile)
+ORDER BY col_name, percentile
+"""
+
+
+@register("watermark_plan_events", _WATERMARK_PLAN_SQL)
+def watermark_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark bound recommendation: quartiles + max of the late-arrival
+    distribution (out_of_order screen feeding the exact quantile contract,
+    quarter-units of 1 µs). p100 is what `withWatermark` must cover to
+    lose nothing; p75/p50 quantify the loss of a tighter bound."""
+    from data_check_spark.operators.anomaly import out_of_order_rows
+    from data_check_spark.operators.profile import numeric_quantiles
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 11 == 7,
+            F.col("ts") - F.expr("INTERVAL 2 HOURS"),
+        ).otherwise(F.col("ts")),
+    )
+    late = out_of_order_rows(ev, key_col="user_id", seq_col="event_id", ts_col="ts")
+    return numeric_quantiles(
+        late, ["late_by_us"], percentiles=(0.25, 0.5, 0.75, 1.0), scale=1
+    ).orderBy("col_name", "percentile")

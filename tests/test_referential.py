@@ -81,3 +81,50 @@ def test_transcript_match_blank_keys_exempt(spark):
         match_rule="M", fact_text="transcript", ref_text="transcript_ref",
     ).collect()
     assert [r for r in fused if r["rule_id"] == "M"] == []
+
+
+def test_cardinality_violations(spark):
+    from data_check_spark.operators.referential import cardinality_violations
+
+    parent = spark.createDataFrame([(1,), (2,), (3,), (4,), (None,)], "pk long")
+    child = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,)], "fk long"
+    )
+    out = {
+        r["key"]: r
+        for r in cardinality_violations(
+            parent, child, parent_key="pk", child_key="fk",
+            min_children=1, max_children=2,
+        ).collect()
+    }
+    # 1 has 3 children (too_many), 2 has 1 (ok), 3/4 have none (too_few);
+    # NULL parent key skipped, NULL child key counts nowhere
+    assert set(out) == {1, 3, 4}
+    assert out[1]["status"] == "too_many" and out[1]["n_children"] == 3
+    assert out[3]["status"] == "too_few" and out[3]["n_children"] == 0
+    assert out[4]["status"] == "too_few"
+
+
+def test_cardinality_violations_no_upper_bound(spark):
+    from data_check_spark.operators.referential import cardinality_violations
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame([(1,)] * 9, "fk long")
+    out = cardinality_violations(
+        parent, child, parent_key="pk", child_key="fk", min_children=1,
+    ).collect()
+    assert [(r["key"], r["status"]) for r in out] == [(2, "too_few")]
+
+
+def test_cardinality_violations_bounds_guard(spark):
+    import pytest as _pytest
+
+    from data_check_spark.operators.referential import cardinality_violations
+
+    df = spark.createDataFrame([(1,)], "pk long")
+    with _pytest.raises(ValueError):
+        cardinality_violations(df, df, parent_key="pk", child_key="pk",
+                               min_children=3, max_children=2)
+    with _pytest.raises(ValueError):
+        cardinality_violations(df, df, parent_key="pk", child_key="pk",
+                               min_children=-1)
