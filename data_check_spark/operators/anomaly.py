@@ -59,9 +59,12 @@ def out_of_order_rows(
     cardinality), so partitions stay balanced; a single hot key is a data
     bug this very check surfaces.
     """
+    # ts tiebreak: duplicate sequence numbers would otherwise leave the ROWS
+    # frame order (and thus prev_max for the tied rows) engine-arbitrary;
+    # ascending ts means tied rows never flag each other — deterministic.
     w = (
         Window.partitionBy(key_col)
-        .orderBy(seq_col)
+        .orderBy(seq_col, ts_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     scoped = df.filter(F.col(key_col).isNotNull() & F.col(seq_col).isNotNull())

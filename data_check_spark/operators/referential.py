@@ -253,10 +253,14 @@ def aggregate_reconcile(
     Output: one row per out-of-balance key —
     ``(<parent_key>, parent_cents, child_cents, delta_cents, status)`` with
     status ``total_mismatch`` (both sides present, |delta| > tolerance),
-    ``no_child_rows`` (parent total with zero child rows) or
-    ``orphan_child_total`` (child rows summing under a key no parent has).
-    Amounts are exact integer cents (see ``_cents``) — the comparison is
-    pure bigint arithmetic, bit-identical across engines.
+    ``no_child_rows`` (parent with zero child rows),
+    ``orphan_child_total`` (child rows summing under a key no parent has)
+    or ``null_amount`` (a side EXISTS but its amount is NULL — a parent
+    whose stored total is NULL, or children whose amounts are all NULL;
+    classified by row presence, never by cents NULL-ness, so a NULL total
+    is not mistaken for a missing parent). Amounts are exact integer cents
+    (see ``_cents``) — the comparison is pure bigint arithmetic,
+    bit-identical across engines.
 
     Scale shape: the child side collapses FIRST (map-side partial sum; the
     shuffle carries (key, partial cents), never child rows), then one keyed
@@ -277,9 +281,16 @@ def aggregate_reconcile(
     )
     j = p.join(c, F.col("_pk") == F.col("_ck"), "full_outer")
     delta = F.col("parent_cents") - F.col("child_cents")
+    # Presence is the KEY columns surviving the full-outer join — never the
+    # cents (a NULL stored total is a present parent with a bad amount, not
+    # a missing parent).
     status = (
-        F.when(F.col("child_cents").isNull(), F.lit("no_child_rows"))
-        .when(F.col("parent_cents").isNull(), F.lit("orphan_child_total"))
+        F.when(F.col("_ck").isNull(), F.lit("no_child_rows"))
+        .when(F.col("_pk").isNull(), F.lit("orphan_child_total"))
+        .when(
+            F.col("parent_cents").isNull() | F.col("child_cents").isNull(),
+            F.lit("null_amount"),
+        )
         .when(F.abs(delta) > tolerance_cents, F.lit("total_mismatch"))
     )
     return (

@@ -4591,8 +4591,12 @@ c AS (
 j AS (
   SELECT coalesce(pk, ck) AS o_orderkey, parent_cents, child_cents,
          parent_cents - child_cents AS delta_cents,
-         CASE WHEN child_cents IS NULL THEN 'no_child_rows'
-              WHEN parent_cents IS NULL THEN 'orphan_child_total'
+         -- presence = KEY columns surviving the full-outer join (a NULL
+         -- stored total is a present parent with a bad amount, not a
+         -- missing parent) — mirrors operators/referential.py
+         CASE WHEN ck IS NULL THEN 'no_child_rows'
+              WHEN pk IS NULL THEN 'orphan_child_total'
+              WHEN parent_cents IS NULL OR child_cents IS NULL THEN 'null_amount'
               WHEN abs(parent_cents - child_cents) > 0 THEN 'total_mismatch'
          END AS status
   FROM p FULL OUTER JOIN c ON pk = ck

@@ -113,3 +113,27 @@ def test_reconcile_plan_child_folds_before_join(spark):
     )
     assert "partial_sum" in plan or "HashAggregate" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_reconcile_null_amounts_classified_by_presence(spark):
+    # A parent whose stored total is NULL but whose children exist is NOT an
+    # orphan-child case (the parent row is present), and a key whose child
+    # amounts are all NULL is NOT a no-child-rows case: both are null_amount.
+    parent = spark.createDataFrame(
+        [("a", None), ("b", 5.00), ("c", None)],
+        "okey string, total double",
+    )
+    child = spark.createDataFrame(
+        [("a", 5.00), ("b", None), ("b", None)],
+        "ckey string, amount double",
+    )
+    got = {
+        r.okey: r
+        for r in aggregate_reconcile(
+            parent, child, parent_key="okey", child_key="ckey",
+            total_col="total", amount_col="amount",
+        ).collect()
+    }
+    assert got["a"].status == "null_amount"        # parent present, NULL total
+    assert got["b"].status == "null_amount"        # children present, NULL sum
+    assert got["c"].status == "no_child_rows"      # structurally childless
