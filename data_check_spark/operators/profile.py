@@ -644,6 +644,11 @@ def benford_screen(df: DataFrame, value_col: str, *, scale: int = 100) -> DataFr
     q = (
         df.select(_finite(F.col(value_col)).alias("_v"))
         .filter(F.col("_v").isNotNull())
+        # magnitude guard BEFORE floor: Spark's floor(double) returns BIGINT
+        # and silently saturates at Long.MaxValue past 2^63 (which would
+        # bucket every huge value under digit 9); such rows degrade like
+        # NULL — they are a range rule's finding, not a digit sample.
+        .filter(F.abs(F.col("_v")) < F.lit(9.0e18 / scale))
         .select(F.expr(f"cast(floor(abs(_v) * {int(scale)} + 0.5) as bigint)").alias("_q"))
         .filter(F.col("_q") > 0)
     )
@@ -731,16 +736,26 @@ def null_correlation(
     )
 
 
-def _mask_expr(col: str) -> Column:
+def _mask_expr(col: str, max_mask_len: int) -> Column:
     """Structure mask: uppercase→'A', lowercase→'a', digit→'9'; punctuation
-    and non-ASCII kept verbatim; NULL → the literal '<null>' bucket."""
-    m = F.regexp_replace(F.col(col), "[A-Z]", "A")
+    and non-ASCII kept verbatim; NULL → the literal '<null>' bucket.
+    Values longer than ``max_mask_len`` truncate to that many mask chars
+    plus a '+' marker (an unbounded free-text column must not explode the
+    histogram into per-row masks — and the truncation itself is signal:
+    '+' masks mean the column isn't fixed-format)."""
+    v = F.col(col)
+    truncated = F.length(v) > max_mask_len
+    m = F.when(truncated, F.substring(v, 1, max_mask_len)).otherwise(v)
+    m = F.regexp_replace(m, "[A-Z]", "A")
     m = F.regexp_replace(m, "[a-z]", "a")
     m = F.regexp_replace(m, "[0-9]", "9")
+    m = F.when(truncated, F.concat(m, F.lit("+"))).otherwise(m)
     return F.coalesce(m, F.lit("<null>"))
 
 
-def format_masks(df: DataFrame, columns: list[str], *, top_n: int = 5) -> DataFrame:
+def format_masks(
+    df: DataFrame, columns: list[str], *, top_n: int = 5, max_mask_len: int = 64
+) -> DataFrame:
     """Per-column structure-mask histogram — format DISCOVERY, one scan.
 
     The format *rules* (rules/compiler.py regex kind) verify a format you
@@ -757,7 +772,9 @@ def format_masks(df: DataFrame, columns: list[str], *, top_n: int = 5) -> DataFr
     windows below run over that small frame, never the corpus."""
     if not columns:
         raise ValueError("columns must be non-empty")
-    masked = df.select(*[_mask_expr(c).alias(c) for c in columns])
+    if max_mask_len < 1:
+        raise ValueError(f"max_mask_len must be >= 1, got {max_mask_len}")
+    masked = df.select(*[_mask_expr(c, max_mask_len).alias(c) for c in columns])
     stack_args = ", ".join(f"'{c}', `{c}`" for c in columns)
     long = masked.selectExpr(
         f"stack({len(columns)}, {stack_args}) AS (col_name, mask)"

@@ -509,6 +509,12 @@ def split_leakage_audit(
     than the corpus) joins twice against the (id, side) projection of the
     assignment frame — two keyed equi-joins AQE can broadcast whenever the
     pair set is small; the corpus text never shuffles."""
+    clobbered = {"side_a", "side_b", "status"} & set(pairs.columns)
+    if clobbered:
+        raise ValueError(
+            f"pairs already has column(s) {sorted(clobbered)}; rename them "
+            "first (split_leakage_audit adds 'side_a', 'side_b', 'status')"
+        )
     asg = assignments.select(
         F.col(id_col).alias("_k"), F.col(side_col).alias("_s")
     )

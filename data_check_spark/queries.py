@@ -4359,9 +4359,11 @@ WITH mut AS (
   SELECT count(*) AS n_rows,
          count(*) FILTER (WHERE o_custkey IS NULL) AS a1,
          count(*) FILTER (WHERE o_orderpriority IS NULL OR regexp_replace(o_orderpriority, '[	
-                  　]+', '', 'g') = '') AS b1,
+
+                  　]+', '', 'g') = '') AS b1,
          count(*) FILTER (WHERE o_custkey IS NULL AND (o_orderpriority IS NULL OR regexp_replace(o_orderpriority, '[	
-                  　]+', '', 'g') = '')) AS ab1,
+
+                  　]+', '', 'g') = '')) AS ab1,
          count(*) FILTER (WHERE o_orderstatus IS NULL) AS b2,
          count(*) FILTER (WHERE o_custkey IS NULL AND o_orderstatus IS NULL) AS ab2
   FROM mut
@@ -4689,7 +4691,7 @@ WITH q AS (
   SELECT CAST(floor(abs(o_totalprice) * 100 + 0.5) AS BIGINT) AS qv
   FROM orders
   WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
-        AND NOT isinf(o_totalprice)
+        AND NOT isinf(o_totalprice) AND abs(o_totalprice) < 9e16
 ),
 g AS (
   SELECT CAST(substr(CAST(qv AS VARCHAR), 1, 1) AS INT) AS digit,

@@ -198,3 +198,30 @@ def test_format_masks_empty_columns_guard(spark):
     df = spark.createDataFrame([("x",)], "a string")
     with _pytest.raises(ValueError):
         format_masks(df, [])
+
+
+def test_benford_screen_huge_magnitude_degrades_not_aborts(spark):
+    # |x|*scale beyond the bigint lane must drop like NULL (ANSI try_cast),
+    # never abort the job with CAST_OVERFLOW
+    df = spark.createDataFrame([(1e18,), (2.0,)], "v double")
+    out = {r["digit"]: r["n"] for r in benford_screen(df, "v").collect()}
+    assert out == {2: 1}
+
+
+def test_format_masks_truncates_long_values(spark):
+    from data_check_spark.operators.profile import format_masks
+
+    rows = [("x" * 100,), ("ab12",)]
+    df = spark.createDataFrame(rows, "s string")
+    out = {r["mask"]: r for r in format_masks(df, ["s"], max_mask_len=8).collect()}
+    assert set(out) == {"aaaaaaaa+", "aa99"}
+    assert out["aaaaaaaa+"]["n"] == 1
+
+
+def test_split_leakage_audit_clobber_guard(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(1, 2, "x")], "doc_a long, doc_b long, status string")
+    asg = spark.createDataFrame([(1, "train")], "doc_id long, side string")
+    with _pytest.raises(ValueError):
+        split_leakage_audit(pairs, asg)
