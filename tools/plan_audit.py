@@ -135,6 +135,32 @@ AUDITED = [
      "Compaction planning touches only the file inventory (one row per "
      "FILE): a single keyed exchange for the per-dir name-ordered window; "
      "the data files themselves are never read by the planner."),
+    ("reconcile_orders_lineitem",
+     "Header↔detail reconciliation: the child side collapses to (key, "
+     "partial cents) with a map-side partial aggregate BEFORE its exchange "
+     "— child rows never shuffle; one keyed full-outer join against the "
+     "pruned (key, cents) parent projection."),
+    ("cardinality_orders_lineitem",
+     "Relationship cardinality: child table collapses map-side to (key, "
+     "count) before the exchange; the join is parent-keys × per-key counts "
+     "— child rows never move, statuses are pure long arithmetic."),
+    ("benford_orders",
+     "Benford screen: one scan into a 9-group hash aggregate with map-side "
+     "partials; the share window runs over the ≤ 9-row result (its single "
+     "partition is deliberate)."),
+    ("format_masks_customer",
+     "Format-mask discovery: ONE scan; stack reshape feeds a single hash "
+     "aggregate bounded by distinct-mask counts; the ranking windows run "
+     "over that small frame, never the corpus."),
+    ("calendar_gaps_events",
+     "Calendar gaps: corpus collapses to distinct (key, date) map-side; "
+     "the calendar explodes from the tiny per-key bounds frame; the "
+     "anti-join exchanges (key, date) pairs only."),
+    ("label_conflict_documents",
+     "Duplicate-label conflicts: same two-phase md5-fingerprint aggregate "
+     "as exact dedup — one shuffle keyed by the 128-bit fingerprint, "
+     "collect_set bounded by the label domain, raw text never shuffles "
+     "past the first projection."),
     ("ivf_portable_ann_embeddings",
      "Deterministic IVF: centroid seeding is TakeOrdered + an n_lists-row "
      "collect; each Lloyd pass shuffles only (cell, dim, partial-sum) rows; "
