@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "format_masks_customer",
     "cardinality_orders_lineitem",
     "watermark_plan_events",
+    "novelty_rate_events",
 ]
 
 

@@ -224,3 +224,47 @@ def calendar_gaps(
         cal.join(present, [key_col, "_d"], "left_anti")
         .select(key_col, F.date_format("_d", "yyyy-MM-dd").alias("missing_date"))
     )
+
+
+def novelty_rate(
+    df: DataFrame,
+    *,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day ID novelty: how many of a day's rows carry an id never seen
+    before that day.
+
+    The scraping/dedup health signal over time: a crawl that loops over
+    stale sources shows novelty COLLAPSE (same ids re-arriving), an
+    id-generation bug shows novelty at 100% (every row "new"). Volume can
+    stay flat through both — this is the orthogonal axis.
+
+    One row per active day: ``(day, n_rows, n_new_ids, novelty_ppm)`` with
+    ``novelty_ppm`` = new ids per row that day, half-up integer ppm.
+
+    Scale shape: two counts-only aggregates — per-day row counts collapse
+    map-side; first-seen days shuffle one (id, min-date) pair per DISTINCT
+    id (the unavoidable exchange — first-seen is a global property of the
+    id); the join then runs over ≤ #days rows."""
+    scoped = df.filter(F.col(id_col).isNotNull() & F.col(ts_col).isNotNull())
+    daily = scoped.groupBy(F.to_date(ts_col).alias("_d")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    first_seen = (
+        scoped.groupBy(id_col)
+        .agg(F.min(F.to_date(ts_col)).alias("_d"))
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("n_new_ids"))
+    )
+    return (
+        daily.join(first_seen, "_d", "left")
+        .select(
+            F.date_format("_d", "yyyy-MM-dd").alias("day"),
+            "n_rows",
+            F.coalesce(F.col("n_new_ids"), F.lit(0)).alias("n_new_ids"),
+            F.expr(
+                "(coalesce(n_new_ids, 0) * 1000000 + n_rows div 2) div n_rows"
+            ).alias("novelty_ppm"),
+        )
+    )

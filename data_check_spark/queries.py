@@ -5066,3 +5066,41 @@ def watermark_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_quantiles(
         late, ["late_by_us"], percentiles=(0.25, 0.5, 0.75, 1.0), scale=1
     ).orderBy("col_name", "percentile")
+
+
+# ---------------------------------------------------------------------------
+# ID-novelty rate (operators/anomaly.py::novelty_rate): per-day share of rows
+# carrying a never-before-seen id — the scraping/dedup health axis volume
+# can't see. The audited id is the (user, event_type) feed key, so novelty
+# decays over the month as combinations exhaust.
+_NOVELTY_SQL = """
+WITH src AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS id, ts
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_rows FROM src GROUP BY 1),
+fs AS (SELECT id, min(CAST(ts AS DATE)) AS d FROM src GROUP BY 1),
+nn AS (SELECT d, count(*) AS n_new FROM fs GROUP BY 1)
+SELECT strftime(daily.d, '%Y-%m-%d') AS day, n_rows,
+       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new_ids,
+       CAST((coalesce(n_new, 0) * 1000000 + n_rows // 2) // n_rows AS BIGINT)
+           AS novelty_ppm
+FROM daily LEFT JOIN nn ON daily.d = nn.d
+ORDER BY day
+"""
+
+
+@register("novelty_rate_events", _NOVELTY_SQL)
+def novelty_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day first-seen rate of the (user, event_type) feed key: novelty
+    collapse = a crawl looping over stale sources; 100% novelty = an
+    id-generation bug. Two counts-only aggregates; the only id-keyed
+    exchange carries one (id, min-date) pair per distinct id."""
+    from data_check_spark.operators.anomaly import novelty_rate
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "feed_id",
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")),
+    )
+    return novelty_rate(ev, id_col="feed_id", ts_col="ts").orderBy("day")

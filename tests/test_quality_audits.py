@@ -225,3 +225,67 @@ def test_split_leakage_audit_clobber_guard(spark):
     asg = spark.createDataFrame([(1, "train")], "doc_id long, side string")
     with _pytest.raises(ValueError):
         split_leakage_audit(pairs, asg)
+
+
+# ---------------------------------------------------------------------------
+# Novelty rate
+
+
+def test_novelty_rate(spark):
+    from data_check_spark.operators.anomaly import novelty_rate
+
+    rows = [
+        ("u1", "2024-01-01 08:00:00"),
+        ("u2", "2024-01-01 09:00:00"),
+        ("u1", "2024-01-02 08:00:00"),  # repeat
+        ("u3", "2024-01-02 09:00:00"),  # new
+        ("u1", "2024-01-03 08:00:00"),  # all repeats
+        ("u2", "2024-01-03 09:00:00"),
+        (None, "2024-01-03 10:00:00"),  # NULL id exempt
+        ("u4", None),                    # NULL ts exempt
+    ]
+    df = spark.createDataFrame(rows, "id string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["day"]: r for r in novelty_rate(df, id_col="id", ts_col="ts").collect()}
+    assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert (out["2024-01-01"]["n_rows"], out["2024-01-01"]["n_new_ids"]) == (2, 2)
+    assert out["2024-01-01"]["novelty_ppm"] == 1_000_000
+    assert (out["2024-01-02"]["n_rows"], out["2024-01-02"]["n_new_ids"]) == (2, 1)
+    assert out["2024-01-02"]["novelty_ppm"] == 500_000
+    assert (out["2024-01-03"]["n_rows"], out["2024-01-03"]["n_new_ids"]) == (2, 0)
+    assert out["2024-01-03"]["novelty_ppm"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Catalog coverage meta-audit
+
+
+def test_catalog_coverage_blind_spots():
+    from data_check_spark.rules.spec import Rule, RuleCatalog, catalog_coverage
+
+    cat = RuleCatalog([
+        Rule("R1", "not_null", column="a"),
+        Rule("R2", "cross_column", params={"expr": "b > c"}),
+        Rule("R3", "multi_column", params={"columns": ["a", "d"],
+                                           "template": "{col} IS NULL"}),
+        Rule("R4", "not_null", column="a", gate="e = 'x'"),
+    ])
+    cov = {r["column"]: r for r in catalog_coverage(cat, ["a", "b", "c", "d", "e", "f"])}
+    assert cov["a"]["rule_ids"] == ["R1", "R3", "R4"]
+    assert cov["b"]["rule_ids"] == ["R2"] and cov["c"]["rule_ids"] == ["R2"]
+    assert cov["d"]["rule_ids"] == ["R3"]
+    assert cov["e"]["rule_ids"] == ["R4"]  # gate reads count as coverage
+    assert cov["f"] == {"column": "f", "n_rules": 0, "rule_ids": [], "covered": False}
+
+
+def test_catalog_coverage_shipped_catalog_only_partition_unwatched():
+    from data_check_spark.rules.catalog_audio import audio_catalog
+    from data_check_spark.rules.spec import catalog_coverage
+    from data_check_spark.schemas import CLIPS_SCHEMA
+
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    cov = catalog_coverage(audio_catalog(), cols)
+    uncovered = [r["column"] for r in cov if not r["covered"]]
+    # the grouping key is the ONLY blind spot in the shipped 26-rule catalog
+    assert uncovered == ["partition"]
