@@ -190,6 +190,18 @@ def _dispatch_set_rule(
             tolerance_cents=p.get("tolerance_cents", 0),
             partition_col=partition_col,
         )
+    if rule.kind == "cardinality":
+        from data_check_spark.operators.referential import cardinality_rule_violations
+
+        scoped = clips.filter(gate) if gate is not None else clips
+        return cardinality_rule_violations(
+            scoped, dims[p["dim"]], rule.rule_id,
+            parent_key=p.get("fact_key", "clip_id"),
+            child_key=p.get("dim_key", "clip_id"),
+            min_children=p.get("min_children", 1),
+            max_children=p.get("max_children"),
+            partition_col=partition_col,
+        )
     if rule.kind == "transcript_match":
         # Mirror the fused path exactly (fused_dim_checks call below): the
         # join key is params["dim_key"] on BOTH sides and the compared fact
@@ -480,13 +492,15 @@ def run_validation(
         # func_dep too: the violating-key set depends on the whole table.
         # reconcile: orphan child totals are not partition-scoped (no parent
         # row), so like referential/orphan a resume run must see all keys.
+        # cardinality: child counts are a global property of the child
+        # table — a resume run must count over all children.
         # outlier: fences are per-group — when grouped by the partition
         # column (the default) each partition's fence is self-contained, so
         # partition grain; grouped by anything else, the fence spans
         # partitions and a resume run must learn it over the whole table.
         global_grain = rule.kind in (
             "unique", "aggregate_unique", "cat_drift", "rate_drift", "volume_drift",
-            "func_dep", "reconcile",
+            "func_dep", "reconcile", "cardinality",
         ) or (
             rule.kind == "referential" and rule.params.get("mode") == "orphan"
         ) or (
@@ -501,7 +515,7 @@ def run_validation(
                 v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
                                        shared_dups=dups, run_ts=run_ts)
                 if rule.kind in ("unique", "cat_drift", "rate_drift", "volume_drift",
-                                 "func_dep", "outlier", "reconcile"):
+                                 "func_dep", "outlier", "reconcile", "cardinality"):
                     # Partition-attributed output: rows in completed
                     # partitions were already reported by the run that
                     # checkpointed them. Keep NULL-partition rows — ~isin is

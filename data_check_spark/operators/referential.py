@@ -382,9 +382,11 @@ def cardinality_violations(
     child_key: str,
     min_children: int = 1,
     max_children: int | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Relationship-cardinality check: parents whose child count is outside
-    ``[min_children, max_children]``.
+    ``[min_children, max_children]``. ``carry`` names extra parent columns
+    to pass through (e.g. the partition column for the violations contract).
 
     The structural constraint the per-row rules can't express (an order
     "should" have 1-7 line items; a clip "should" have exactly one
@@ -413,10 +415,12 @@ def cardinality_violations(
         .agg(F.count(F.lit(1)).alias("_n"))
     )
     pk = parent.filter(F.col(parent_key).isNotNull()).select(
-        F.col(parent_key).alias("key")
+        F.col(parent_key).alias("key"), *[F.col(c) for c in carry]
     )
     joined = pk.join(counts, pk["key"] == counts["_k"], "left").select(
-        "key", F.coalesce(F.col("_n"), F.lit(0)).alias("n_children")
+        "key",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_children"),
+        *[F.col(c) for c in carry],
     )
     status = F.when(F.col("n_children") < min_children, F.lit("too_few"))
     if max_children is not None:
@@ -424,5 +428,37 @@ def cardinality_violations(
     return (
         joined.withColumn("status", status)
         .filter(F.col("status").isNotNull())
-        .select("key", "n_children", "status")
+        .select("key", "n_children", "status", *[F.col(c) for c in carry])
+    )
+
+
+def cardinality_rule_violations(
+    parent: DataFrame,
+    child: DataFrame,
+    rule_id: str,
+    *,
+    parent_key: str,
+    child_key: str,
+    min_children: int = 1,
+    max_children: int | None = None,
+    partition_col: str | None = "partition",
+) -> DataFrame:
+    """``cardinality_violations`` in the violations contract. The parent's
+    partition column rides through the count join; ``observed`` packs the
+    status and the actual child count so triage never re-queries."""
+    has_part = bool(partition_col) and partition_col in parent.columns
+    out = cardinality_violations(
+        parent, child,
+        parent_key=parent_key, child_key=child_key,
+        min_children=min_children, max_children=max_children,
+        carry=(partition_col,) if has_part else (),
+    )
+    part = F.col(partition_col) if has_part else F.lit(None).cast("string")
+    return out.select(
+        F.lit(rule_id).alias("rule_id"),
+        F.col("key").cast("string").alias("clip_id"),
+        part.cast("string").alias("partition"),
+        F.concat_ws(":", F.col("status"), F.col("n_children").cast("string")).alias(
+            "observed"
+        ),
     )

@@ -68,6 +68,14 @@ Set-oriented kinds (dispatched to operators, not the projection):
                             Header↔detail reconciliation — the aggregate
                             lift of the row-grain price-arithmetic family
                             (innosite.py CHK_0002)
+- ``cardinality``         — relationship multiplicity: each fact row's
+                            child count in ``params["dim"]`` (child key
+                            ``params["dim_key"]`` vs fact key
+                            ``params["fact_key"]``) must fall inside
+                            ``[params["min_children"],
+                            params["max_children"]]`` (max optional).
+                            Referential proves existence; this proves HOW
+                            MANY — "every clip has exactly one transcript"
 - ``outlier``             — per-group robust outliers: rows whose ``column``
                             falls outside Tukey's fence (Q1−1.5·IQR,
                             Q3+1.5·IQR] of their group's own distribution —
@@ -108,6 +116,7 @@ SET_KINDS = {
     "func_dep",
     "outlier",
     "reconcile",
+    "cardinality",
 }
 
 

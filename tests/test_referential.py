@@ -128,3 +128,47 @@ def test_cardinality_violations_bounds_guard(spark):
     with _pytest.raises(ValueError):
         cardinality_violations(df, df, parent_key="pk", child_key="pk",
                                min_children=-1)
+
+
+def test_cardinality_engine_rule_kind(spark):
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    clips = spark.createDataFrame(
+        [("c1", "p0"), ("c2", "p0"), ("c3", "p1")],
+        "clip_id string, partition string",
+    )
+    # c1 has 1 transcript (ok), c2 has 2 (too_many), c3 has none (too_few)
+    tr = spark.createDataFrame(
+        [("c1",), ("c2",), ("c2",)], "tkey string"
+    )
+    catalog = RuleCatalog([
+        Rule("TRANSCRIPT_EXACTLY_ONE", "cardinality", None,
+             {"dim": "transcripts", "fact_key": "clip_id", "dim_key": "tkey",
+              "min_children": 1, "max_children": 1}),
+    ])
+    res = run_validation(
+        spark, clips, {"transcripts": tr}, catalog, run_ts="2026-01-01 00:00:00",
+    )
+    rows = {r.clip_id: r for r in res.violations.collect()
+            if r.rule_id == "TRANSCRIPT_EXACTLY_ONE"}
+    assert set(rows) == {"c2", "c3"}
+    assert rows["c2"].observed == "too_many:2" and rows["c2"].partition == "p0"
+    assert rows["c3"].observed == "too_few:0" and rows["c3"].partition == "p1"
+    verdicts = {r["partition"]: r["passed"] for r in res.verdicts.collect()}
+    assert verdicts["p0"] is False and verdicts["p1"] is False
+
+
+def test_cardinality_missing_dim_escalates(spark):
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    clips = spark.createDataFrame([("c1", "p0")], "clip_id string, partition string")
+    catalog = RuleCatalog([
+        Rule("TRANSCRIPT_EXACTLY_ONE", "cardinality", None,
+             {"dim": "transcripts", "fact_key": "clip_id", "dim_key": "tkey",
+              "min_children": 1, "max_children": 1}),
+    ])
+    res = run_validation(spark, clips, {}, catalog, run_ts="2026-01-01 00:00:00")
+    ids = {r.rule_id for r in res.violations.collect()}
+    assert "AUX_MISSING_TRANSCRIPTS" in ids and "TRANSCRIPT_EXACTLY_ONE" not in ids

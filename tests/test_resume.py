@@ -227,3 +227,36 @@ def test_resume_prunes_partitions_at_scan(spark, tmp_path):
     assert {r["partition"] for r in pruned.select("partition").distinct().collect()} == {
         "p0006", "p0007",
     }
+
+
+def test_resume_cardinality_counts_children_globally(spark, tmp_path):
+    # Clip c_low's transcripts live ONLY in p0-adjacent data; on a resumed
+    # run where p0 is done, the cardinality rule must still count children
+    # over the WHOLE child table (global grain) and must not re-report
+    # parents in completed partitions.
+    clips = spark.createDataFrame(
+        [("c_ok", "p0"), ("c_many", "p1"), ("c_none", "p1")],
+        "clip_id string, partition string",
+    )
+    tr = spark.createDataFrame(
+        [("c_ok",), ("c_many",), ("c_many",)], "tkey string"
+    )
+    catalog = RuleCatalog([
+        Rule("CARD_ONE", "cardinality", None,
+             {"dim": "transcripts", "fact_key": "clip_id", "dim_key": "tkey",
+              "min_children": 1, "max_children": 1}),
+    ])
+    ckpt = str(tmp_path / "ckpt_card")
+    run_validation(
+        spark, clips.filter(F.col("partition") == "p0"),
+        {"transcripts": tr}, catalog,
+        run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt,
+    )
+    res = run_validation(
+        spark, clips, {"transcripts": tr}, catalog,
+        run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt, resume=True,
+    )
+    viol = {(r["clip_id"], r["observed"]) for r in res.violations.collect()
+            if r["rule_id"] == "CARD_ONE"}
+    # p1 parents reported with globally-correct counts; p0 parent not re-reported
+    assert viol == {("c_many", "too_many:2"), ("c_none", "too_few:0")}
