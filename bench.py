@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "cardinality_orders_lineitem",
     "watermark_plan_events",
     "novelty_rate_events",
+    "clipping_runs_documents",
 ]
 
 

@@ -237,13 +237,17 @@ def synth_square_pcm(
     lead_col: str = "lead",
     amp_col: str = "amp",
     half_period_col: str = "k",
+    offset_col: str | None = None,
     out_col: str = "bytes",
 ) -> DataFrame:
     """Deterministic int16-LE square-wave payloads from per-row parameters.
 
-    ``lead`` zero samples, then a ±``amp`` square wave alternating sign
-    every ``half_period`` samples (starting positive), as little-endian
-    int16 bytes. Chosen over a sine for test payloads because every stat a
+    ``lead`` zero samples, then an ``offset ± amp`` square wave alternating
+    sign every ``half_period`` samples (starting positive), as little-endian
+    int16 bytes; ``offset_col`` is optional (default 0 — the historic
+    symmetric wave) and lets a test plant ASYMMETRIC clipping (only the
+    positive half-period reaches full scale). Caller keeps
+    ``|offset| + amp ≤ 32767``. Chosen over a sine for test payloads because every stat a
     consumer computes from the BYTES has an exact integer closed form in
     (n, lead, amp, half_period) — which is what lets a SQL oracle
     value-check the real byte-decode path (:func:`pcm_stats`,
@@ -259,13 +263,14 @@ def synth_square_pcm(
     def run(batches):
         for pdf in batches:
             payloads: list[bytes] = []
-            for n, lead, amp, k in zip(
-                pdf[n_col], pdf[lead_col], pdf[amp_col], pdf[half_period_col]
+            offsets = pdf[offset_col] if offset_col else [0] * len(pdf)
+            for n, lead, amp, k, o in zip(
+                pdf[n_col], pdf[lead_col], pdf[amp_col], pdf[half_period_col], offsets
             ):
-                n, lead, amp, k = int(n), int(lead), int(amp), max(int(k), 1)
+                n, lead, amp, k, o = int(n), int(lead), int(amp), max(int(k), 1), int(o)
                 wave_len = max(n - lead, 0)
                 j = np.arange(wave_len, dtype=np.int64)
-                wave = np.where((j // k) % 2 == 0, amp, -amp)
+                wave = np.where((j // k) % 2 == 0, o + amp, o - amp)
                 x = np.concatenate([np.zeros(max(lead, 0), dtype=np.int64), wave])
                 payloads.append(x.astype("<i2").tobytes())
             out = pdf.copy()
@@ -840,3 +845,63 @@ def normalization_gain(
         )
     )
     return out.drop("_c0", "_c1")
+
+
+def clipping_stats(
+    df: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    threshold: int = 32767,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Sustained-overdrive screen decoded from raw int16-LE PCM bytes.
+
+    Emits ``(n_samples, n_clipped, max_clip_run, clipped_ppm)`` per row:
+    a clip *ratio* can't tell real distortion (hundreds of CONSECUTIVE
+    full-scale samples) from isolated legitimate peaks — the run length
+    can (the loud sibling of the dead-air screen, pcm.max_quiet_run_ms).
+    Integer-exact end-to-end (counts and half-up ppm — no float), NULL /
+    odd-length payloads yield NULL stats; one mapInPandas stage and the
+    binary column dies inside it (same contract as :func:`pcm_stats`).
+    """
+    kept = keep if keep is not None else [f.name for f in df.schema.fields if f.name != bytes_col]
+    _guard_emitted(
+        kept, ("n_samples", "n_clipped", "max_clip_run", "clipped_ppm"), "clipping_stats"
+    )
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in kept
+    )
+    schema = (
+        f"{fields}, n_samples bigint, n_clipped bigint, max_clip_run bigint,"
+        " clipped_ppm bigint"
+    )
+
+    def run(batches):
+        from data_check_spark.functions.pcm import clipped_run_stats
+
+        for pdf in batches:
+            m = len(pdf)
+            n_s: list[int | None] = [None] * m
+            nc_s: list[int | None] = [None] * m
+            run_s: list[int | None] = [None] * m
+            ppm_s: list[int | None] = [None] * m
+            payloads = pdf[bytes_col].to_numpy(dtype=object)
+            for i in range(m):
+                b = payloads[i]
+                if b is None or len(b) % 2 != 0:
+                    continue
+                decoded = np.frombuffer(b, dtype="<i2")
+                n = decoded.size
+                n_s[i] = n
+                n_over, longest = clipped_run_stats(decoded, threshold=threshold)
+                nc_s[i] = n_over
+                run_s[i] = longest
+                ppm_s[i] = (n_over * 1_000_000 + n // 2) // n if n else 0
+            out = pdf[kept].copy()
+            out["n_samples"] = pd.array(n_s, dtype="Int64")
+            out["n_clipped"] = pd.array(nc_s, dtype="Int64")
+            out["max_clip_run"] = pd.array(run_s, dtype="Int64")
+            out["clipped_ppm"] = pd.array(ppm_s, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

@@ -5104,3 +5104,72 @@ def novelty_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")),
     )
     return novelty_rate(ev, id_col="feed_id", ts_col="ts").orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Sustained-overdrive screen through the REAL decode path
+# (operators/audio.py::clipping_stats): a clip RATIO can't tell distortion
+# (consecutive full-scale samples) from isolated peaks — the run length can.
+# One doc band (h%5==0) gets an offset square wave whose POSITIVE half-period
+# exactly reaches full scale (1000 + 31767 = 32767; the negative half,
+# |1000 − 31767| = 30767, stays clean), so the closed forms are: clipped
+# samples = the positive-sample count of the alternation, max run = one half
+# period (or the whole wave if shorter).
+_CLIPPING_RUNS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         800 + CAST(('0x' || substr(md5(doc_id || ':cn'), 1, 15)) AS BIGINT) % 1600 AS n,
+         CAST(('0x' || substr(md5(doc_id || ':cl'), 1, 15)) AS BIGINT) % 200 AS lead,
+         4 + CAST(('0x' || substr(md5(doc_id || ':ck'), 1, 15)) AS BIGINT) % 28 AS k,
+         CAST(('0x' || substr(md5(doc_id || ':ca'), 1, 15)) AS BIGINT) % 5 = 0 AS hot
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n, k, hot,
+         n - lead AS wl,
+         (n - lead) // k AS fb,
+         (n - lead) % k AS r
+  FROM p
+),
+c AS (
+  SELECT doc_id, n AS n_samples,
+         CASE WHEN hot
+              THEN k * ((fb + 1) // 2) + CASE WHEN fb % 2 = 0 THEN r ELSE 0 END
+              ELSE 0 END AS n_clipped,
+         CASE WHEN hot THEN least(k, wl) ELSE 0 END AS max_clip_run,
+         n
+  FROM f
+)
+SELECT doc_id, n_samples, n_clipped, max_clip_run,
+       (n_clipped * 1000000 + n // 2) // n AS clipped_ppm
+FROM c ORDER BY doc_id
+"""
+
+
+@register("clipping_runs_documents", _CLIPPING_RUNS_SQL)
+def clipping_runs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-overdrive detection through the real int16 byte decode:
+    md5-parameterized offset square waves (one band clips ONLY on the
+    positive half-period), decoded back by audio.clipping_stats, and the
+    clipped-sample count / longest consecutive clipped run / ppm are
+    value-checked against DuckDB's integer closed forms of the same
+    waveform geometry."""
+    from data_check_spark.operators import audio as _audio
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    hot = _doc_h(":ca") % 5 == F.lit(0)
+    params = docs.select(
+        "doc_id",
+        (F.lit(800) + _doc_h(":cn") % 1600).alias("n"),
+        (_doc_h(":cl") % 200).alias("lead"),
+        F.when(hot, F.lit(31767)).otherwise(F.lit(1000) + _doc_h(":ca") % 30000)
+            .cast("bigint").alias("amp"),
+        (F.lit(4) + _doc_h(":ck") % 28).alias("k"),
+        F.when(hot, F.lit(1000)).otherwise(F.lit(0)).cast("bigint").alias("off"),
+    )
+    pcm = _audio.synth_square_pcm(params, offset_col="off")
+    return (
+        _audio.clipping_stats(pcm, keep=["doc_id"])
+        .select("doc_id", "n_samples", "n_clipped", "max_clip_run", "clipped_ppm")
+        .orderBy("doc_id")
+    )

@@ -487,3 +487,48 @@ def test_normalization_gain_guards_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_clipped_run_stats_numpy():
+    import numpy as np
+
+    from data_check_spark.functions.pcm import clipped_run_stats
+
+    # isolated peak vs sustained run: same count ≠ same run
+    x = np.array([0, 32767, 0, 32767, 32767, 32767, 0, -32768, -32768], dtype=np.int16)
+    n_over, longest = clipped_run_stats(x)
+    assert n_over == 6          # 1 + 3 + 2 (int16 abs(-32768) overflow guarded)
+    assert longest == 3
+    # clean signal
+    assert clipped_run_stats(np.array([100, -100], dtype=np.int16)) == (0, 0)
+    # empty
+    assert clipped_run_stats(np.array([], dtype=np.int16)) == (0, 0)
+    # run touching both ends
+    y = np.full(5, 32767, dtype=np.int16)
+    assert clipped_run_stats(y) == (5, 5)
+
+
+def test_clipping_stats_through_decode(spark):
+    from data_check_spark.operators.audio import clipping_stats, synth_square_pcm
+
+    # doc 1: offset wave clipping only on positive half-periods (k=3);
+    # doc 2: clean symmetric wave; doc 3: NULL-equivalent via odd bytes is
+    # covered below with a hand-built frame.
+    params = spark.createDataFrame(
+        [(1, 10, 0, 31767, 3, 1000), (2, 10, 2, 2000, 3, 0)],
+        "doc_id long, n long, lead long, amp long, k long, off long",
+    )
+    pcm = synth_square_pcm(params, offset_col="off")
+    out = {r["doc_id"]: r for r in clipping_stats(pcm, keep=["doc_id"]).collect()}
+    # doc 1: wl=10, blocks of 3: +++ --- +++ - → clipped samples 3+3+0(+1 rem neg? )
+    # j//3 % 2: j0-2 pos, j3-5 neg, j6-8 pos, j9 neg → n_clipped=6, run=3
+    assert (out[1]["n_samples"], out[1]["n_clipped"], out[1]["max_clip_run"]) == (10, 6, 3)
+    assert out[1]["clipped_ppm"] == (6 * 1_000_000 + 5) // 10
+    assert (out[2]["n_clipped"], out[2]["max_clip_run"]) == (0, 0)
+
+    # undecodable payloads → NULL stats
+    raw = spark.createDataFrame(
+        [(9, bytearray(b"\x01\x02\x03")), (10, None)], "doc_id long, bytes binary"
+    )
+    bad = {r["doc_id"]: r for r in clipping_stats(raw, keep=["doc_id"]).collect()}
+    assert bad[9]["n_samples"] is None and bad[10]["max_clip_run"] is None
