@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "watermark_plan_events",
     "novelty_rate_events",
     "clipping_runs_documents",
+    "lang_mismatch_documents",
 ]
 
 

@@ -5173,3 +5173,37 @@ def clipping_runs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_samples", "n_clipped", "max_clip_run", "clipped_ppm")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Declared-vs-detected language mismatch: metadata-vs-content consistency
+# over a derived signal — a wrong lang tag silently poisons per-language
+# mixing/upsampling decisions even when every per-row format rule passes.
+def _lang_mismatch_sql() -> str:
+    return f"""
+WITH pred AS ({_lang_sql()})
+SELECT d.doc_id, d.lang AS declared_lang, p.predicted_lang
+FROM documents d JOIN pred p USING (doc_id)
+WHERE d.lang IS NOT NULL AND d.lang <> p.predicted_lang
+ORDER BY d.doc_id
+"""
+
+
+@register("lang_mismatch_documents", _lang_mismatch_sql())
+def lang_mismatch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose declared lang tag disagrees with the content-derived
+    language ID (same marker heuristic the oracle replays) — the label-
+    noise audit for per-language curation. One text scan (the lang_id
+    projection); the join back to the declared tag is keyed on doc_id
+    (AQE-broadcast at test scale). NULL declared tags are the not-null
+    rule's finding, not a mismatch."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = _text.lang_id(docs).select("doc_id", "predicted_lang")
+    return (
+        docs.filter(F.col("lang").isNotNull())
+        .select("doc_id", F.col("lang").alias("declared_lang"))
+        .join(pred, "doc_id")
+        .filter(F.col("declared_lang") != F.col("predicted_lang"))
+        .select("doc_id", "declared_lang", "predicted_lang")
+        .orderBy("doc_id")
+    )
