@@ -375,3 +375,65 @@ def test_cumulative_drift_sketch_stream(spark, tmp_path):
     out = cumulative_drift_violations(spark, state, baseline, rules).collect()
     assert {r["partition"] for r in out} == {"pX"}
     assert out[0]["rule_id"] == "DRIFT_DUR_MS" and "w1=" in out[0]["observed"]
+
+
+def test_watermark_bound_controls_late_data_loss(spark, tmp_path):
+    """Ties the watermark_plan recommendation to actual behavior: a row
+    arriving 2h late is DROPPED by a windowed aggregation under a 10-minute
+    watermark and KEPT under a p100-sized (3-hour) bound — `withWatermark`
+    must cover the measured out-of-orderness or data silently vanishes."""
+    import datetime as dt
+
+    from data_check_spark.streaming.incremental import (
+        stream_clips,
+        streaming_violations_with_ts,
+    )
+
+    base = dt.datetime(2026, 1, 1, 6, 0, 0)
+
+    def run(watermark: str, tag: str) -> dict:
+        in_dir = str(tmp_path / f"in_{tag}")
+        # batch 1: two violations at base, plus a base+3h row that advances
+        # the event-time watermark well past base.
+        _write_batch(spark, in_dir, [
+            (None, 16000, 1000, "flac", "t", "p0", base),
+            (None, 16000, 1000, "flac", "t", "p0", base),
+            (None, 16000, 1000, "flac", "t", "p0", base + dt.timedelta(hours=3)),
+        ], 1)
+        counts = (
+            streaming_violations_with_ts(
+                stream_clips(spark, in_dir), CATALOG, run_ts="2026-01-01 00:00:00"
+            )
+            .withWatermark("event_ts", watermark)
+            .groupBy(F.window("event_ts", "1 hour").alias("w"), "rule_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "rule_id", "n")
+        )
+        out = str(tmp_path / f"out_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+
+        def drain():
+            q = (
+                counts.writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ck).outputMode("append")
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        # batch 2: ONE more violation at base — 3h behind the advanced
+        # watermark — plus a base+6h row to finalize every window.
+        _write_batch(spark, in_dir, [
+            (None, 16000, 1000, "flac", "t", "p0", base),
+            (None, 16000, 1000, "flac", "t", "p0", base + dt.timedelta(hours=6)),
+        ], 2)
+        drain()
+        return {
+            r["ws"]: r["n"]
+            for r in spark.read.parquet(out).filter("rule_id = 'S_ID_NOT_NULL'").collect()
+        }
+
+    tight = run("10 minutes", "tight")
+    assert tight[base] == 2          # the 2h-late third violation was DROPPED
+    wide = run("3 hours", "wide")
+    assert wide[base] == 3           # p100-sized bound keeps it
