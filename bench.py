@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "novelty_rate_events",
     "clipping_runs_documents",
     "lang_mismatch_documents",
+    "violation_delta_orders",
 ]
 
 

@@ -5207,3 +5207,75 @@ def lang_mismatch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "declared_lang", "predicted_lang")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Run-over-run violation delta (operators/diff.py::snapshot_diff over two
+# violation sets): which violations are NEW, which RESOLVED, which changed
+# their observed value — the triage view between yesterday's run and
+# today's. The 'new' side perturbs a deterministic order band (+10% in
+# exact integer cents), so band rows already above the threshold flip to
+# 'changed' and band rows pushed over it appear as 'added'.
+_VIOLATION_DELTA_SQL = """
+WITH b AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE o_orderkey IS NOT NULL
+),
+o AS (
+  SELECT 'TP_HIGH' AS rule_id, CAST(o_orderkey AS VARCHAR) AS clip_id,
+         CAST(c AS VARCHAR) AS observed
+  FROM b WHERE c > 40000000
+),
+n AS (
+  SELECT 'TP_HIGH' AS rule_id, CAST(o_orderkey AS VARCHAR) AS clip_id,
+         CAST(CASE WHEN o_orderkey % 7 = 0 THEN c + c // 10 ELSE c END AS VARCHAR)
+             AS observed
+  FROM b
+  WHERE (CASE WHEN o_orderkey % 7 = 0 THEN c + c // 10 ELSE c END) > 40000000
+)
+SELECT coalesce(o.rule_id, n.rule_id) AS rule_id,
+       coalesce(o.clip_id, n.clip_id) AS clip_id,
+       CASE WHEN o.clip_id IS NULL THEN 'added'
+            WHEN n.clip_id IS NULL THEN 'removed'
+            WHEN o.observed <> n.observed THEN 'changed' END AS change_type
+FROM o FULL OUTER JOIN n ON o.rule_id = n.rule_id AND o.clip_id = n.clip_id
+WHERE o.clip_id IS NULL OR n.clip_id IS NULL OR o.observed <> n.observed
+ORDER BY clip_id
+"""
+
+
+@register("violation_delta_orders", _VIOLATION_DELTA_SQL)
+def violation_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level violation triage between two runs (summary_regression's
+    row-grain sibling): snapshot_diff keyed on (rule_id, clip_id) over the
+    old/new violation sets — added / removed / changed per violation.
+    Violation frames are tiny relative to the table, so the full-outer
+    diff join is cheap; exact integer cents end-to-end."""
+    from data_check_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    cents = F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+    base = orders.select("o_orderkey", cents.alias("_c"))
+    old = (
+        base.filter(F.col("_c") > 40_000_000)
+        .select(
+            F.lit("TP_HIGH").alias("rule_id"),
+            F.col("o_orderkey").cast("string").alias("clip_id"),
+            F.col("_c").cast("string").alias("observed"),
+        )
+    )
+    bumped = F.when(
+        F.col("o_orderkey") % 7 == 0, F.col("_c") + F.expr("_c div 10")
+    ).otherwise(F.col("_c"))
+    new = (
+        base.select("o_orderkey", bumped.alias("_c2"))
+        .filter(F.col("_c2") > 40_000_000)
+        .select(
+            F.lit("TP_HIGH").alias("rule_id"),
+            F.col("o_orderkey").cast("string").alias("clip_id"),
+            F.col("_c2").cast("string").alias("observed"),
+        )
+    )
+    return snapshot_diff(
+        old, new, key_cols=["rule_id", "clip_id"], compare_cols=["observed"]
+    ).orderBy("clip_id")
