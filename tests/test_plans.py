@@ -186,3 +186,39 @@ def test_voiced_segments_chained_python_stages(spark):
     assert plan.count("MapInPandas") == 2
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_cardinality_child_folds_before_join(spark):
+    """Cardinality: the child side must collapse to (key, count) with a
+    map-side partial BEFORE its exchange — child rows never shuffle — and
+    the keyed join must not degrade to a nested loop."""
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["cardinality_orders_lineitem"](spark, SF_DIR))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_benford_single_scan_and_pruned(spark):
+    """Benford: exactly one scan of orders, pruned to the value column."""
+    import re
+
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["benford_orders"](spark, SF_DIR))
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(scans) == 1
+    assert "o_totalprice" in scans[0] and "o_orderkey" not in scans[0]
+
+
+def test_label_conflict_no_text_past_first_projection(spark):
+    """Duplicate-label conflicts: the raw text must die in the scan-side
+    projection (only the 128-bit fingerprint shuffles)."""
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["label_conflict_documents"](spark, SF_DIR))
+    # the only data exchange is keyed by the md5 fingerprint (two-phase
+    # aggregate); raw text never reaches a shuffle
+    assert "hashpartitioning(fingerprint" in plan
+    assert "hashpartitioning(text" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
