@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "clipping_runs_documents",
     "lang_mismatch_documents",
     "violation_delta_orders",
+    "correlation_lineitem",
 ]
 
 

@@ -794,3 +794,99 @@ def format_masks(
             "mask_rank",
         )
     )
+
+
+def numeric_correlation(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    *,
+    scales: dict[str, float] | None = None,
+) -> DataFrame:
+    """Pearson-correlation screen over numeric column pairs — ONE pass,
+    integer-exact cross-engine contract.
+
+    Correlation is the profiling complement of :mod:`funcdep` (categorical
+    X→Y): a pair that SHOULD covary (price ↔ quantity) suddenly reading
+    r² ≈ 0 — or an independent pair reading r² ≈ 1 — is the classic
+    "join fanout / unit mangling upstream" tripwire. Float ``corr()`` is
+    summation-order-dependent and never hash-portable, so this computes
+    integer sufficient statistics over quantized values
+    (``floor(x·scale + 0.5)``) and derives
+
+        r²_ppm = ((num² div d1) · 10⁶) div d2,  num = n·Σxy − Σx·Σy,
+        d1 = n·Σx² − (Σx)²,  d2 = n·Σy² − (Σy)²
+
+    with a fixed truncation order both engines share. Exactness lane: by
+    Cauchy–Schwarz ``num² ≤ d1·d2``, so every division result fits an
+    int64 PROVIDED ``d ≤ 2^63`` per column — i.e. ``n·(scale·max|x|)² ≲
+    9·10^18``. Beyond that the row reports NULL ``r2_ppm`` with
+    ``overflow = true`` rather than silently wrong digits (Spark's
+    decimal ``div`` wraps past int64); pick a coarser ``scale``, or run
+    per-partition / on a deterministic sample at 10^12 rows. Pairwise
+    NULL/NaN/±Inf rows are excluded per pair (``_finite``).
+
+    Output per pair: ``(col_x, col_y, n, num, d1, d2, sign, r2_ppm,
+    overflow)`` with the big integers rendered as strings (engine-neutral
+    — int128/decimal type names differ across engines). Scale shape: one
+    map-side-combined aggregate; the per-pair arithmetic runs on the
+    1-row result."""
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    scales = scales or {}
+    LANE = 9_200_000_000_000_000_000  # ~2^63: the exact-division contract
+
+    def q(c: str) -> Column:
+        s = float(scales.get(c, 1.0))
+        return F.expr(f"cast(floor(({c}) * {s!r} + 0.5) as bigint)")
+
+    aggs: list[Column] = []
+    for i, (x, y) in enumerate(pairs):
+        qx = F.when(_finite(F.col(x)).isNotNull() & _finite(F.col(y)).isNotNull(), q(x))
+        qy = F.when(_finite(F.col(x)).isNotNull() & _finite(F.col(y)).isNotNull(), q(y))
+        dx, dy = qx.cast("decimal(18,0)"), qy.cast("decimal(18,0)")
+        aggs += [
+            F.count(qx).alias(f"_n{i}"),
+            F.sum(dx).alias(f"_sx{i}"),
+            F.sum(dy).alias(f"_sy{i}"),
+            F.sum(dx * dx).alias(f"_sxx{i}"),
+            F.sum(dy * dy).alias(f"_syy{i}"),
+            F.sum(dx * dy).alias(f"_sxy{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = [str(len(pairs))]
+    for i, (x, y) in enumerate(pairs):
+        stack_args += [f"'{x}'", f"'{y}'", f"_n{i}", f"_sx{i}", f"_sy{i}",
+                       f"_sxx{i}", f"_syy{i}", f"_sxy{i}"]
+    stacked = one.selectExpr(
+        "stack(" + ", ".join(stack_args) + ") AS (col_x, col_y, n, sx, sy, sxx, syy, sxy)"
+    )
+    # all operands bounded by the documented lane → every product below
+    # carries ≤ 38 digits (exact decimal), every div result fits int64
+    derived = stacked.selectExpr(
+        "col_x", "col_y", "n",
+        "cast(n as decimal(18,0)) * cast(sxy as decimal(19,0))"
+        " - cast(sx as decimal(19,0)) * cast(sy as decimal(19,0)) AS num",
+        "cast(n as decimal(18,0)) * cast(sxx as decimal(19,0))"
+        " - cast(sx as decimal(19,0)) * cast(sx as decimal(19,0)) AS d1",
+        "cast(n as decimal(18,0)) * cast(syy as decimal(19,0))"
+        " - cast(sy as decimal(19,0)) * cast(sy as decimal(19,0)) AS d2",
+    )
+    overflow = F.col("d1") > LANE
+    overflow = overflow | (F.col("d2") > LANE)
+    # (num² div d1) comes back as a LONG — recast to decimal before the ppm
+    # multiply (a long·10⁶ product would overflow first)
+    r2 = F.expr(
+        "(cast((cast(num as decimal(19,0)) * cast(num as decimal(19,0))) div d1"
+        " as decimal(19,0)) * 1000000) div d2"
+    )
+    return derived.select(
+        "col_x", "col_y", "n",
+        F.col("num").cast("string").alias("num"),
+        F.col("d1").cast("string").alias("d1"),
+        F.col("d2").cast("string").alias("d2"),
+        F.signum(F.col("num")).cast("int").alias("sign"),
+        F.when(
+            (F.col("d1") > 0) & (F.col("d2") > 0) & ~overflow, r2
+        ).alias("r2_ppm"),
+        overflow.alias("overflow"),
+    )

@@ -5279,3 +5279,82 @@ def violation_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, key_cols=["rule_id", "clip_id"], compare_cols=["observed"]
     ).orderBy("clip_id")
+
+
+# ---------------------------------------------------------------------------
+# Correlation screen (operators/profile.py::numeric_correlation): Pearson r²
+# in integer ppm from quantized sufficient statistics — float corr() is
+# summation-order-dependent and never hash-portable; this chain is exact in
+# both engines (HUGEINT in DuckDB, bounded decimal lanes in Spark) with a
+# shared truncation order. The synthetic lineitem draws extendedprice
+# INDEPENDENTLY of quantity, so both pairs read r² ≈ 0 — on a real TPC-H
+# feed quantity↔extendedprice is strongly positive, and "expected
+# covariance missing" is exactly the fanout/unit-mangling signal this
+# screen exists to raise.
+_CORRELATION_SQL = """
+WITH src AS (
+  SELECT l_quantity, l_extendedprice, l_discount FROM lineitem
+),
+q1 AS (
+  SELECT CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS qx,
+         CAST(floor(l_extendedprice * 0.01 + 0.5) AS BIGINT) AS qy
+  FROM src
+  WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity) AND NOT isinf(l_quantity)
+    AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+    AND NOT isinf(l_extendedprice)
+),
+q2 AS (
+  SELECT CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS qx,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS qy
+  FROM src
+  WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity) AND NOT isinf(l_quantity)
+    AND l_discount IS NOT NULL AND NOT isnan(l_discount) AND NOT isinf(l_discount)
+),
+s AS (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, count(*) AS n,
+         sum(CAST(qx AS HUGEINT)) AS sx, sum(CAST(qy AS HUGEINT)) AS sy,
+         sum(CAST(qx AS HUGEINT) * qx) AS sxx, sum(CAST(qy AS HUGEINT) * qy) AS syy,
+         sum(CAST(qx AS HUGEINT) * qy) AS sxy
+  FROM q1
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', count(*),
+         sum(CAST(qx AS HUGEINT)), sum(CAST(qy AS HUGEINT)),
+         sum(CAST(qx AS HUGEINT) * qx), sum(CAST(qy AS HUGEINT) * qy),
+         sum(CAST(qx AS HUGEINT) * qy)
+  FROM q2
+),
+d AS (
+  SELECT col_x, col_y, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS d1,
+         n * syy - sy * sy AS d2
+  FROM s
+)
+SELECT col_x, col_y, n,
+       CAST(num AS VARCHAR) AS num, CAST(d1 AS VARCHAR) AS d1,
+       CAST(d2 AS VARCHAR) AS d2,
+       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INTEGER)
+           AS sign,
+       CASE WHEN d1 > 0 AND d2 > 0
+                 AND d1 <= 9200000000000000000 AND d2 <= 9200000000000000000
+            THEN CAST(((num * num) // d1 * 1000000) // d2 AS BIGINT) END AS r2_ppm,
+       (d1 > 9200000000000000000 OR d2 > 9200000000000000000) AS overflow
+FROM d
+ORDER BY col_x, col_y
+"""
+
+
+@register("correlation_lineitem", _CORRELATION_SQL)
+def correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r² (integer ppm) for quantity↔extendedprice and
+    quantity↔discount — the fanout/unit-mangling tripwire (both ≈ 0 on
+    this synthetic corpus, which on a real order feed would itself be the
+    alarm: price should covary with quantity). One map-side-combined
+    aggregate; the per-pair arithmetic runs on the 1-row result."""
+    from data_check_spark.operators.profile import numeric_correlation
+
+    return numeric_correlation(
+        _t(spark, sf_dir, "lineitem"),
+        [("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount")],
+        scales={"l_quantity": 1.0, "l_extendedprice": 0.01, "l_discount": 100.0},
+    ).orderBy("col_x", "col_y")

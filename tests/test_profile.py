@@ -441,3 +441,37 @@ def test_null_correlation_single_pass_plan(spark):
     assert plan.count("partial_count") == 1
     assert plan.count("Exchange") == 1
     assert "stack" in plan
+
+
+def test_numeric_correlation_detects_planted_relationship(spark):
+    from data_check_spark.operators.profile import numeric_correlation
+
+    df = spark.range(1, 101).selectExpr(
+        "cast(id as double) AS x",
+        "cast(3 * id as double) AS y_linear",        # exact y = 3x
+        "cast(pmod(id * 7919, 101) as double) AS y_noise",  # ~independent
+        "cast(5 as double) AS y_const",              # zero variance
+    )
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in numeric_correlation(
+            df, [("x", "y_linear"), ("x", "y_noise"), ("x", "y_const")]
+        ).collect()
+    }
+    lin = out[("x", "y_linear")]
+    # exact linear relation + exact quantization → num² == d1·d2 → exactly 1e6
+    assert lin["r2_ppm"] == 1_000_000 and lin["sign"] == 1
+    assert out[("x", "y_noise")]["r2_ppm"] < 50_000
+    # constant column: d2 == 0 → NULL r², not a crash or division error
+    assert out[("x", "y_const")]["r2_ppm"] is None
+    assert all(not r["overflow"] for r in out.values())
+
+
+def test_numeric_correlation_null_nan_rows_excluded_pairwise(spark):
+    from data_check_spark.operators.profile import numeric_correlation
+
+    rows = [(1.0, 2.0), (2.0, 4.0), (None, 9.0), (3.0, float("nan")), (4.0, 8.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    (r,) = numeric_correlation(df, [("x", "y")]).collect()
+    assert r["n"] == 3                      # only pairwise-complete rows
+    assert r["r2_ppm"] == 1_000_000         # y = 2x exactly on those
