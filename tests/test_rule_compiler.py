@@ -293,3 +293,53 @@ def test_misconfigured_rules_raise(spark):
         compile_rule(Rule("F1", "forbidden_substring", "c", {"any_of": []}))
     with pytest.raises(ValueError, match="length rule"):
         compile_rule(Rule("L1", "length", "c", {}))
+
+
+def test_every_rule_kind_round_trips_through_json(tmp_path):
+    """Rules ship as data (--files rules.json): every registered kind must
+    survive to_json -> load_catalog unchanged — a kind that only works when
+    constructed in Python is not deployable."""
+    import json
+
+    from data_check_spark.rules.spec import (
+        ROW_LOCAL_KINDS,
+        SET_KINDS,
+        Rule,
+        RuleCatalog,
+        load_catalog,
+    )
+
+    params_by_kind = {
+        "format": {"pattern": "^x$"},
+        "forbidden_substring": {"any_of": ["bad"]},
+        "value_in_set": {"allowed": ["a"]},
+        "range": {"min": 0, "max": 1},
+        "length": {"min": 1, "max": 3},
+        "cross_column": {"expr": "a > b"},
+        "multi_column": {"columns": ["a", "b"], "template": "{col} IS NULL"},
+        "date_parse": {"format": "yyyy-MM-dd"},
+        "referential": {"dim": "d", "dim_key": "k", "mode": "anti"},
+        "drift": {"threshold": 0.25},
+        "cat_drift": {"threshold_bp": 2500},
+        "rate_drift": {"predicate": "a IS NULL"},
+        "volume_drift": {"threshold_bp": 5000},
+        "audio_decode": {"snr_db_min": 30.0, "cap_ms": 50},
+        "transcript_match": {"dim": "d", "dim_key": "k"},
+        "func_dep": {"determinant": ["a"]},
+        "outlier": {"group_by": "g"},
+        "reconcile": {"dim": "d", "dim_key": "k", "amount_col": "amt"},
+        "cardinality": {"dim": "d", "dim_key": "k", "fact_key": "f",
+                        "min_children": 1, "max_children": 1},
+    }
+    rules = [
+        Rule(f"R_{i}", kind, "col", params_by_kind.get(kind, {}),
+             gate="col IS NOT NULL", severity="warning", name=f"n{i}")
+        for i, kind in enumerate(sorted(ROW_LOCAL_KINDS | SET_KINDS))
+    ]
+    cat = RuleCatalog(rules)
+    path = str(tmp_path / "rules.json")
+    cat.save(path)
+    loaded = load_catalog(path)
+    assert [r.to_dict() for r in loaded] == [r.to_dict() for r in cat]
+    # and the file itself is plain JSON a deployment tool can lint
+    assert len(json.load(open(path))) == len(rules)
