@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "lang_mismatch_documents",
     "violation_delta_orders",
     "correlation_lineitem",
+    "quantization_plan_embeddings",
 ]
 
 

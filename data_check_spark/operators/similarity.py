@@ -792,3 +792,81 @@ def embedding_drift(
             "pos", "n_cur", "n_base", "mean_cur_q", "mean_base_q", "delta_q", "drifted"
         )
     )
+
+
+def quantization_plan(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Per-dimension int-``bits`` quantization plan for an embedding table.
+
+    Serving/ANN infra stores embeddings as int8 with one symmetric scale
+    per dimension; this computes that plan AND its cost — per dim: the
+    absmax (the scale), the worst reconstruction error, and that error as
+    ppm of the scale — so "is int8 safe for this encoder?" is a query, not
+    a guess. A dimension whose err_ppm spikes after an encoder change is
+    the re-quantize tripwire.
+
+    Integer-exact cross-engine contract: values quantize to micro-units
+    (``floor(x·scale + 0.5)``, the portable-LSH convention), and the codec
+    is defined on NON-NEGATIVE integers only — ``code = (2·|q|·L +
+    absmax) div (2·absmax)``, ``recon = (2·code·absmax + L) div (2·L)``
+    with ``L = 2^(bits−1) − 1`` — because integer division FLOORS in some
+    engines and TRUNCATES in others for negative operands; keeping every
+    numerator non-negative makes the two identical. NaN/±Inf elements are
+    ignored like NULL.
+
+    Output per dim: ``(dim, n_values, absmax_q, max_err_q, err_ppm)``.
+    Scale shape: two passes over the exploded (dim, value) pairs — absmax
+    must exist before errors can (same two-phase shape as drift's
+    baseline); both are map-side-combined aggregates keyed by the ≤ d-row
+    dim id, and the d-row absmax frame broadcasts back."""
+    if not 2 <= bits <= 16:
+        raise ValueError(f"bits must be in [2, 16], got {bits}")
+    levels = (1 << (bits - 1)) - 1
+    d = F.col("_v").cast("double")
+    # non-finite guard BEFORE the quantizing cast: under ANSI, floor(NaN·s)
+    # cast to bigint aborts the job on one bad element
+    fin = F.when(F.isnan(d) | (F.abs(d) == float("inf")), F.lit(None)).otherwise(d)
+    pos = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(vec_col).alias("dim", "_v"))
+        .select(
+            "dim",
+            F.floor(fin * int(scale) + F.lit(0.5)).cast("bigint").alias("_q"),
+        )
+        .filter(F.col("_q").isNotNull())
+    )
+    absmax = pos.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.max(F.abs(F.col("_q"))).alias("absmax_q"),
+    )
+    joined = pos.join(F.broadcast(absmax.select("dim", "absmax_q")), "dim")
+    aq = F.abs(F.col("_q"))
+    code = F.expr(f"(2 * abs(_q) * {levels} + absmax_q) div (2 * absmax_q)")
+    recon = F.expr(f"(2 * _code * absmax_q + {levels}) div (2 * {levels})")
+    err = (
+        joined.filter(F.col("absmax_q") > 0)
+        .withColumn("_code", code)
+        .withColumn("_err", F.abs(aq - recon))
+        .groupBy("dim")
+        .agg(F.max("_err").alias("max_err_q"))
+    )
+    return (
+        absmax.join(err, "dim", "left")
+        .select(
+            "dim",
+            "n_values",
+            "absmax_q",
+            F.coalesce(F.col("max_err_q"), F.lit(0)).alias("max_err_q"),
+            F.when(
+                F.col("absmax_q") > 0,
+                F.expr(
+                    "(coalesce(max_err_q, 0) * 1000000 + absmax_q div 2) div absmax_q"
+                ),
+            ).alias("err_ppm"),
+        )
+    )

@@ -5358,3 +5358,52 @@ def correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount")],
         scales={"l_quantity": 1.0, "l_extendedprice": 0.01, "l_discount": 100.0},
     ).orderBy("col_x", "col_y")
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization plan (operators/similarity.py::quantization_plan): the
+# "is int8 safe for this encoder?" query — per dim, the symmetric scale
+# (absmax) and the worst reconstruction error of the planned codec, all
+# non-negative integer arithmetic (floor==trunc in every engine).
+_QUANT_PLAN_SQL = """
+WITH pos AS (
+  SELECT i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i
+    FROM embeddings WHERE embedding IS NOT NULL
+  )
+  WHERE NOT isnan(embedding[i]) AND NOT isinf(embedding[i])
+),
+am AS (
+  SELECT dim, count(*) AS n_values, max(abs(q)) AS absmax_q
+  FROM pos GROUP BY dim
+),
+err AS (
+  SELECT p.dim,
+         max(abs(abs(p.q)
+             - (2 * ((2 * abs(p.q) * 127 + a.absmax_q) // (2 * a.absmax_q))
+                  * a.absmax_q + 127) // (2 * 127))) AS max_err_q
+  FROM pos p JOIN am a USING (dim)
+  WHERE a.absmax_q > 0
+  GROUP BY p.dim
+)
+SELECT a.dim, a.n_values, a.absmax_q,
+       coalesce(e.max_err_q, 0) AS max_err_q,
+       CASE WHEN a.absmax_q > 0
+            THEN (coalesce(e.max_err_q, 0) * 1000000 + a.absmax_q // 2)
+                 // a.absmax_q END AS err_ppm
+FROM am a LEFT JOIN err e ON a.dim = e.dim
+ORDER BY a.dim
+"""
+
+
+@register("quantization_plan_embeddings", _QUANT_PLAN_SQL)
+def quantization_plan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 plan for the embeddings table: absmax scale,
+    worst reconstruction error, and err_ppm — the re-quantize tripwire
+    after an encoder change. Two map-side-combined passes over the
+    exploded pairs; the 64-row absmax frame broadcasts back."""
+    from data_check_spark.operators.similarity import quantization_plan
+
+    return quantization_plan(_t(spark, sf_dir, "embeddings")).orderBy("dim")

@@ -484,3 +484,40 @@ def test_dim_means_partial_agg_plan(spark):
     # the posexplode blow-up collapses map-side before the exchange
     assert "partial_count" in plan or "partial" in plan.lower()
     assert plan.count("Exchange") == 1
+
+
+def test_quantization_plan_exact_codec(spark):
+    from data_check_spark.operators.similarity import quantization_plan
+
+    # dim 0: values ±1.0 → absmax 1e6, codes ±127 exact → err 0 at extremes;
+    # dim 1: 0.5 against absmax 1.0 → code round(63.5)=64 → recon
+    # (2*64*1e6+127) div 254 = 503937 → err 3937 (~0.5% of scale)
+    rows = [
+        (1, [1.0, 0.5]),
+        (2, [-1.0, 1.0]),
+        (3, None),                      # NULL vector ignored
+        (4, [float("nan"), 0.25]),      # NaN element ignored, row's dim1 kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in quantization_plan(df).collect()}
+    assert out[0]["n_values"] == 2 and out[0]["absmax_q"] == 1_000_000
+    assert out[0]["max_err_q"] == 0 and out[0]["err_ppm"] == 0
+    assert out[1]["n_values"] == 3
+    assert out[1]["absmax_q"] == 1_000_000
+    # worst error among {0.5, 1.0, 0.25}: hand-check the 0.5 case
+    code = (2 * 500_000 * 127 + 1_000_000) // (2 * 1_000_000)
+    recon = (2 * code * 1_000_000 + 127) // (2 * 127)
+    assert out[1]["max_err_q"] >= abs(500_000 - recon) > 0
+
+
+def test_quantization_plan_zero_dim_and_bits_guard(spark):
+    import pytest as _pytest
+
+    from data_check_spark.operators.similarity import quantization_plan
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in quantization_plan(df).collect()}
+    # all-zero dimension: absmax 0 → err_ppm NULL, no division error
+    assert out[0]["absmax_q"] == 0 and out[0]["err_ppm"] is None
+    with _pytest.raises(ValueError):
+        quantization_plan(df, bits=1)
