@@ -311,3 +311,33 @@ def cumulative_drift_violations(
 
     chunks = spark.read.parquet(f"{state_dir}/drift_sketches")
     return score_chunk_digests(chunks, baseline, rules)
+
+
+def freshness_monitor(
+    stream: DataFrame,
+    *,
+    key_col: str = "partition",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Streaming per-feed freshness state: the latest event time each feed
+    has ever produced, updated every micro-batch.
+
+    The streaming face of ``anomaly.freshness_audit``: batch answers "how
+    stale was feed X at the pinned audit instant"; this keeps a live
+    ``(key, last_ts, n_rows)`` state the sink can diff against the clock
+    (staleness = sink-side now − last_ts; the alert threshold lives with
+    the consumer, so the state itself stays deterministic and replayable).
+
+    A running MAX per feed is tiny bounded state (one timestamp per feed),
+    so no watermark is needed or wanted: a watermark here would EVICT the
+    state of a quiet feed — and a quiet feed is exactly the one the
+    monitor exists to expose. Use ``outputMode('complete')`` (or 'update')
+    — the aggregate re-emits per batch."""
+    return (
+        stream.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col))
+        .agg(
+            F.max(ts_col).alias("last_ts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

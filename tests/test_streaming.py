@@ -437,3 +437,43 @@ def test_watermark_bound_controls_late_data_loss(spark, tmp_path):
     assert tight[base] == 2          # the 2h-late third violation was DROPPED
     wide = run("3 hours", "wide")
     assert wide[base] == 3           # p100-sized bound keeps it
+
+
+def test_freshness_monitor_tracks_quiet_feed(spark, tmp_path):
+    """The quiet feed keeps its state across later batches (no watermark
+    eviction) — a consumer diffing last_ts against the clock sees exactly
+    which feed stopped and when."""
+    import datetime as dt
+
+    from data_check_spark.streaming.incremental import freshness_monitor, stream_clips
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    in_dir = str(tmp_path / "in")
+    _write_batch(spark, in_dir, [
+        ("a1", 16000, 1000, "flac", "t", "p0", base),
+        ("b1", 16000, 1000, "flac", "t", "p1", base + dt.timedelta(minutes=1)),
+    ], 1)
+
+    mon = freshness_monitor(stream_clips(spark, in_dir))
+
+    def drain():
+        q = (
+            mon.writeStream.format("memory").queryName("fresh_state")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {r["partition"]: r for r in spark.sql("select * from fresh_state").collect()}
+
+    s1 = drain()
+    assert s1["p0"]["last_ts"] == base and s1["p0"]["n_rows"] == 1
+    # batch 2: only p1 keeps producing — p0 goes quiet
+    _write_batch(spark, in_dir, [
+        ("b2", 16000, 1000, "flac", "t", "p1", base + dt.timedelta(hours=2)),
+        ("b3", 16000, 1000, "flac", "t", "p1", base + dt.timedelta(hours=3)),
+    ], 2)
+    s2 = drain()
+    assert s2["p1"]["last_ts"] == base + dt.timedelta(hours=3)
+    assert s2["p1"]["n_rows"] == 3
+    # the quiet feed's state SURVIVES — its growing staleness is the signal
+    assert s2["p0"]["last_ts"] == base and s2["p0"]["n_rows"] == 1
