@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "vocab_coverage_documents",
     "chunk_documents_corpus",
     "top_bigrams_documents",
+    "extraction_quality_documents",
+    "dataset_card_documents",
     "daily_volume_anomaly_events",
     "pack_stats_documents",
     "top_terms_documents",

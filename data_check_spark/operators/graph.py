@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DEFAULT_MAX_ITER = 30
 
@@ -116,4 +117,38 @@ def dedup_clusters(
             "cluster_size",
             (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
         )
+    )
+
+
+def select_representatives(
+    clusters: DataFrame,
+    scored: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "quality_q4",
+) -> DataFrame:
+    """Best-copy selection per duplicate cluster: ``is_kept = 1`` for the
+    member with the highest score, ties broken by smallest id.
+
+    ``dedup_clusters`` keeps first-wins (min id) — the reference's keep rule
+    for exact duplicates (dekispart.py duplicate-set precompute keeps the
+    first occurrence). Curation pipelines usually want the BEST copy instead:
+    the cleanest / longest extraction of a near-duplicate web page often
+    arrives with a later id, so the kept copy should be chosen by a quality
+    signal (``text.quality_score``), not arrival order.
+
+    Plan shape: ``clusters`` holds only docs that appear in a near-dup pair —
+    orders of magnitude smaller than the corpus — so the score join and the
+    ONE window keyed by ``cluster_id`` operate on the near-dup subset only;
+    window partitions are cluster-sized (bounded by the pair emitters' bucket
+    caps upstream), never corpus-sized.
+    """
+    w = Window.partitionBy("cluster_id").orderBy(F.col(score_col).desc(), F.col(id_col))
+    joined = clusters.join(scored.select(F.col(id_col), F.col(score_col)), id_col)
+    return joined.select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        score_col,
+        (F.row_number().over(w) == 1).cast("int").alias("is_kept"),
     )

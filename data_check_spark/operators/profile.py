@@ -890,3 +890,59 @@ def numeric_correlation(
         ).alias("r2_ppm"),
         overflow.alias("overflow"),
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    approx: bool = False,
+) -> DataFrame:
+    """Dataset-card summary: the headline numbers a corpus release ships with
+    (model/data cards à la Datasheets for Datasets), as (metric, value)
+    bigint rows.
+
+    Metrics: ``n_docs``, ``n_sources``, ``n_langs``, ``total_chars``,
+    ``total_tokens`` (whitespace grain), ``n_blank_docs``, ``dup_docs`` /
+    ``dup_groups`` (exact md5-fingerprint duplicates — docs in a >1 group
+    and the group count).
+
+    Plan shape: ONE full scan feeds a single global aggregate (map-side
+    partials, 1-row result); the duplicate tally is the standard two-phase
+    fingerprint groupBy (the shuffle carries 128-bit fingerprints, never
+    text). ``approx=True`` swaps the two exact distinct counts for
+    HyperLogLog++ (no Expand, the 100-TB default); exact is kept as the
+    oracle-checkable baseline. The two 1-row frames cross-join (trivial)
+    and unpivot via ``stack`` — output is 8 rows regardless of corpus size.
+    """
+    t = F.trim(F.col(text_col))
+    n_tokens = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    distinct = F.approx_count_distinct if approx else F.count_distinct
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        distinct(F.col(source_col)).alias("n_sources"),
+        distinct(F.col(lang_col)).alias("n_langs"),
+        F.sum(F.length(F.col(text_col))).alias("total_chars"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.count_if(t == "").alias("n_blank_docs"),
+    )
+    groups = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_fp"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    dups = groups.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("dup_docs"),
+        F.count(F.lit(1)).alias("dup_groups"),
+    )
+    metrics = [
+        "n_docs", "n_sources", "n_langs", "total_chars",
+        "total_tokens", "n_blank_docs", "dup_docs", "dup_groups",
+    ]
+    stack_args = ", ".join(f"'{m}', cast({m} as bigint)" for m in metrics)
+    return base.crossJoin(dups).selectExpr(
+        f"stack({len(metrics)}, {stack_args}) AS (metric, value)"
+    )

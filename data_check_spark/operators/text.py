@@ -709,3 +709,65 @@ def token_drift(
             " AS drifted",
         )
     )
+
+
+# --- Extraction-quality screen (web-scale ingest QC) -----------------------
+# Patterns live in the Java∩RE2 common subset (same discipline as
+# operators/pii.py) so the DuckDB oracle evaluates the identical language:
+# no backrefs, no lookarounds, \x{...} codepoint escapes.
+MARKUP_TAG_PATTERN = r"<[^>]*>"
+MARKUP_ENTITY_PATTERN = r"&[A-Za-z]+;|&#[0-9]+;"
+REPLACEMENT_CHAR_PATTERN = r"\x{FFFD}"
+CONTROL_CHAR_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+def extraction_quality(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    residue_bp_max: int = 500,
+) -> DataFrame:
+    """Text-extraction QC: flag docs whose HTML→text conversion failed.
+
+    A web-scale corpus arrives through an extractor (trafilatura-style);
+    when it misfires the tell-tales are residual markup (``<div>`` tags,
+    ``&nbsp;`` entities), U+FFFD replacement characters (a charset was
+    mis-sniffed upstream — the distributed generalization of the reference's
+    cp932/utf-8 encoding fallback, dekispart.py CSV loaders), and raw C0
+    control characters. Each signal is counted with built-in ``regexp_count``
+    (JVM whole-stage codegen — ONE projection over ONE scan, no shuffle, no
+    Python), and the verdict is integer-exact:
+
+    - ``n_tags`` / ``n_entities`` — markup residue occurrences;
+    - ``n_replacement`` / ``n_ctrl`` — mojibake signals;
+    - ``markup_chars`` — chars removed by stripping tags+entities;
+    - ``residue_bp`` — markup chars in basis points of the doc length
+      (integer ``div``, no float compare);
+    - ``status`` — ``mojibake`` > ``markup_residue`` (residue_bp above
+      ``residue_bp_max``) > ``light_markup`` > ``clean``, first match wins.
+    """
+    t = F.col(text_col)
+    stripped = F.regexp_replace(
+        F.regexp_replace(t, MARKUP_TAG_PATTERN, ""), MARKUP_ENTITY_PATTERN, ""
+    )
+    out = df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(MARKUP_TAG_PATTERN)).alias("n_tags"),
+        F.regexp_count(t, F.lit(MARKUP_ENTITY_PATTERN)).alias("n_entities"),
+        F.regexp_count(t, F.lit(REPLACEMENT_CHAR_PATTERN)).alias("n_replacement"),
+        F.regexp_count(t, F.lit(CONTROL_CHAR_PATTERN)).alias("n_ctrl"),
+        (F.length(t) - F.length(stripped)).alias("markup_chars"),
+        F.greatest(F.length(t), F.lit(1)).alias("_len"),
+    )
+    return (
+        out.withColumn("residue_bp", F.expr("markup_chars * 10000 div _len"))
+        .withColumn(
+            "status",
+            F.when((F.col("n_replacement") > 0) | (F.col("n_ctrl") > 0), F.lit("mojibake"))
+            .when(F.col("residue_bp") > residue_bp_max, F.lit("markup_residue"))
+            .when((F.col("n_tags") + F.col("n_entities")) > 0, F.lit("light_markup"))
+            .otherwise(F.lit("clean")),
+        )
+        .drop("_len")
+    )

@@ -5407,3 +5407,153 @@ def quantization_plan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators.similarity import quantization_plan
 
     return quantization_plan(_t(spark, sf_dir, "embeddings")).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# Best-copy representative selection per near-dup cluster
+# (operators/graph.py::select_representatives): the curation keep rule
+# upgraded from first-wins (min id) to best-quality-wins — real pipelines
+# keep the cleanest extraction, not the earliest arrival. The oracle
+# re-derives clusters (recursive CTE), scores (quality q4), and the window
+# pick end-to-end.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_REPS_SQL = f"""
+WITH clus AS ({_DEDUP_CLUSTERS_SQL}),
+q AS ({_quality_sql()})
+SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_q4,
+       CAST(row_number() OVER (PARTITION BY c.cluster_id
+                               ORDER BY q.quality_q4 DESC, c.doc_id) = 1 AS INT)
+           AS is_kept
+FROM clus c JOIN q ON q.doc_id = c.doc_id
+"""
+
+
+@register("cluster_representatives_documents", _CLUSTER_REPS_SQL)
+def cluster_representatives_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters (n-gram Jaccard pairs → connected components) with
+    the kept copy chosen by quality score instead of arrival order. The
+    window runs over the near-dup subset only — partitions are cluster-sized."""
+    pairs = _dedup.ngram_jaccard_pairs(_docs_parallel(spark, sf_dir), threshold=0.3)
+    clusters = _graph.dedup_clusters(pairs.select("id_a", "id_b"))
+    scored = _text.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_q4"
+    )
+    return _graph.select_representatives(clusters, scored)
+
+
+# ---------------------------------------------------------------------------
+# Extraction-quality screen (operators/text.py::extraction_quality): residual
+# markup / mojibake / control chars from a failed HTML→text conversion. The
+# synthetic corpus is clean, so the query plants failure modes derived from
+# doc_id — identically expressible on both engines — and the screen must
+# find exactly those.
+# ---------------------------------------------------------------------------
+
+_EXTRACTION_QUALITY_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 4 = 0 THEN '<div class="x">' ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 4 = 0 THEN '</div><br/>' ELSE '' END)
+         || (CASE WHEN doc_id % 9 = 0 THEN ' &nbsp;&amp;&#160;' ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0 THEN repeat(chr(65533), 2) ELSE '' END)
+         || (CASE WHEN doc_id % 17 = 0 THEN chr(7) || chr(8) ELSE '' END) AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '<[^>]*>')) AS n_tags,
+         len(regexp_extract_all(text, '&[A-Za-z]+;|&#[0-9]+;')) AS n_entities,
+         len(regexp_extract_all(text, '\x{FFFD}')) AS n_replacement,
+         len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS n_ctrl,
+         length(text)
+           - length(regexp_replace(regexp_replace(text, '<[^>]*>', '', 'g'),
+                                   '&[A-Za-z]+;|&#[0-9]+;', '', 'g')) AS markup_chars,
+         greatest(length(text), 1) AS len1
+  FROM aug
+)
+SELECT doc_id, n_tags, n_entities, n_replacement, n_ctrl, markup_chars,
+       markup_chars * 10000 // len1 AS residue_bp,
+       CASE WHEN n_replacement > 0 OR n_ctrl > 0 THEN 'mojibake'
+            WHEN markup_chars * 10000 // len1 > 500 THEN 'markup_residue'
+            WHEN n_tags + n_entities > 0 THEN 'light_markup'
+            ELSE 'clean' END AS status
+FROM s
+"""
+
+
+def _markup_augment(df: DataFrame) -> DataFrame:
+    """Plant doc_id-derived extraction failures (markup / mojibake / ctrl)."""
+    d = F.col("doc_id")
+    return df.select(
+        d.alias("doc_id"),
+        F.concat(
+            F.when(d % 4 == 0, F.lit('<div class="x">')).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(d % 4 == 0, F.lit("</div><br/>")).otherwise(F.lit("")),
+            F.when(d % 9 == 0, F.lit(" &nbsp;&amp;&#160;")).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit("\uFFFD\uFFFD")).otherwise(F.lit("")),
+            F.when(d % 17 == 0, F.lit("\x07\x08")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register("extraction_quality_documents", _EXTRACTION_QUALITY_SQL)
+def extraction_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction QC over the planted corpus: pure regexp_count projection,
+    one scan, no shuffle; counts and basis points are integer-exact."""
+    aug = _markup_augment(_t(spark, sf_dir, "documents"))
+    out = _text.extraction_quality(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_tags").cast("long"),
+        F.col("n_entities").cast("long"),
+        F.col("n_replacement").cast("long"),
+        F.col("n_ctrl").cast("long"),
+        F.col("markup_chars").cast("long"),
+        F.col("residue_bp").cast("long"),
+        "status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-card rollup (operators/profile.py::dataset_card): the corpus
+# release headline numbers as (metric, value) rows — one global aggregate
+# plus the two-phase fingerprint dup tally.
+# ---------------------------------------------------------------------------
+
+_DATASET_CARD_SQL = r"""
+WITH base AS (
+  SELECT count(*) AS n_docs,
+         count(DISTINCT source) AS n_sources,
+         count(DISTINCT lang) AS n_langs,
+         sum(length(text)) AS total_chars,
+         sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+             AS total_tokens,
+         sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS n_blank_docs
+  FROM documents
+),
+g AS (SELECT count(*) AS n FROM documents GROUP BY md5(text) HAVING count(*) > 1),
+d AS (SELECT coalesce(sum(n), 0) AS dup_docs, count(*) AS dup_groups FROM g)
+SELECT metric, CAST(value AS bigint) AS value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+  UNION ALL SELECT 'n_sources', n_sources FROM base
+  UNION ALL SELECT 'n_langs', n_langs FROM base
+  UNION ALL SELECT 'total_chars', total_chars FROM base
+  UNION ALL SELECT 'total_tokens', total_tokens FROM base
+  UNION ALL SELECT 'n_blank_docs', n_blank_docs FROM base
+  UNION ALL SELECT 'dup_docs', dup_docs FROM d
+  UNION ALL SELECT 'dup_groups', dup_groups FROM d
+)
+"""
+
+
+@register("dataset_card_documents", _DATASET_CARD_SQL)
+def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dataset-card metrics: ONE scan feeds the global aggregate;
+    the dup tally shuffles fingerprints only. Output is 8 rows always."""
+    from data_check_spark.operators.profile import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))

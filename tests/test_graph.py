@@ -76,3 +76,23 @@ def test_null_ids_excluded_from_components(spark):
     rows = connected_components(pairs).collect()
     assert all(r["node"] is not None for r in rows)
     assert {(r["node"], r["component"]) for r in rows} == {(5, 5), (6, 5)}
+
+
+def test_select_representatives_keeps_best_quality(spark):
+    from data_check_spark.operators.graph import select_representatives
+
+    clusters = dedup_clusters(_pairs(spark, [(1, 2), (2, 3), (10, 11)]))
+    scored = spark.createDataFrame(
+        # cluster {1,2,3}: doc 3 has the best score; cluster {10,11}: tie → min id
+        [(1, 100), (2, 250), (3, 900), (10, 500), (11, 500)],
+        "doc_id long, quality_q4 long",
+    )
+    out = select_representatives(clusters, scored).collect()
+    kept = {r["doc_id"] for r in out if r["is_kept"] == 1}
+    assert kept == {3, 10}
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[3]["cluster_id"] == 1 and by_id[3]["cluster_size"] == 3
+    assert by_id[3]["quality_q4"] == 900
+    # every member is reported, kept or not
+    assert set(by_id) == {1, 2, 3, 10, 11}
+    assert sum(r["is_kept"] for r in out) == 2

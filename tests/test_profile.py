@@ -475,3 +475,42 @@ def test_numeric_correlation_null_nan_rows_excluded_pairwise(spark):
     (r,) = numeric_correlation(df, [("x", "y")]).collect()
     assert r["n"] == 3                      # only pairwise-complete rows
     assert r["r2_ppm"] == 1_000_000         # y = 2x exactly on those
+
+
+def test_dataset_card_metrics(spark):
+    from data_check_spark.operators.profile import dataset_card
+
+    rows = [
+        (1, "alpha beta", "s1", "en"),
+        (2, "alpha beta", "s1", "en"),   # exact dup of 1
+        (3, "gamma", "s2", "fr"),
+        (4, "gamma", "s2", "fr"),        # exact dup of 3
+        (5, "gamma", "s2", "fr"),        # exact dup of 3 (group of 3)
+        (6, "   ", "s3", "en"),          # blank (whitespace-only trims empty)
+        (7, "delta eps zeta", "s1", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    got = {r["metric"]: r["value"] for r in dataset_card(df).collect()}
+    assert got == {
+        "n_docs": 7,
+        "n_sources": 3,
+        "n_langs": 3,
+        "total_chars": sum(len(t) for _, t, _, _ in rows),
+        "total_tokens": 2 + 2 + 1 + 1 + 1 + 0 + 3,
+        "n_blank_docs": 1,
+        "dup_docs": 5,     # both members of the pair + all three of the triple
+        "dup_groups": 2,
+    }
+
+
+def test_dataset_card_approx_mode_runs(spark):
+    from data_check_spark.operators.profile import dataset_card
+
+    df = spark.createDataFrame(
+        [(1, "a b", "s1", "en"), (2, "c", "s2", "fr")],
+        "doc_id long, text string, source string, lang string",
+    )
+    got = {r["metric"]: r["value"] for r in dataset_card(df, approx=True).collect()}
+    # HLL++ is exact at tiny cardinalities; the point is the plan compiles
+    # without the Expand node and yields the same 8 metrics.
+    assert got["n_docs"] == 2 and got["n_sources"] == 2 and got["dup_docs"] == 0

@@ -341,3 +341,36 @@ def test_token_drift_head_tiebreak_and_guards(spark):
         token_drift(cur, base, k=0)
     with _pytest.raises(ValueError, match="threshold_ppm"):
         token_drift(cur, base, threshold_ppm=0)
+
+
+def test_extraction_quality_classifies_failure_modes(spark):
+    from data_check_spark.operators.text import extraction_quality
+
+    long_clean = "word " * 200
+    rows = [
+        (1, "a perfectly clean sentence."),
+        (2, '<div class="x">short</div><br/>'),          # markup-heavy short doc
+        (3, long_clean.strip() + " &nbsp;&amp;"),         # light markup on a long doc
+        (4, "text with mojibake � here"),
+        (5, "control\x07chars\x1f"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in extraction_quality(df).collect()}
+
+    assert out[1]["status"] == "clean"
+    assert out[1]["n_tags"] == out[1]["n_entities"] == 0
+
+    assert out[2]["n_tags"] == 3  # <div ...>, </div>, <br/>
+    assert out[2]["status"] == "markup_residue"
+    assert out[2]["markup_chars"] == len('<div class="x">') + len("</div>") + len("<br/>")
+    assert out[2]["residue_bp"] > 500
+
+    assert out[3]["n_entities"] == 2
+    assert out[3]["status"] == "light_markup"
+    assert out[3]["residue_bp"] <= 500
+
+    assert out[4]["n_replacement"] == 1 and out[4]["status"] == "mojibake"
+    assert out[5]["n_ctrl"] == 2 and out[5]["status"] == "mojibake"
+
+    assert out[6]["status"] == "clean" and out[6]["residue_bp"] == 0
