@@ -222,3 +222,34 @@ def test_label_conflict_no_text_past_first_projection(spark):
     assert "hashpartitioning(fingerprint" in plan
     assert "hashpartitioning(text" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_extraction_quality_single_scan_no_shuffle(spark):
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["extraction_quality_documents"](spark, SF_DIR))
+    # pure JVM projection: one parquet scan, no exchange, no python stage
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dataset_card_bounded_plan(spark):
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["dataset_card_documents"](spark, SF_DIR))
+    # global aggregate has a map-side partial phase; the 1-row x 1-row
+    # cross join is a nested loop over two single-row frames (bounded);
+    # no corpus-sized window appears anywhere
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "Window" not in plan
+    assert plan.index("Aggregate") < plan.index("Exchange")
+
+
+def test_cluster_representatives_window_keyed_by_cluster(spark):
+    from data_check_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["cluster_representatives_documents"](spark, SF_DIR))
+    # the row_number window must be partitioned by cluster_id (never a
+    # single-partition global window over the corpus)
+    assert "windowspecdefinition(cluster_id" in plan

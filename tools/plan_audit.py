@@ -167,6 +167,17 @@ AUDITED = [
      "search broadcasts the probe side (queries x n_probe) into the "
      "cell-keyed corpus join, and the top-k window is WindowGroupLimit — "
      "no CartesianProduct / BroadcastNestedLoopJoin anywhere."),
+    ("extraction_quality_documents",
+     "Extraction QC: ONE parquet scan, all markup/mojibake counters in a "
+     "single codegen'd regexp projection — no exchange, no python stage."),
+    ("dataset_card_documents",
+     "Dataset card: one global aggregate with map-side partials (1-row "
+     "result) plus the two-phase fingerprint dup tally; the 1-row × 1-row "
+     "cross join is bounded; output is 8 rows at any corpus size."),
+    ("cluster_representatives_documents",
+     "Best-copy selection: the row_number window is keyed by cluster_id "
+     "over the near-dup subset only — partitions are cluster-sized, never "
+     "corpus-sized; no global (unpartitioned) window."),
 ]
 
 
