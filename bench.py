@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     # LLM-pipeline operators (dedup / text / similarity) so regressions in
     # them are visible round-over-round in BENCH_r{N}.json
     "dedup_exact_documents",
+    "incremental_dedup_documents",
     "span_dedup_documents",
     "ngram_jaccard_documents",
     "dedup_clusters_documents",

@@ -758,3 +758,61 @@ def span_dedup(
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    store_fps: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    store_fp_col: str = "fingerprint",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Batch-vs-history exact dedup: flag new documents whose content
+    fingerprint already exists in the historical fingerprint store —
+    the daily-ingest question ("which of today's docs have we EVER seen")
+    that a one-shot corpus dedup (``exact_duplicate_groups``) doesn't answer.
+
+    Scale shape — the store is the 10^12-row side, the new batch is the
+    small side, so the Bloom filter is built over the NEW BATCH and pushed
+    into the STORE scan (the reverse of ``bloom.bloom_semi_join``'s
+    fact-vs-dim orientation):
+
+    1. fingerprint the batch (md5 of text — one projection);
+    2. ONE aggregate pass over the batch builds the bloom (batches are
+       ~10^6-10^8 docs — well inside the inline-bitmap regime; the store
+       side never needs a bloom of its own);
+    3. the store scan keeps only bloom-positive fingerprints — a pure-JVM
+       map-side predicate, so ~(batch/store)·|store| + fp·|store| rows
+       survive instead of 10^12 reaching the exchange;
+    4. the surviving candidate fingerprints (true hits + ~0.03% false
+       positives) are distinct-projected and exact-joined back — the result
+       is EXACTLY "fingerprint IN store", bloom or no bloom.
+
+    Output: one row per new doc — (id, fingerprint, is_dup int). Novel rows
+    (``is_dup = 0``) are the fingerprints to append to the store after the
+    batch commits.
+    """
+    from data_check_spark.operators.bloom import build_bloom, might_contain
+
+    fps = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint")
+    )
+    bitmap = build_bloom(fps, "fingerprint", m_bits=m_bits, k=k)
+    candidates = (
+        store_fps.where(F.col(store_fp_col).isNotNull())
+        .where(might_contain(store_fp_col, bitmap, k=k))
+        .select(F.col(store_fp_col).alias("_sfp"))
+        .dropDuplicates()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        fps.join(candidates, fps["fingerprint"] == candidates["_sfp"], "left")
+        .select(
+            id_col,
+            "fingerprint",
+            F.coalesce(F.col("_hit"), F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )

@@ -5557,3 +5557,48 @@ def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_check_spark.operators.profile import dataset_card
 
     return dataset_card(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-history) exact dedup
+# (operators/dedup.py::incremental_exact_dedup): bloom built over the NEW
+# batch, pushed into the historical-store scan, exact-confirmed — the
+# contract is exactly "fingerprint IN store", so DuckDB verifies it with a
+# plain IN. The corpus has no exact dups, so the query plants cross-batch
+# duplicates by donating each 6th doc the text of its successor (a base doc).
+# ---------------------------------------------------------------------------
+
+_INCREMENTAL_DEDUP_SQL = """
+WITH newb AS (
+  SELECT d.doc_id,
+         coalesce(CASE WHEN d.doc_id % 6 = 0 THEN d2.text END, d.text) AS text
+  FROM documents d LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 3 = 0
+)
+SELECT doc_id, md5(text) AS fingerprint,
+       CAST(md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0)
+            AS INT) AS is_dup
+FROM newb
+"""
+
+
+@register("incremental_dedup_documents", _INCREMENTAL_DEDUP_SQL)
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch docs (doc_id % 3 == 0, every 6th planted with a base doc's
+    text) checked against the historical store (all other docs' md5
+    fingerprints). The bloom prefilter changes the plan, never the answer."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    donor = docs.select((d - 1).alias("_did"), F.col("text").alias("_donor_text"))
+    newb = (
+        docs.filter(d % 3 == 0)
+        .join(donor, F.col("doc_id") == F.col("_did"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.when(d % 6 == 0, F.col("_donor_text")), F.col("text")
+            ).alias("text"),
+        )
+    )
+    store = docs.filter(d % 3 != 0).select(F.md5("text").alias("fingerprint"))
+    return _dedup.incremental_exact_dedup(newb, store)

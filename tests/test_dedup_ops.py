@@ -295,3 +295,34 @@ def test_span_dedup_whitespace_normalized(spark):
     assert out[1]["text_clean"] == "a b c"
     assert out[2]["text_clean"] == ""
     assert out[2]["n_removed"] == 1
+
+
+def test_incremental_exact_dedup_flags_history_hits(spark):
+    from data_check_spark.operators.dedup import incremental_exact_dedup
+
+    newb = spark.createDataFrame(
+        [(1, "seen before"), (2, "brand new"), (3, "also seen"), (4, None)],
+        "doc_id long, text string",
+    )
+    import hashlib
+
+    fp = lambda s: hashlib.md5(s.encode()).hexdigest()
+    store = spark.createDataFrame(
+        [(fp("seen before"),), (fp("also seen"),), (fp("never sent"),), (None,)],
+        "fingerprint string",
+    )
+    out = {r["doc_id"]: r["is_dup"] for r in incremental_exact_dedup(newb, store).collect()}
+    # NULL text → md5(NULL) = NULL fingerprint → never a dup (three-valued IN)
+    assert out == {1: 1, 2: 0, 3: 1, 4: 0}
+
+
+def test_incremental_dedup_bloom_filters_store_before_join(spark):
+    from data_check_spark.queries import QUERIES
+
+    df = QUERIES["incremental_dedup_documents"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the store side must be pruned by the inlined bloom predicate (forall
+    # over the bitmap literal) BEFORE the exact join — and the exact join
+    # must still be there (bloom never decides membership alone)
+    assert "forall" in plan
+    assert "Join" in plan
