@@ -110,3 +110,86 @@ def write_dataset(
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(path)
+
+
+def dataset_checksum(df: DataFrame, *, group_by: list[str] | None = None) -> DataFrame:
+    """Order-insensitive content checksum: per group (or one TOTAL row),
+    row count + the decimal sum of per-row ``xxhash64`` over every column.
+
+    Sum (not xor) so duplicate rows don't cancel pairwise; the sum runs in
+    the decimal(38,0) lane, which holds 10^12 rows × 2^63 without overflow
+    (Spark 4 ANSI would throw on a bigint sum overflow — decimals don't).
+    Hashing casts nothing: ``xxhash64(*cols)`` consumes the native column
+    bytes JVM-side, so the checksum is sensitive to values AND types.
+    """
+    keys = list(group_by or [])
+    h = F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).cast("decimal(38,0)").alias("checksum"),
+    ]
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def verify_dataset(
+    spark,
+    path: str,
+    expected: DataFrame,
+    *,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Post-write audit: read the dataset back and compare per-hive-partition
+    row counts and order-insensitive content checksums against the frame
+    that was (supposed to be) written — the write-ack a 100-TB pipeline
+    requires before it deletes upstream state or publishes the dataset.
+
+    Returns one row per hive partition (plus a single TOTAL row when the
+    dataset isn't partitioned): (partition values…, expected_rows,
+    actual_rows, checksum_match, passed). A lost task output, a partial
+    overwrite, or a reader/writer type mismatch all surface as a failed row.
+
+    Cost: ONE column-complete scan of each side (the checksum must touch
+    every value — cheaper verification (footer row counts only) catches
+    lost files but not corrupted values; get that by selecting just
+    ``passed`` on a count-only variant via ``dataset_checksum(df, ...)``
+    yourself). Both aggregates are map-side partial; the shuffle carries
+    one row per hive partition.
+    """
+    keys = list(partition_by or [])
+    actual = spark.read.parquet(path)
+    # Align column order AND types: hive partition columns come back LAST
+    # and type-INFERRED on read (a string "0" directory value reads back as
+    # int), and xxhash64 is positional and type-sensitive. Casting to the
+    # expected schema removes the read-side artifacts while keeping real
+    # value corruption visible (an uncastable value nulls out and fails the
+    # checksum).
+    exp_types = dict(expected.dtypes)
+    actual = actual.select(
+        *[F.col(c).cast(exp_types[c]).alias(c) for c in expected.columns]
+    )
+    exp = dataset_checksum(expected, group_by=keys).withColumnsRenamed(
+        {"n_rows": "expected_rows", "checksum": "expected_checksum"}
+    )
+    act = dataset_checksum(actual, group_by=keys).withColumnsRenamed(
+        {"n_rows": "actual_rows", "checksum": "actual_checksum"}
+    )
+    joined = (
+        exp.join(act, on=keys, how="full_outer")
+        if keys
+        else exp.crossJoin(act)
+    )
+    report = joined.select(
+        *keys,
+        F.coalesce("expected_rows", F.lit(0)).alias("expected_rows"),
+        F.coalesce("actual_rows", F.lit(0)).alias("actual_rows"),
+        (
+            F.coalesce("expected_checksum", F.lit(0).cast("decimal(38,0)"))
+            == F.coalesce("actual_checksum", F.lit(0).cast("decimal(38,0)"))
+        ).alias("checksum_match"),
+    )
+    return report.withColumn(
+        "passed",
+        (F.col("expected_rows") == F.col("actual_rows")) & F.col("checksum_match"),
+    )

@@ -1,0 +1,206 @@
+"""spark-submit entry point for the corpus-curation release pipeline.
+
+The training-data counterpart of jobs/validate_job.py: take a raw document
+table, apply the hygiene stages a pretraining corpus goes through, and ship
+a verified, sharded release. Every stage is one of the engine's operator
+modules; this job is the composition and the launch surface.
+
+    python tools/package_pyfiles.py                 # → dist/data_check_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/data_check_spark.zip \\
+        jobs/curate_job.py \\
+        --input  s3://bucket/raw_docs/    \\
+        --eval   s3://bucket/benchmarks/  \\
+        --min-quality 4000 --shards 512   \\
+        --output-dir s3://bucket/corpus_v3/
+
+Pipeline (single tagging pass, then one write):
+
+1. score every doc once (quality q4, extraction-quality status, exact
+   fingerprint, optional near-dup cluster membership, optional eval-set
+   contamination) — all joins are keyed by doc id or fingerprint;
+2. assign each doc ONE ``drop_reason`` (mojibake > exact_dup >
+   near_dup > low_quality > contaminated — first match wins) so the
+   manifest tally is a single groupBy, never a count() per stage;
+3. keep survivors, optionally redact PII, deterministically shuffle into
+   ``--shards`` training shards (one keyed exchange);
+4. ``sinks.write_dataset`` (hive-partitioned by shard, sorted by pos,
+   size-bounded files) and ``sinks.verify_dataset`` read-back audit —
+   the job FAILS (exit 2) if the written bytes don't checksum-match the
+   frame it meant to write;
+5. one JSON manifest line to stdout (+ ``manifest.json`` next to the
+   corpus when the output dir is a local path).
+
+Scale notes: the tagging pass recomputation is cut once by an eager
+localCheckpoint before the write so the verify step reads the SAME
+materialized frame the writer consumed (on a cluster pass
+``--reliable-cache`` semantics via the engine if executor loss matters);
+near-dup is LSH-bucketed (never all-pairs) and can be skipped with
+``--skip-near-dup``; decontamination broadcasts the eval n-gram set — the
+corpus side never shuffles for it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet dir")
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-quality", type=int, default=0,
+                    help="drop docs with quality_q4 below this (0 = keep all)")
+    ap.add_argument("--skip-near-dup", action="store_true",
+                    help="skip MinHash-LSH near-dup clustering")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.5)
+    ap.add_argument("--eval", default=None,
+                    help="benchmark/eval parquet dir for decontamination")
+    ap.add_argument("--decontam-ngram", type=int, default=4)
+    ap.add_argument("--drop-mojibake", action="store_true",
+                    help="drop docs the extraction-quality screen marks mojibake")
+    ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--shuffle-seed", default="sh0")
+    ap.add_argument("--rows-per-file", type=int, default=1_000_000)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators import dedup as _dedup
+    from data_check_spark.operators import graph as _graph
+    from data_check_spark.operators import text as _text
+    from data_check_spark.operators.sampling import corpus_shuffle
+    from data_check_spark.session import get_spark
+    from data_check_spark.sinks import verify_dataset, write_dataset
+
+    spark = get_spark(app_name="data_check_curate")
+    spark.sparkContext.setLogLevel("WARN")
+    id_col, text_col = args.id_col, args.text_col
+
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.input)
+    in_cols = docs.columns
+
+    # --- single tagging pass: every signal keyed by id -----------------
+    scored = _text.quality_score(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "quality_q4"
+    )
+    tagged = docs.join(scored, id_col)
+
+    if args.drop_mojibake:
+        eq = _text.extraction_quality(docs, id_col=id_col, text_col=text_col).select(
+            id_col, F.col("status").alias("_eq_status")
+        )
+        tagged = tagged.join(eq, id_col)
+    else:
+        tagged = tagged.withColumn("_eq_status", F.lit(None).cast("string"))
+
+    groups = _dedup.exact_duplicate_groups(docs, id_col=id_col, text_col=text_col)
+    tagged = (
+        tagged.withColumn("_fp", F.md5(F.col(text_col)))
+        .join(
+            groups.select(F.col("fingerprint").alias("_fp"), "keep_id"),
+            "_fp", "left",
+        )
+        .withColumn(
+            "_exact_dup",
+            F.col("keep_id").isNotNull() & (F.col(id_col) != F.col("keep_id")),
+        )
+        .drop("keep_id")
+    )
+
+    if not args.skip_near_dup:
+        pairs = _dedup.minhash_lsh_pairs(
+            docs, id_col=id_col, text_col=text_col,
+            threshold=args.near_dup_threshold,
+        )
+        clusters = _graph.dedup_clusters(pairs.select("id_a", "id_b"))
+        reps = _graph.select_representatives(
+            clusters.withColumnRenamed("doc_id", id_col), scored,
+            id_col=id_col, score_col="quality_q4",
+        )
+        dropped_members = reps.filter(F.col("is_kept") == 0).select(
+            F.col(id_col), F.lit(True).alias("_near_dup")
+        )
+        tagged = tagged.join(dropped_members, id_col, "left")
+    else:
+        tagged = tagged.withColumn("_near_dup", F.lit(None).cast("boolean"))
+
+    if args.eval:
+        from data_check_spark.operators.decontam import decontaminate
+
+        eval_df = spark.read.parquet(args.eval)
+        contaminated = decontaminate(
+            docs, eval_df, n=args.decontam_ngram,
+            id_col=id_col, text_col=text_col,
+        ).select(F.col(id_col), F.lit(True).alias("_contam"))
+        tagged = tagged.join(contaminated, id_col, "left")
+    else:
+        tagged = tagged.withColumn("_contam", F.lit(None).cast("boolean"))
+
+    tagged = tagged.withColumn(
+        "drop_reason",
+        F.when(F.col("_eq_status") == "mojibake", "mojibake")
+        .when(F.col("_exact_dup"), "exact_dup")
+        .when(F.coalesce(F.col("_near_dup"), F.lit(False)), "near_dup")
+        .when(F.col("quality_q4") < args.min_quality, "low_quality")
+        .when(F.coalesce(F.col("_contam"), F.lit(False)), "contaminated"),
+    )
+
+    # ONE action tallies every stage (drop_reason NULL = kept)
+    tally_rows = (
+        tagged.groupBy("drop_reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    tally = {r["drop_reason"] or "kept": r["n"] for r in tally_rows}
+
+    kept = tagged.filter(F.col("drop_reason").isNull()).select(
+        *in_cols, "quality_q4"
+    )
+    if args.redact_pii:
+        from data_check_spark.operators.pii import redact
+
+        kept = kept.withColumn(text_col, redact(F.col(text_col)))
+    sharded = corpus_shuffle(
+        kept, id_col=id_col, n_shards=args.shards, seed=args.shuffle_seed
+    )
+    # cut the pipeline lineage ONCE so writer and verifier consume the same
+    # materialized frame (no double recomputation of the tagging pass)
+    sharded = sharded.localCheckpoint(eager=True)
+
+    corpus_path = f"{args.output_dir}/corpus"
+    write_dataset(
+        sharded, corpus_path,
+        partition_by=["shard"], sort_by=["pos"],
+        rows_per_file=args.rows_per_file,
+    )
+    report = verify_dataset(spark, corpus_path, sharded, partition_by=["shard"])
+    failed = report.filter(~F.col("passed")).count()
+
+    manifest = {
+        "input_rows": sum(tally.values()),
+        "kept_rows": tally.get("kept", 0),
+        "dropped": {k: v for k, v in sorted(tally.items()) if k != "kept"},
+        "shards": args.shards,
+        "verify_failed_partitions": failed,
+        "verified": failed == 0,
+        "wall_sec": round(time.monotonic() - t0, 1),
+    }
+    print(json.dumps(manifest))
+    try:  # local filesystem only; object stores get the stdout line
+        if os.path.isdir(args.output_dir):
+            with open(f"{args.output_dir}/manifest.json", "w") as f:
+                json.dump(manifest, f, indent=2)
+    except OSError:
+        pass
+    return 0 if failed == 0 else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""Corpus-curation spark-submit entry point: end-to-end wiring through main()."""
+
+import json
+import sys
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string, lang string, source string").write.parquet(path)
+
+
+def test_curate_job_end_to_end(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    bench = "unique benchmark sentence appears here exactly once okay"
+    rows = [(i, f"{good} variant {i} " + "filler word " * 10, "en", f"s{i % 3}") for i in range(40)]
+    rows[5] = (5, rows[5][1] + " " + bench, "en", "s2")  # carries the eval text
+    rows += [(100, rows[0][1], "en", "s9")]              # exact dup of doc 0
+    rows += [(101, "!!! " * 30, "en", "s9")]             # low quality (repetitive punct)
+    rows += [(102, "mojibake � text here", "en", "s9")]
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, rows)
+
+    ev = str(tmp_path / "eval")
+    # eval doc's 4-grams appear ONLY in doc 5 → exactly one contaminated doc
+    _write_docs(spark, ev, [(0, bench, "en", "bench")])
+
+    out = str(tmp_path / "release")
+    rc = curate_job.main([
+        "--input", docs, "--output-dir", out,
+        "--eval", ev, "--min-quality", "3000",
+        "--drop-mojibake", "--skip-near-dup",
+        "--shards", "4",
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["verified"] and manifest["verify_failed_partitions"] == 0
+    assert manifest["input_rows"] == 43
+    dropped = manifest["dropped"]
+    assert dropped["exact_dup"] == 1        # doc 100 (doc 0 is the keeper)
+    assert dropped["mojibake"] == 1         # doc 102
+    assert dropped["low_quality"] == 1      # doc 101
+    assert dropped["contaminated"] == 1     # doc 5
+    assert manifest["kept_rows"] == 43 - sum(dropped.values())
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == manifest["kept_rows"]
+    assert {"doc_id", "text", "lang", "source", "quality_q4", "shard", "pos"} <= set(corpus.columns)
+    # dropped docs are really gone
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert 100 not in ids and 101 not in ids and 102 not in ids and 5 not in ids
+    # manifest.json written locally
+    with open(f"{out}/manifest.json") as f:
+        assert json.load(f) == manifest
+
+
+def test_curate_job_near_dup_keeps_best_copy(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    rows = [
+        (1, base + "tail one", "en", "s0"),
+        (2, base + "tail one two three four five six seven eight nine", "en", "s0"),
+        (3, "completely different text about spark query planning and shuffles here today", "en", "s1"),
+    ]
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, rows)
+    out = str(tmp_path / "release")
+    rc = curate_job.main([
+        "--input", docs, "--output-dir", out,
+        "--near-dup-threshold", "0.5", "--shards", "2",
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["dropped"].get("near_dup") == 1
+    ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").select("doc_id").collect()}
+    # doc 2 is longer (higher length-band quality) → kept; doc 1 dropped
+    assert 2 in ids and 3 in ids and 1 not in ids
