@@ -761,7 +761,11 @@ def extraction_quality(
         F.greatest(F.length(t), F.lit(1)).alias("_len"),
     )
     return (
-        out.withColumn("residue_bp", F.expr("markup_chars * 10000 div _len"))
+        # bigint lane: markup_chars is int32 and ANSI throws on overflow past
+        # ~214k markup chars (multi-MB docs are real at corpus scale)
+        out.withColumn(
+            "residue_bp", F.expr("cast(markup_chars as bigint) * 10000 div _len")
+        )
         .withColumn(
             "status",
             F.when((F.col("n_replacement") > 0) | (F.col("n_ctrl") > 0), F.lit("mojibake"))

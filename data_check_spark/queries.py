@@ -5576,8 +5576,11 @@ WITH newb AS (
   WHERE d.doc_id % 3 = 0
 )
 SELECT doc_id, md5(text) AS fingerprint,
-       CAST(md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0)
-            AS INT) AS is_dup
+       -- coalesce: NULL text → NULL fingerprint → "NULL IN (...)" is NULL in
+       -- SQL, but the operator's left-join contract reports 0 (never seen)
+       CAST(coalesce(
+            md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0),
+            false) AS INT) AS is_dup
 FROM newb
 """
 

@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--skip-near-dup", action="store_true",
                     help="skip MinHash-LSH near-dup clustering")
     ap.add_argument("--near-dup-threshold", type=float, default=0.5)
+    ap.add_argument("--history", default=None,
+                    help="fingerprint parquet dir from a previous release; "
+                         "docs whose content was ever shipped are dropped "
+                         "(bloom-prefiltered exact membership)")
     ap.add_argument("--eval", default=None,
                     help="benchmark/eval parquet dir for decontamination")
     ap.add_argument("--decontam-ngram", type=int, default=4)
@@ -101,6 +105,15 @@ def main(argv: list[str] | None = None) -> int:
         tagged = tagged.join(eq, id_col)
     else:
         tagged = tagged.withColumn("_eq_status", F.lit(None).cast("string"))
+
+    if args.history:
+        store = spark.read.parquet(args.history)
+        seen = _dedup.incremental_exact_dedup(
+            docs, store, id_col=id_col, text_col=text_col
+        ).select(id_col, F.col("is_dup").alias("_seen"))
+        tagged = tagged.join(seen, id_col)
+    else:
+        tagged = tagged.withColumn("_seen", F.lit(0))
 
     groups = _dedup.exact_duplicate_groups(docs, id_col=id_col, text_col=text_col)
     tagged = (
@@ -148,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
     tagged = tagged.withColumn(
         "drop_reason",
         F.when(F.col("_eq_status") == "mojibake", "mojibake")
+        .when(F.col("_seen") == 1, "seen_before")
         .when(F.col("_exact_dup"), "exact_dup")
         .when(F.coalesce(F.col("_near_dup"), F.lit(False)), "near_dup")
         .when(F.col("quality_q4") < args.min_quality, "low_quality")
@@ -160,8 +174,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     tally = {r["drop_reason"] or "kept": r["n"] for r in tally_rows}
 
+    # _fp (ORIGINAL-content fingerprint — the history store must match raw
+    # future batches even when --redact-pii rewrites the shipped text) rides
+    # along to the checkpoint so the fingerprint publish below costs no
+    # recompute of the tagging pass
     kept = tagged.filter(F.col("drop_reason").isNull()).select(
-        *in_cols, "quality_q4"
+        *in_cols, "quality_q4", "_fp"
     )
     if args.redact_pii:
         from data_check_spark.operators.pii import redact
@@ -174,14 +192,22 @@ def main(argv: list[str] | None = None) -> int:
     # materialized frame (no double recomputation of the tagging pass)
     sharded = sharded.localCheckpoint(eager=True)
 
+    corpus_df = sharded.drop("_fp")
     corpus_path = f"{args.output_dir}/corpus"
     write_dataset(
-        sharded, corpus_path,
+        corpus_df, corpus_path,
         partition_by=["shard"], sort_by=["pos"],
         rows_per_file=args.rows_per_file,
     )
-    report = verify_dataset(spark, corpus_path, sharded, partition_by=["shard"])
+    report = verify_dataset(spark, corpus_path, corpus_df, partition_by=["shard"])
     failed = report.filter(~F.col("passed")).count()
+
+    # publish the kept fingerprints so the NEXT release can pass this run's
+    # output as --history (callers maintain the union across releases, or
+    # chain: release N's history = release N-1's fingerprints ∪ its history)
+    fp_path = f"{args.output_dir}/fingerprints"
+    (sharded.select(F.col("_fp").alias("fingerprint"))
+        .write.mode("overwrite").parquet(fp_path))
 
     manifest = {
         "input_rows": sum(tally.values()),

@@ -79,3 +79,40 @@ def test_curate_job_near_dup_keeps_best_copy(spark, tmp_path, capsys):
     ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").select("doc_id").collect()}
     # doc 2 is longer (higher length-band quality) → kept; doc 1 dropped
     assert 2 in ids and 3 in ids and 1 not in ids
+
+
+def test_curate_job_history_chain_drops_previously_shipped(spark, tmp_path, capsys):
+    """Release 2 passes release 1's fingerprints as --history: re-ingested
+    content is dropped as seen_before, genuinely new docs ship."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    r1_rows = [(i, f"release one document {i} " + "alpha beta gamma " * 5, "en", "s0")
+               for i in range(10)]
+    docs1 = str(tmp_path / "docs1")
+    _write_docs(spark, docs1, r1_rows)
+    out1 = str(tmp_path / "r1")
+    assert curate_job.main([
+        "--input", docs1, "--output-dir", out1, "--skip-near-dup", "--shards", "2",
+    ]) == 0
+    capsys.readouterr()
+
+    # release 2: 5 re-ingested docs (new ids, same content) + 5 new docs
+    r2_rows = [(1000 + i, r1_rows[i][1], "en", "s1") for i in range(5)]
+    r2_rows += [(2000 + i, f"release two fresh document {i} " + "delta eps " * 8, "en", "s1")
+                for i in range(5)]
+    docs2 = str(tmp_path / "docs2")
+    _write_docs(spark, docs2, r2_rows)
+    out2 = str(tmp_path / "r2")
+    assert curate_job.main([
+        "--input", docs2, "--output-dir", out2,
+        "--history", f"{out1}/fingerprints",
+        "--skip-near-dup", "--shards", "2",
+    ]) == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["dropped"]["seen_before"] == 5
+    assert manifest["kept_rows"] == 5
+    ids = {r["doc_id"] for r in spark.read.parquet(f"{out2}/corpus").select("doc_id").collect()}
+    assert ids == {2000, 2001, 2002, 2003, 2004}
+    # the new release's fingerprint store holds only the kept (new) content
+    assert spark.read.parquet(f"{out2}/fingerprints").count() == 5
