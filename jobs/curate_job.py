@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-quality", type=int, default=0,
                     help="drop docs with quality_q4 below this (0 = keep all)")
+    ap.add_argument("--keep-top-pct", type=float, default=None,
+                    help="keep only the top X%% of docs by quality_q4 — the "
+                         "threshold is the (100-X)th percentile computed in "
+                         "ONE percentile_approx pass; combines with "
+                         "--min-quality (the stricter bound wins)")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="print the drop tally and exit without writing")
     ap.add_argument("--skip-near-dup", action="store_true",
                     help="skip MinHash-LSH near-dup clustering")
     ap.add_argument("--near-dup-threshold", type=float, default=0.5)
@@ -158,13 +165,23 @@ def main(argv: list[str] | None = None) -> int:
     else:
         tagged = tagged.withColumn("_contam", F.lit(None).cast("boolean"))
 
+    min_quality = args.min_quality
+    if args.keep_top_pct is not None:
+        if not 0 < args.keep_top_pct <= 100:
+            raise SystemExit(f"--keep-top-pct must be in (0, 100], got {args.keep_top_pct}")
+        # one single-pass sketch over the int scores; stricter bound wins
+        cut = scored.agg(
+            F.percentile_approx("quality_q4", 1.0 - args.keep_top_pct / 100.0)
+        ).collect()[0][0]
+        min_quality = max(min_quality, int(cut or 0))
+
     tagged = tagged.withColumn(
         "drop_reason",
         F.when(F.col("_eq_status") == "mojibake", "mojibake")
         .when(F.col("_seen") == 1, "seen_before")
         .when(F.col("_exact_dup"), "exact_dup")
         .when(F.coalesce(F.col("_near_dup"), F.lit(False)), "near_dup")
-        .when(F.col("quality_q4") < args.min_quality, "low_quality")
+        .when(F.col("quality_q4") < min_quality, "low_quality")
         .when(F.coalesce(F.col("_contam"), F.lit(False)), "contaminated"),
     )
 
@@ -173,6 +190,17 @@ def main(argv: list[str] | None = None) -> int:
         tagged.groupBy("drop_reason").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     tally = {r["drop_reason"] or "kept": r["n"] for r in tally_rows}
+
+    if args.dry_run:
+        print(json.dumps({
+            "dry_run": True,
+            "input_rows": sum(tally.values()),
+            "kept_rows": tally.get("kept", 0),
+            "dropped": {k: v for k, v in sorted(tally.items()) if k != "kept"},
+            "quality_threshold": min_quality,
+            "wall_sec": round(time.monotonic() - t0, 1),
+        }))
+        return 0
 
     # _fp (ORIGINAL-content fingerprint — the history store must match raw
     # future batches even when --redact-pii rewrites the shipped text) rides

@@ -116,3 +116,32 @@ def test_curate_job_history_chain_drops_previously_shipped(spark, tmp_path, caps
     assert ids == {2000, 2001, 2002, 2003, 2004}
     # the new release's fingerprint store holds only the kept (new) content
     assert spark.read.parquet(f"{out2}/fingerprints").count() == 5
+
+
+def test_curate_job_percentile_cut_and_dry_run(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    # quality strictly increases with length band (distinct tokens, no punct)
+    words = "w%d"
+    rows = [
+        (i, " ".join(f"tok{i}x{j}" for j in range(4 + i * 6)), "en", "s0")
+        for i in range(10)
+    ]
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, rows)
+
+    out = str(tmp_path / "dry")
+    rc = curate_job.main([
+        "--input", docs, "--output-dir", out,
+        "--skip-near-dup", "--keep-top-pct", "30", "--dry-run",
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["dry_run"] is True
+    assert manifest["dropped"]["low_quality"] >= 6   # ~bottom 70%
+    assert manifest["kept_rows"] + sum(manifest["dropped"].values()) == 10
+    assert manifest["quality_threshold"] > 0
+    # dry run wrote NOTHING
+    import os
+    assert not os.path.exists(f"{out}/corpus")
