@@ -5605,3 +5605,52 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = docs.filter(d % 3 != 0).select(F.md5("text").alias("fingerprint"))
     return _dedup.incremental_exact_dedup(newb, store)
+
+
+# ---------------------------------------------------------------------------
+# Corpus rule catalog (rules/catalog_corpus.py) through the table-agnostic
+# row-rule compiler: the SAME one-projection engine that runs the audio and
+# orders catalogs, pointed at the documents schema.
+# ---------------------------------------------------------------------------
+
+def _corpus_rules_sql() -> str:
+    from data_check_spark.functions.blank import WHITESPACE_CLASS as _WS
+
+    present = (
+        "{c} IS NOT NULL AND regexp_replace({c}, '" + _WS + "+', '', 'g') <> ''"
+    )
+    return f"""
+SELECT 'TEXT_NOT_NULL' AS rule_id, cast(doc_id AS varchar) AS clip_id,
+       lang AS "partition", '<blank>' AS observed
+FROM documents
+WHERE text IS NULL OR regexp_replace(text, '{_WS}+', '', 'g') = ''
+UNION ALL
+SELECT 'TEXT_MIN_CHARS', cast(doc_id AS varchar), lang, cast(n_chars AS varchar)
+FROM documents WHERE n_chars IS NOT NULL AND n_chars < 64
+UNION ALL
+SELECT 'LANG_WHITELIST', cast(doc_id AS varchar), lang, lang
+FROM documents
+WHERE {present.format(c='lang')} AND lang NOT IN ('en', 'es', 'de', 'fr')
+UNION ALL
+SELECT 'SOURCE_FORMAT', cast(doc_id AS varchar), lang, source
+FROM documents
+WHERE {present.format(c='source')}
+  AND NOT regexp_full_match(source, '^src[0-9]{{1,4}}$')
+UNION ALL
+SELECT 'CHARS_CONSISTENT', cast(doc_id AS varchar), lang,
+       cast(length(text) AS varchar)
+FROM documents WHERE n_chars <> length(text)
+"""
+
+
+@register("corpus_rules_documents", _corpus_rules_sql())
+def corpus_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped corpus catalog in ONE projection pass over documents —
+    same compiler, same violations contract, different table."""
+    from data_check_spark.rules.catalog_corpus import corpus_catalog
+
+    compiled = compile_row_rules(corpus_catalog().rules)
+    return apply_row_rules(
+        _t(spark, sf_dir, "documents"), compiled,
+        id_col="doc_id", partition_col="lang",
+    )

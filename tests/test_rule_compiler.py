@@ -343,3 +343,39 @@ def test_every_rule_kind_round_trips_through_json(tmp_path):
     assert [r.to_dict() for r in loaded] == [r.to_dict() for r in cat]
     # and the file itself is plain JSON a deployment tool can lint
     assert len(json.load(open(path))) == len(rules)
+
+
+def test_corpus_catalog_on_documents_shape(spark):
+    """The shipped corpus catalog compiles through the same engine and flags
+    each planted failure exactly once."""
+    from data_check_spark.rules.catalog_corpus import corpus_catalog
+    from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+
+    rows = [
+        (1, "x" * 100, "en", "src1", 100),     # clean
+        (2, None, "en", "src2", 100),          # TEXT_NOT_NULL
+        (3, "y" * 30, "en", "src3", 30),       # TEXT_MIN_CHARS
+        (4, "z" * 100, "zz", "src4", 100),     # LANG_WHITELIST
+        (5, "w" * 100, "en", "feed-9", 100),   # SOURCE_FORMAT
+        (6, "v" * 100, "en", "src6", 99),      # CHARS_CONSISTENT
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    compiled = compile_row_rules(corpus_catalog().rules)
+    out = apply_row_rules(df, compiled, id_col="doc_id", partition_col="lang")
+    got = {(r["rule_id"], r["clip_id"]) for r in out.collect()}
+    assert got == {
+        ("TEXT_NOT_NULL", "2"),
+        ("TEXT_MIN_CHARS", "3"),
+        ("LANG_WHITELIST", "4"),
+        ("SOURCE_FORMAT", "5"),
+        ("CHARS_CONSISTENT", "6"),
+    }
+    # JSON round-trip (same contract as the audio catalog artifact)
+    import json
+
+    from data_check_spark.rules.spec import load_catalog
+
+    cat = corpus_catalog()
+    assert load_catalog(json.loads(cat.to_json())).to_json() == cat.to_json()
