@@ -905,3 +905,75 @@ def clipping_stats(
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+# --- Deterministic augmentation planning ------------------------------------
+
+AUG_SPEEDS_PERMILLE = (900, 1000, 1100)
+AUG_NOISE_KINDS = ("babble", "music", "street", "white")
+
+
+def augmentation_plan(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    n_variants: int = 3,
+    speeds_permille: tuple[int, ...] = AUG_SPEEDS_PERMILLE,
+    noise_kinds: tuple[str, ...] = AUG_NOISE_KINDS,
+    snr_min_db: int = 5,
+    snr_max_db: int = 30,
+) -> DataFrame:
+    """Assign each clip ``n_variants`` augmentation parameter rows — speed
+    perturbation, additive-noise kind, and mix SNR — as a PURE FUNCTION of
+    (clip id, variant index).
+
+    ASR training recipes (kaldi/espnet 3-way speed perturb + MUSAN-style
+    noise mixing) need per-clip augmentation parameters; drawing them with
+    ``rand()`` makes every rerun, resume, and engine reproduce a DIFFERENT
+    epoch. Here the draw is the engine-wide portable-hash pattern
+    (md5-derived integers, the same family as the MinHash/LSH oracles), so
+    the plan is reproducible across runs AND auditable cross-engine.
+
+    Plan shape: one projection + one explode over ``n_variants`` (no
+    shuffle, no Python); output rows = |input| × n_variants. The decode /
+    resample that CONSUMES the plan is the wide-pass seam
+    (``prepare_clips`` / multimodal decode), not this operator.
+    """
+    if n_variants < 1:
+        raise ValueError(f"n_variants must be >= 1, got {n_variants}")
+    if snr_max_db <= snr_min_db:
+        raise ValueError("snr_max_db must exceed snr_min_db")
+    from data_check_spark.operators.dedup import _portable_hash60
+
+    v = F.explode(F.sequence(F.lit(0), F.lit(n_variants - 1))).alias("variant")
+    base = df.select(F.col(id_col), v)
+
+    def _h(tag: str) -> Column:
+        # one md5 per parameter (the engine's portable-hash convention —
+        # independent tags, no bit-slicing of a shared hash)
+        return _portable_hash60(
+            F.concat(F.col(id_col).cast("string"), F.lit(tag), F.col("variant"))
+        )
+
+    speed_arr = F.array(*[F.lit(s) for s in speeds_permille])
+    kind_arr = F.array(*[F.lit(k) for k in noise_kinds])
+    span = snr_max_db - snr_min_db + 1
+    return base.select(
+        id_col,
+        "variant",
+        # variant 0 is always the clean 1000‰ pass-through (standard recipe:
+        # the original copy is kept; perturbed copies add to it)
+        F.when(F.col("variant") == 0, F.lit(1000))
+        .otherwise(F.element_at(
+            speed_arr, (_h(":aug:spd:") % F.lit(len(speeds_permille))).cast("int") + 1
+        ))
+        .alias("speed_permille"),
+        F.when(F.col("variant") == 0, F.lit(None).cast("string"))
+        .otherwise(F.element_at(
+            kind_arr, (_h(":aug:nk:") % F.lit(len(noise_kinds))).cast("int") + 1
+        ))
+        .alias("noise_kind"),
+        F.when(F.col("variant") == 0, F.lit(None).cast("int"))
+        .otherwise((F.lit(snr_min_db) + _h(":aug:snr:") % F.lit(span)).cast("int"))
+        .alias("noise_snr_db"),
+    )

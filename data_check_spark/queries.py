@@ -5654,3 +5654,43 @@ def corpus_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), compiled,
         id_col="doc_id", partition_col="lang",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic augmentation planning (operators/audio.py::augmentation_plan):
+# seed-free speed-perturb + noise-mix assignment per (clip, variant). DuckDB
+# re-derives every parameter from the same md5 closed forms — the plan is
+# auditable cross-engine, which is the point of not using rand().
+# ---------------------------------------------------------------------------
+
+_AUG_PLAN_SQL = """
+WITH v AS (
+  SELECT doc_id, unnest(range(0, 3)) AS variant FROM documents
+),
+h AS (
+  SELECT doc_id, variant,
+         CAST(('0x' || substr(md5(doc_id || ':aug:spd:' || variant), 1, 15)) AS BIGINT) AS hs,
+         CAST(('0x' || substr(md5(doc_id || ':aug:nk:' || variant), 1, 15)) AS BIGINT) AS hk,
+         CAST(('0x' || substr(md5(doc_id || ':aug:snr:' || variant), 1, 15)) AS BIGINT) AS hn
+  FROM v
+)
+SELECT doc_id, variant,
+       CASE WHEN variant = 0 THEN 1000
+            ELSE ([900, 1000, 1100])[CAST(hs % 3 AS INT) + 1] END AS speed_permille,
+       CASE WHEN variant = 0 THEN NULL
+            ELSE (['babble', 'music', 'street', 'white'])[CAST(hk % 4 AS INT) + 1]
+            END AS noise_kind,
+       CASE WHEN variant = 0 THEN NULL
+            ELSE CAST(5 + hn % 26 AS INT) END AS noise_snr_db
+FROM h
+"""
+
+
+@register("augmentation_plan_documents", _AUG_PLAN_SQL)
+def augmentation_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-variant augmentation plan over the documents ids (clip stand-in):
+    pure projection + explode, no shuffle, no Python."""
+    from data_check_spark.operators.audio import augmentation_plan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return augmentation_plan(docs, id_col="doc_id", n_variants=3)
