@@ -19,9 +19,10 @@ Pipeline (single tagging pass, then one write):
 1. score every doc once (quality q4, extraction-quality status, exact
    fingerprint, optional near-dup cluster membership, optional eval-set
    contamination) — all joins are keyed by doc id or fingerprint;
-2. assign each doc ONE ``drop_reason`` (mojibake > exact_dup >
-   near_dup > low_quality > contaminated — first match wins) so the
-   manifest tally is a single groupBy, never a count() per stage;
+2. assign each doc ONE ``drop_reason`` (rule_violation > mojibake >
+   seen_before > exact_dup > near_dup > low_quality > contaminated >
+   over_budget — first match wins) so the manifest tally is a single
+   groupBy, never a count() per stage;
 3. keep survivors, optionally redact PII, deterministically shuffle into
    ``--shards`` training shards (one keyed exchange);
 4. ``sinks.write_dataset`` (hive-partitioned by shard, sorted by pos,
@@ -76,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--decontam-ngram", type=int, default=4)
     ap.add_argument("--drop-mojibake", action="store_true",
                     help="drop docs the extraction-quality screen marks mojibake")
+    ap.add_argument("--preflight-rules", default=None,
+                    help="rule catalog JSON (row-local kinds, e.g. "
+                         "rules/catalog_corpus.py semantics); docs violating "
+                         "ANY rule are quarantined before every other stage")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="cap the release at this many whitespace tokens, "
+                         "filled best-quality-first (bucketed, no global sort)")
     ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--shuffle-seed", default="sh0")
@@ -101,9 +109,29 @@ def main(argv: list[str] | None = None) -> int:
 
     # --- single tagging pass: every signal keyed by id -----------------
     scored = _text.quality_score(docs, id_col=id_col, text_col=text_col).select(
-        id_col, "quality_q4"
+        id_col, "n_tokens", "quality_q4"
     )
     tagged = docs.join(scored, id_col)
+
+    rule_counts: dict[str, int] = {}
+    if args.preflight_rules:
+        from data_check_spark.rules.compiler import apply_row_rules, compile_row_rules
+        from data_check_spark.rules.spec import load_catalog
+
+        compiled = compile_row_rules(load_catalog(args.preflight_rules).rules)
+        viol = apply_row_rules(
+            docs, compiled, id_col=id_col, partition_col=None
+        ).localCheckpoint(eager=True)  # reused for per-rule tally + id set
+        rule_counts = {
+            r["rule_id"]: r["n"]
+            for r in viol.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        bad_ids = viol.select(
+            F.col("clip_id").cast(dict(docs.dtypes)[id_col]).alias(id_col)
+        ).dropDuplicates().withColumn("_rule_bad", F.lit(True))
+        tagged = tagged.join(bad_ids, id_col, "left")
+    else:
+        tagged = tagged.withColumn("_rule_bad", F.lit(None).cast("boolean"))
 
     if args.drop_mojibake:
         eq = _text.extraction_quality(docs, id_col=id_col, text_col=text_col).select(
@@ -177,13 +205,37 @@ def main(argv: list[str] | None = None) -> int:
 
     tagged = tagged.withColumn(
         "drop_reason",
-        F.when(F.col("_eq_status") == "mojibake", "mojibake")
+        F.when(F.coalesce(F.col("_rule_bad"), F.lit(False)), "rule_violation")
+        .when(F.col("_eq_status") == "mojibake", "mojibake")
         .when(F.col("_seen") == 1, "seen_before")
         .when(F.col("_exact_dup"), "exact_dup")
         .when(F.coalesce(F.col("_near_dup"), F.lit(False)), "near_dup")
         .when(F.col("quality_q4") < min_quality, "low_quality")
         .when(F.coalesce(F.col("_contam"), F.lit(False)), "contaminated"),
     )
+
+    if args.token_budget is not None:
+        from data_check_spark.operators.sampling import token_budget_select
+
+        survivors = (
+            tagged.filter(F.col("drop_reason").isNull())
+            .withColumn("_dom", F.lit("all"))
+            # coarse score buckets keep the (domain, score) frame tiny —
+            # token_budget_select caps it at 100k buckets by design
+            .withColumn("_qb", F.expr("quality_q4 div 100"))
+        )
+        in_budget = token_budget_select(
+            survivors, id_col=id_col, domain_col="_dom",
+            score_col="_qb", token_col="n_tokens",
+            budgets={"all": args.token_budget},
+        ).select(F.col(id_col)).withColumn("_in_budget", F.lit(True))
+        tagged = tagged.join(in_budget, id_col, "left").withColumn(
+            "drop_reason",
+            F.coalesce(
+                F.col("drop_reason"),
+                F.when(~F.coalesce(F.col("_in_budget"), F.lit(False)), "over_budget"),
+            ),
+        )
 
     # ONE action tallies every stage (drop_reason NULL = kept)
     tally_rows = (
@@ -198,6 +250,7 @@ def main(argv: list[str] | None = None) -> int:
             "kept_rows": tally.get("kept", 0),
             "dropped": {k: v for k, v in sorted(tally.items()) if k != "kept"},
             "quality_threshold": min_quality,
+            "rule_violations": rule_counts,
             "wall_sec": round(time.monotonic() - t0, 1),
         }))
         return 0
@@ -242,6 +295,7 @@ def main(argv: list[str] | None = None) -> int:
         "kept_rows": tally.get("kept", 0),
         "dropped": {k: v for k, v in sorted(tally.items()) if k != "kept"},
         "shards": args.shards,
+        "rule_violations": rule_counts,
         "verify_failed_partitions": failed,
         "verified": failed == 0,
         "wall_sec": round(time.monotonic() - t0, 1),

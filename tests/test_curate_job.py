@@ -145,3 +145,49 @@ def test_curate_job_percentile_cut_and_dry_run(spark, tmp_path, capsys):
     # dry run wrote NOTHING
     import os
     assert not os.path.exists(f"{out}/corpus")
+
+
+def test_curate_job_preflight_rules_and_token_budget(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    from data_check_spark.rules.catalog_corpus import corpus_catalog
+
+    # docs with distinct token sizes and qualities; doc 50 violates the
+    # lang whitelist, doc 51 lies about n_chars
+    rows = [
+        (i, " ".join(f"tok{i}x{j}" for j in range(10 + i * 5)), "en", "src1",
+         None)
+        for i in range(8)
+    ]
+    rows = [(i, t, l, s, len(t)) for i, t, l, s, _ in rows]
+    rows += [(50, "x " * 40, "zz", "src1", len("x " * 40))]   # LANG_WHITELIST
+    rows += [(51, "y " * 40, "en", "src1", 999_999)]          # CHARS_CONSISTENT
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(docs)
+
+    cat_path = str(tmp_path / "rules.json")
+    corpus_catalog(min_chars=10).save(cat_path)
+
+    out = str(tmp_path / "release")
+    rc = curate_job.main([
+        "--input", docs, "--output-dir", out,
+        "--preflight-rules", cat_path,
+        "--token-budget", "120",
+        "--skip-near-dup", "--shards", "2",
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["dropped"]["rule_violation"] == 2           # docs 50, 51
+    assert manifest["rule_violations"]["LANG_WHITELIST"] == 1
+    assert manifest["rule_violations"]["CHARS_CONSISTENT"] == 1
+    assert manifest["dropped"].get("over_budget", 0) >= 1
+    ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").select("doc_id").collect()}
+    assert 50 not in ids and 51 not in ids
+    # budget filled best-quality-first: every kept doc's token count sums <= budget
+    kept_tokens = sum(
+        len(t.split()) for i, t, *_ in rows if i in ids
+    )
+    assert 0 < kept_tokens <= 120
