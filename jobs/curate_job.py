@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--token-budget", type=int, default=None,
                     help="cap the release at this many whitespace tokens, "
                          "filled best-quality-first (bucketed, no global sort)")
+    ap.add_argument("--quarantine", action="store_true",
+                    help="also write dropped docs' metadata (id, reason, "
+                         "every non-text column) to <output>/quarantine, "
+                         "hive-partitioned by drop_reason — the audit trail "
+                         "without re-shipping dropped text")
     ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--shuffle-seed", default="sh0")
@@ -254,6 +259,15 @@ def main(argv: list[str] | None = None) -> int:
             "wall_sec": round(time.monotonic() - t0, 1),
         }))
         return 0
+
+    if args.quarantine:
+        # metadata only (no text): the audit trail scales with the drop
+        # count, not the dropped bytes
+        meta_cols = [c for c in in_cols if c != text_col]
+        (tagged.filter(F.col("drop_reason").isNotNull())
+            .select(*meta_cols, "quality_q4", "drop_reason")
+            .write.mode("overwrite").partitionBy("drop_reason")
+            .parquet(f"{args.output_dir}/quarantine"))
 
     # _fp (ORIGINAL-content fingerprint — the history store must match raw
     # future batches even when --redact-pii rewrites the shipped text) rides

@@ -191,3 +191,25 @@ def test_curate_job_preflight_rules_and_token_budget(spark, tmp_path, capsys):
         len(t.split()) for i, t, *_ in rows if i in ids
     )
     assert 0 < kept_tokens <= 120
+
+
+def test_curate_job_quarantine_audit_trail(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    rows = [(i, " ".join(f"t{i}w{j}" for j in range(30)), "en", "s0") for i in range(6)]
+    rows += [(10, rows[0][1], "en", "s1")]            # exact dup
+    rows += [(11, "mojibake � here", "en", "s1")]
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, rows)
+    out = str(tmp_path / "release")
+    rc = curate_job.main([
+        "--input", docs, "--output-dir", out,
+        "--drop-mojibake", "--skip-near-dup", "--quarantine", "--shards", "2",
+    ])
+    assert rc == 0
+    q = spark.read.parquet(f"{out}/quarantine")
+    got = {(r["doc_id"], r["drop_reason"]) for r in q.collect()}
+    assert got == {(10, "exact_dup"), (11, "mojibake")}
+    # text is NOT re-shipped in the audit trail
+    assert "text" not in q.columns and "quality_q4" in q.columns
