@@ -161,6 +161,14 @@ def _dispatch_set_rule(
             snr_db_min=p.get("snr_db_min", 30.0), cap_ms=p.get("cap_ms", 100),
             gate=gate, partition_col=partition_col,
         )
+    if rule.kind == "agg_threshold":
+        from data_check_spark.operators.profile import agg_threshold_violations
+
+        scoped = clips.filter(gate) if gate is not None else clips
+        return agg_threshold_violations(
+            scoped, rule.rule_id, p["metric_expr"],
+            min_value=p.get("min_value"), max_value=p.get("max_value"),
+        )
     if rule.kind == "outlier":
         from data_check_spark.operators.profile import outlier_violations
 

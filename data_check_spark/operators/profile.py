@@ -946,3 +946,45 @@ def dataset_card(
     return base.crossJoin(dups).selectExpr(
         f"stack({len(metrics)}, {stack_args}) AS (metric, value)"
     )
+
+
+def agg_threshold_violations(
+    df: DataFrame,
+    rule_id: str,
+    metric_expr: str,
+    *,
+    min_value: int | None = None,
+    max_value: int | None = None,
+) -> DataFrame:
+    """Whole-table SLA gate: ONE aggregate evaluates an integer metric and a
+    breach emits a single violation row — the absolute-threshold sibling of
+    the relative drift kinds (``rate_drift`` compares a partition to the
+    table; this compares the table to a contract).
+
+    ``metric_expr`` must be an INTEGER-valued aggregate expression — the
+    engine-wide ppm convention, e.g.
+    ``count_if(col IS NULL) * 1000000 div count(1)`` — so thresholds compare
+    exactly on every engine (no float boundary). A NULL metric (empty input
+    under integer ``div``) is a breach: an SLA that cannot be evaluated is
+    not met.
+
+    Lazy like every violation emitter: the plan is a map-side partial
+    aggregate folding to one row; no action happens here.
+    """
+    if min_value is None and max_value is None:
+        raise ValueError(f"agg_threshold rule {rule_id} needs min_value and/or max_value")
+    m = df.agg(F.expr(metric_expr).cast("long").alias("_m"))
+    breach = F.col("_m").isNull()
+    if min_value is not None:
+        breach = breach | (F.col("_m") < F.lit(int(min_value)))
+    if max_value is not None:
+        breach = breach | (F.col("_m") > F.lit(int(max_value)))
+    return m.filter(breach).select(
+        F.lit(rule_id).alias("rule_id"),
+        F.lit(None).cast("string").alias("clip_id"),
+        F.lit(None).cast("string").alias("partition"),
+        F.concat(
+            F.lit("metric="),
+            F.coalesce(F.col("_m").cast("string"), F.lit("<null>")),
+        ).alias("observed"),
+    )

@@ -5694,3 +5694,59 @@ def augmentation_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return augmentation_plan(docs, id_col="doc_id", n_variants=3)
+
+
+# ---------------------------------------------------------------------------
+# Whole-table SLA gates (engine rule kind `agg_threshold`,
+# operators/profile.py::agg_threshold_violations): integer-ppm metrics vs
+# absolute contracts — one breaches, one passes, one guards a minimum.
+# ---------------------------------------------------------------------------
+
+_AGG_SLA_SQL = """
+SELECT 'O_OPEN_SHARE_SLA' AS rule_id, CAST(NULL AS varchar) AS clip_id,
+       CAST(NULL AS varchar) AS "partition",
+       'metric=' || CAST(count(*) FILTER (WHERE o_orderstatus = 'O')
+                         * 1000000 // count(*) AS varchar) AS observed
+FROM orders
+HAVING count(*) FILTER (WHERE o_orderstatus = 'O') * 1000000 // count(*) > 300000
+UNION ALL
+SELECT 'O_CUSTKEY_NULL_SLA', CAST(NULL AS varchar), CAST(NULL AS varchar),
+       'metric=' || CAST(count(*) FILTER (WHERE o_custkey IS NULL)
+                         * 1000000 // count(*) AS varchar)
+FROM orders
+HAVING count(*) FILTER (WHERE o_custkey IS NULL) * 1000000 // count(*) > 0
+UNION ALL
+SELECT 'O_ROWCOUNT_SLA', CAST(NULL AS varchar), CAST(NULL AS varchar),
+       'metric=' || CAST(count(*) AS varchar)
+FROM orders
+HAVING count(*) < 1000
+"""
+
+
+@register("agg_sla_orders", _AGG_SLA_SQL)
+def agg_sla_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three SLA gates over orders: open-order share (breaches at TPC-H's
+    ~49%), custkey null rate (breaches on the planted nulls), and a row-count
+    floor (passes). Each is ONE partial-aggregate fold to a single row."""
+    from data_check_spark.operators.profile import agg_threshold_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    gates = [
+        agg_threshold_violations(
+            orders, "O_OPEN_SHARE_SLA",
+            "count_if(o_orderstatus = 'O') * 1000000 div count(1)",
+            max_value=300_000,
+        ),
+        agg_threshold_violations(
+            orders, "O_CUSTKEY_NULL_SLA",
+            "count_if(o_custkey IS NULL) * 1000000 div count(1)",
+            max_value=0,
+        ),
+        agg_threshold_violations(
+            orders, "O_ROWCOUNT_SLA", "count(1)", min_value=1000,
+        ),
+    ]
+    out = gates[0]
+    for g in gates[1:]:
+        out = out.unionByName(g)
+    return out

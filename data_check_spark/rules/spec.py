@@ -104,6 +104,7 @@ ROW_LOCAL_KINDS = {
 }
 
 SET_KINDS = {
+    "agg_threshold",
     "unique",
     "aggregate_unique",
     "referential",

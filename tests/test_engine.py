@@ -262,3 +262,34 @@ def test_empty_catalog_is_legal(spark):
     assert res.violations.count() == 0
     assert res.verdicts.filter("NOT passed").count() == 0
     assert res.rows_scanned == 500
+
+
+def test_agg_threshold_sla_through_engine(spark):
+    """Whole-table SLA kind: one violation row on breach (NULL id/partition),
+    nothing when the contract holds, NULL-metric counts as breach."""
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    df = spark.createDataFrame(
+        [("a", 1, "p0"), (None, 2, "p0"), ("c", None, "p1"), ("d", 4, "p1")],
+        "clip_id string, x int, partition string",
+    )
+    catalog = RuleCatalog([
+        Rule("NULL_ID_SLA", "agg_threshold", None,
+             {"metric_expr": "count_if(clip_id IS NULL) * 1000000 div count(1)",
+              "max_value": 0}),                       # 25% null → breach
+        Rule("ROWCOUNT_SLA", "agg_threshold", None,
+             {"metric_expr": "count(1)", "min_value": 2}),  # holds
+        Rule("GATED_EMPTY_SLA", "agg_threshold", None,
+             {"metric_expr": "min(x)", "min_value": 0},
+             gate="x > 100"),                         # empty scope → NULL → breach
+    ])
+    res = run_validation(spark, df, {}, catalog, run_ts="2026-01-01 00:00:00")
+    rows = {r["rule_id"]: r for r in res.violations.collect()}
+    # SCHEMA_MISMATCH is the engine's standing pre-flight note for this
+    # minimal test schema (missing clip columns) — not under test here
+    rows.pop("SCHEMA_MISMATCH", None)
+    assert set(rows) == {"NULL_ID_SLA", "GATED_EMPTY_SLA"}
+    assert rows["NULL_ID_SLA"]["observed"] == "metric=250000"
+    assert rows["NULL_ID_SLA"]["clip_id"] is None
+    assert rows["GATED_EMPTY_SLA"]["observed"] == "metric=<null>"

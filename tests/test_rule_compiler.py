@@ -318,6 +318,8 @@ def test_every_rule_kind_round_trips_through_json(tmp_path):
         "cross_column": {"expr": "a > b"},
         "multi_column": {"columns": ["a", "b"], "template": "{col} IS NULL"},
         "date_parse": {"format": "yyyy-MM-dd"},
+        "agg_threshold": {"metric_expr": "count_if(a IS NULL) * 1000000 div count(1)",
+                          "max_value": 1000},
         "referential": {"dim": "d", "dim_key": "k", "mode": "anti"},
         "drift": {"threshold": 0.25},
         "cat_drift": {"threshold_bp": 2500},
