@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "top_bigrams_documents",
     "extraction_quality_documents",
     "dataset_card_documents",
+    "corpus_rules_documents",
+    "agg_sla_orders",
+    "augmentation_plan_documents",
     "daily_volume_anomaly_events",
     "pack_stats_documents",
     "top_terms_documents",

@@ -20,7 +20,7 @@ Pipeline (single tagging pass, then one write):
    fingerprint, optional near-dup cluster membership, optional eval-set
    contamination) — all joins are keyed by doc id or fingerprint;
 2. assign each doc ONE ``drop_reason`` (rule_violation > mojibake >
-   seen_before > exact_dup > near_dup > low_quality > contaminated >
+   seen_before > exact_dup > near_dup > semantic_dup > low_quality > contaminated >
    over_budget — first match wins) so the manifest tally is a single
    groupBy, never a count() per stage;
 3. keep survivors, optionally redact PII, deterministically shuffle into
@@ -74,6 +74,12 @@ def main(argv: list[str] | None = None) -> int:
                          "(bloom-prefiltered exact membership)")
     ap.add_argument("--eval", default=None,
                     help="benchmark/eval parquet dir for decontamination")
+    ap.add_argument("--embeddings", default=None,
+                    help="doc-level embedding parquet (<id-col>, embedding "
+                         "array<float>); enables semantic near-dup dropping "
+                         "(SemDeDup-style: LSH buckets + exact cosine re-rank, "
+                         "best-quality copy kept)")
+    ap.add_argument("--semantic-threshold", type=float, default=0.92)
     ap.add_argument("--decontam-ngram", type=int, default=4)
     ap.add_argument("--drop-mojibake", action="store_true",
                     help="drop docs the extraction-quality screen marks mojibake")
@@ -186,6 +192,26 @@ def main(argv: list[str] | None = None) -> int:
     else:
         tagged = tagged.withColumn("_near_dup", F.lit(None).cast("boolean"))
 
+    if args.embeddings:
+        from data_check_spark.operators import similarity as _sim
+
+        emb = spark.read.parquet(args.embeddings)
+        spairs = _sim.lsh_near_dup_pairs(
+            emb, id_col=id_col, vec_col="embedding",
+            threshold=args.semantic_threshold,
+        )
+        sclusters = _graph.dedup_clusters(spairs.select("id_a", "id_b"))
+        sreps = _graph.select_representatives(
+            sclusters.withColumnRenamed("doc_id", id_col), scored,
+            id_col=id_col, score_col="quality_q4",
+        )
+        sem_drop = sreps.filter(F.col("is_kept") == 0).select(
+            F.col(id_col), F.lit(True).alias("_sem_dup")
+        )
+        tagged = tagged.join(sem_drop, id_col, "left")
+    else:
+        tagged = tagged.withColumn("_sem_dup", F.lit(None).cast("boolean"))
+
     if args.eval:
         from data_check_spark.operators.decontam import decontaminate
 
@@ -215,6 +241,7 @@ def main(argv: list[str] | None = None) -> int:
         .when(F.col("_seen") == 1, "seen_before")
         .when(F.col("_exact_dup"), "exact_dup")
         .when(F.coalesce(F.col("_near_dup"), F.lit(False)), "near_dup")
+        .when(F.coalesce(F.col("_sem_dup"), F.lit(False)), "semantic_dup")
         .when(F.col("quality_q4") < min_quality, "low_quality")
         .when(F.coalesce(F.col("_contam"), F.lit(False)), "contaminated"),
     )

@@ -213,3 +213,39 @@ def test_curate_job_quarantine_audit_trail(spark, tmp_path, capsys):
     assert got == {(10, "exact_dup"), (11, "mojibake")}
     # text is NOT re-shipped in the audit trail
     assert "text" not in q.columns and "quality_q4" in q.columns
+
+
+def test_curate_job_semantic_dedup_keeps_best_copy(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    # docs 1 and 2: different text, near-identical embeddings (semantic dups;
+    # doc 2 longer → higher quality → kept). doc 3: orthogonal embedding.
+    rows = [
+        (1, "short paraphrase of the idea " + "pad " * 5, "en", "s0"),
+        (2, "a longer and better written paraphrase of the very same idea "
+            + "word " * 30, "en", "s0"),
+        (3, "entirely unrelated content about parquet footers " + "col " * 20, "en", "s1"),
+    ]
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, rows)
+
+    base = [1.0, 0.2, -0.3, 0.5, 0.1, -0.8, 0.4, 0.9]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    ortho = [-0.9, 0.8, 0.1, -0.5, 0.7, 0.2, -0.4, -0.1]
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "doc_id long, embedding array<float>"
+    ).write.parquet(emb)
+
+    out = str(tmp_path / "release")
+    rc = curate_job.main([
+        "--input", docs, "--output-dir", out,
+        "--embeddings", emb, "--semantic-threshold", "0.99",
+        "--skip-near-dup", "--shards", "2",
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["dropped"].get("semantic_dup") == 1
+    ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").select("doc_id").collect()}
+    assert ids == {2, 3}
