@@ -316,13 +316,21 @@ def main(argv: list[str] | None = None) -> int:
 
     corpus_df = sharded.drop("_fp")
     corpus_path = f"{args.output_dir}/corpus"
-    write_dataset(
-        corpus_df, corpus_path,
-        partition_by=["shard"], sort_by=["pos"],
-        rows_per_file=args.rows_per_file,
-    )
-    report = verify_dataset(spark, corpus_path, corpus_df, partition_by=["shard"])
-    failed = report.filter(~F.col("passed")).count()
+    if tally.get("kept", 0) > 0:
+        write_dataset(
+            corpus_df, corpus_path,
+            partition_by=["shard"], sort_by=["pos"],
+            rows_per_file=args.rows_per_file,
+        )
+        report = verify_dataset(spark, corpus_path, corpus_df, partition_by=["shard"])
+        failed = report.filter(~F.col("passed")).count()
+    else:
+        # everything dropped — NORMAL for an incremental run with no new
+        # content (--history covers the whole batch). A hive-partitioned
+        # write of 0 rows leaves no readable parquet, so skip the corpus
+        # write entirely; the manifest records kept_rows = 0 and the
+        # (empty, schema-bearing) fingerprint store below stays chainable.
+        failed = 0
 
     # publish the kept fingerprints so the NEXT release can pass this run's
     # output as --history (callers maintain the union across releases, or

@@ -249,3 +249,41 @@ def test_curate_job_semantic_dedup_keeps_best_copy(spark, tmp_path, capsys):
     assert manifest["dropped"].get("semantic_dup") == 1
     ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus").select("doc_id").collect()}
     assert ids == {2, 3}
+
+
+def test_curate_job_empty_release_is_graceful_and_chainable(spark, tmp_path, capsys):
+    """Incremental run where history covers the entire batch: kept_rows 0,
+    exit 0, no corpus dir, and the (empty) fingerprint store still chains."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    rows = [(i, f"doc number {i} " + "tok " * 20, "en", "s0") for i in range(6)]
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, rows)
+
+    out1 = str(tmp_path / "r1")
+    assert curate_job.main([
+        "--input", docs, "--output-dir", out1, "--skip-near-dup", "--shards", "2",
+    ]) == 0
+    capsys.readouterr()
+
+    # same batch again → 100% seen_before
+    out2 = str(tmp_path / "r2")
+    assert curate_job.main([
+        "--input", docs, "--output-dir", out2,
+        "--history", f"{out1}/fingerprints", "--skip-near-dup", "--shards", "2",
+    ]) == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["kept_rows"] == 0 and manifest["dropped"]["seen_before"] == 6
+    assert manifest["verified"] is True
+    import os
+    assert not os.path.exists(f"{out2}/corpus")
+    # the empty store is readable and a third chained run still works
+    assert spark.read.parquet(f"{out2}/fingerprints").count() == 0
+    out3 = str(tmp_path / "r3")
+    assert curate_job.main([
+        "--input", docs, "--output-dir", out3,
+        "--history", f"{out2}/fingerprints", "--skip-near-dup", "--shards", "2",
+    ]) == 0
+    manifest3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest3["kept_rows"] == 6   # empty history → everything new again
