@@ -72,6 +72,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="fingerprint parquet dir from a previous release; "
                          "docs whose content was ever shipped are dropped "
                          "(bloom-prefiltered exact membership)")
+    ap.add_argument("--union-history", action="store_true",
+                    help="write <output>/fingerprints as history UNION kept "
+                         "(a self-contained store: pass just release N's to "
+                         "release N+1). Default writes only THIS release's "
+                         "kept fingerprints — at 10^12-fingerprint scale the "
+                         "store should be an append table, not rewritten "
+                         "per release")
     ap.add_argument("--eval", default=None,
                     help="benchmark/eval parquet dir for decontamination")
     ap.add_argument("--embeddings", default=None,
@@ -336,8 +343,13 @@ def main(argv: list[str] | None = None) -> int:
     # output as --history (callers maintain the union across releases, or
     # chain: release N's history = release N-1's fingerprints ∪ its history)
     fp_path = f"{args.output_dir}/fingerprints"
-    (sharded.select(F.col("_fp").alias("fingerprint"))
-        .write.mode("overwrite").parquet(fp_path))
+    fps_out = sharded.select(F.col("_fp").alias("fingerprint"))
+    if args.union_history and args.history:
+        prev = spark.read.parquet(args.history).select(
+            F.col("fingerprint").cast("string").alias("fingerprint")
+        )
+        fps_out = fps_out.unionByName(prev).dropDuplicates()
+    fps_out.write.mode("overwrite").parquet(fp_path)
 
     manifest = {
         "input_rows": sum(tally.values()),

@@ -287,3 +287,40 @@ def test_curate_job_empty_release_is_graceful_and_chainable(spark, tmp_path, cap
     ]) == 0
     manifest3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert manifest3["kept_rows"] == 6   # empty history → everything new again
+
+
+def test_curate_job_union_history_store_is_self_contained(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    r1 = [(i, f"first wave doc {i} " + "a " * 20, "en", "s0") for i in range(3)]
+    docs1 = str(tmp_path / "d1")
+    _write_docs(spark, docs1, r1)
+    out1 = str(tmp_path / "r1")
+    assert curate_job.main([
+        "--input", docs1, "--output-dir", out1, "--skip-near-dup", "--shards", "1",
+    ]) == 0
+
+    r2 = [(10 + i, f"second wave doc {i} " + "b " * 20, "en", "s0") for i in range(2)]
+    docs2 = str(tmp_path / "d2")
+    _write_docs(spark, docs2, r2)
+    out2 = str(tmp_path / "r2")
+    assert curate_job.main([
+        "--input", docs2, "--output-dir", out2,
+        "--history", f"{out1}/fingerprints", "--union-history",
+        "--skip-near-dup", "--shards", "1",
+    ]) == 0
+    # store now covers BOTH waves
+    assert spark.read.parquet(f"{out2}/fingerprints").count() == 5
+    capsys.readouterr()
+
+    # a batch mixing both waves against JUST release 2's store drops everything
+    mixed = str(tmp_path / "d3")
+    _write_docs(spark, mixed, [(100, r1[0][1], "en", "s9"), (101, r2[0][1], "en", "s9")])
+    out3 = str(tmp_path / "r3")
+    assert curate_job.main([
+        "--input", mixed, "--output-dir", out3,
+        "--history", f"{out2}/fingerprints", "--skip-near-dup", "--shards", "1",
+    ]) == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["dropped"]["seen_before"] == 2 and manifest["kept_rows"] == 0
