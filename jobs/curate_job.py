@@ -19,7 +19,7 @@ Pipeline (single tagging pass, then one write):
 1. score every doc once (quality q4, extraction-quality status, exact
    fingerprint, optional near-dup cluster membership, optional eval-set
    contamination) — all joins are keyed by doc id or fingerprint;
-2. assign each doc ONE ``drop_reason`` (rule_violation > mojibake >
+2. assign each doc ONE ``drop_reason`` (null_id > rule_violation > mojibake >
    seen_before > exact_dup > near_dup > semantic_dup > low_quality > contaminated >
    over_budget — first match wins) so the manifest tally is a single
    groupBy, never a count() per stage;
@@ -129,7 +129,10 @@ def main(argv: list[str] | None = None) -> int:
     scored = _text.quality_score(docs, id_col=id_col, text_col=text_col).select(
         id_col, "n_tokens", "quality_q4"
     )
-    tagged = docs.join(scored, id_col)
+    # LEFT joins on the id everywhere: a NULL id never equi-joins, and an
+    # inner join would silently erase such rows from the tally — instead
+    # they surface as drop_reason 'null_id' below
+    tagged = docs.join(scored, id_col, "left")
 
     rule_counts: dict[str, int] = {}
     if args.preflight_rules:
@@ -155,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
         eq = _text.extraction_quality(docs, id_col=id_col, text_col=text_col).select(
             id_col, F.col("status").alias("_eq_status")
         )
-        tagged = tagged.join(eq, id_col)
+        tagged = tagged.join(eq, id_col, "left")
     else:
         tagged = tagged.withColumn("_eq_status", F.lit(None).cast("string"))
 
@@ -164,7 +167,7 @@ def main(argv: list[str] | None = None) -> int:
         seen = _dedup.incremental_exact_dedup(
             docs, store, id_col=id_col, text_col=text_col
         ).select(id_col, F.col("is_dup").alias("_seen"))
-        tagged = tagged.join(seen, id_col)
+        tagged = tagged.join(seen, id_col, "left")
     else:
         tagged = tagged.withColumn("_seen", F.lit(0))
 
@@ -243,7 +246,8 @@ def main(argv: list[str] | None = None) -> int:
 
     tagged = tagged.withColumn(
         "drop_reason",
-        F.when(F.coalesce(F.col("_rule_bad"), F.lit(False)), "rule_violation")
+        F.when(F.col(id_col).isNull(), "null_id")
+        .when(F.coalesce(F.col("_rule_bad"), F.lit(False)), "rule_violation")
         .when(F.col("_eq_status") == "mojibake", "mojibake")
         .when(F.col("_seen") == 1, "seen_before")
         .when(F.col("_exact_dup"), "exact_dup")

@@ -324,3 +324,26 @@ def test_curate_job_union_history_store_is_self_contained(spark, tmp_path, capsy
     ]) == 0
     manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert manifest["dropped"]["seen_before"] == 2 and manifest["kept_rows"] == 0
+
+
+def test_curate_job_null_id_rows_are_tallied_not_lost(spark, tmp_path, capsys):
+    """A NULL id never equi-joins; it must surface as drop_reason null_id,
+    not vanish from the manifest arithmetic."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    rows = [(1, "fine document " + "tok " * 20, "en", "s0"),
+            (None, "orphan row with no id " + "tok " * 20, "en", "s0")]
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, rows)
+    out = str(tmp_path / "release")
+    rc = curate_job.main([
+        "--input", docs, "--output-dir", out,
+        "--drop-mojibake",          # exercises an id-keyed signal join too
+        "--skip-near-dup", "--shards", "1",
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["input_rows"] == 2
+    assert manifest["dropped"]["null_id"] == 1
+    assert manifest["kept_rows"] == 1
