@@ -102,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
                          "every non-text column) to <output>/quarantine, "
                          "hive-partitioned by drop_reason — the audit trail "
                          "without re-shipping dropped text")
+    ap.add_argument("--export-tar", action="store_true",
+                    help="also export the release as WebDataset-style tar "
+                         "shards (<output>/tar/shard-NNNNNN.tar, one member "
+                         "<id>.txt per doc) — the format streaming training "
+                         "loaders consume")
     ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--shuffle-seed", default="sh0")
@@ -342,6 +347,20 @@ def main(argv: list[str] | None = None) -> int:
         # write entirely; the manifest records kept_rows = 0 and the
         # (empty, schema-bearing) fingerprint store below stays chainable.
         failed = 0
+
+    if args.export_tar and tally.get("kept", 0) > 0:
+        from data_check_spark.sinks import write_tar_shards
+
+        tar_report = write_tar_shards(
+            sharded.withColumn("_key", F.col(id_col).cast("string")),
+            f"{args.output_dir}/tar",
+            key_col="_key", payloads={text_col: "txt"}, order_col="pos",
+        )
+        n_tarred = tar_report.agg(F.sum("n_samples")).collect()[0][0]
+        if n_tarred != tally.get("kept", 0):
+            print(json.dumps({"error": "tar_export_count_mismatch",
+                              "tarred": n_tarred, "kept": tally.get("kept", 0)}))
+            return 2
 
     # publish the kept fingerprints so the NEXT release can pass this run's
     # output as --history (callers maintain the union across releases, or

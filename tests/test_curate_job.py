@@ -347,3 +347,28 @@ def test_curate_job_null_id_rows_are_tallied_not_lost(spark, tmp_path, capsys):
     assert manifest["input_rows"] == 2
     assert manifest["dropped"]["null_id"] == 1
     assert manifest["kept_rows"] == 1
+
+
+def test_curate_job_tar_export(spark, tmp_path, capsys):
+    import tarfile
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import curate_job
+
+    rows = [(i, f"tar doc {i} " + "tok " * 20, "en", "s0") for i in range(9)]
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs, rows)
+    out = str(tmp_path / "release")
+    rc = curate_job.main([
+        "--input", docs, "--output-dir", out,
+        "--skip-near-dup", "--shards", "3", "--export-tar",
+    ])
+    assert rc == 0
+    import os
+    tars = sorted(f for f in os.listdir(f"{out}/tar") if f.endswith(".tar"))
+    members = []
+    for t in tars:
+        with tarfile.open(f"{out}/tar/{t}") as tf:
+            members += tf.getnames()
+    assert len(members) == 9 and all(m.endswith(".txt") for m in members)
+    assert {m.split(".")[0] for m in members} == {str(i) for i in range(9)}
