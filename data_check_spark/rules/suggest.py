@@ -1,0 +1,121 @@
+"""Rule suggestion: bootstrap a RuleCatalog from what a table actually holds.
+
+The profiling-to-rules bridge (the workflow Deequ calls constraint
+suggestion and the reference's authors performed by hand when they wrote
+check_definitions.json): profile the table once, then propose the rules the
+current data already satisfies — a reviewable starting catalog, not an
+auto-deployed one. Suggested rules are exactly the compiler kinds
+(rules/compiler.py), so the output drops straight into ``apply_row_rules``,
+``run_validation``, or a curate-job ``--preflight-rules`` file.
+
+Heuristics (all evidence-based, each rule true of the profiled data):
+
+- ``<COL>_NOT_NULL`` — the column has zero NULL/blank values;
+- ``<COL>_UNIQUE``   — distinct count equals row count (candidate key);
+- ``<COL>_RANGE``    — numeric: the observed [min, max] envelope;
+- ``<COL>_SET``      — low-cardinality string: the observed value set;
+- ``<COL>_FORMAT``   — string whose non-null values all share ONE structure
+  mask (profile.format_masks), converted to an anchored regex
+  (A→[A-Z], a→[a-z], 9→[0-9], punctuation literal).
+
+Cost: three single-scan passes (profile; native min/max + enum sets; mask
+histogram over the format candidates) — a design-time tool, not a per-run
+one. Every pass is a map-side-combined aggregate; nothing collects row data
+except the bounded enum sets.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_check_spark.rules.spec import Rule, RuleCatalog
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def _mask_to_regex(mask: str) -> str:
+    out = []
+    for ch in mask:
+        if ch == "A":
+            out.append("[A-Z]")
+        elif ch == "a":
+            out.append("[a-z]")
+        elif ch == "9":
+            out.append("[0-9]")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def suggest_rules(
+    df: DataFrame,
+    *,
+    columns: list[str] | None = None,
+    max_set_size: int = 12,
+) -> RuleCatalog:
+    """Propose a catalog the current data satisfies (see module docstring)."""
+    from data_check_spark.operators.profile import column_profile, format_masks
+
+    dtypes = dict(df.dtypes)
+    cols = columns or [c for c, t in df.dtypes if t != "binary"]
+    prof = {r["col_name"]: r for r in column_profile(df, cols).collect()}
+
+    numeric = [c for c in cols if dtypes[c].startswith(_NUMERIC_PREFIXES)]
+    enum_cand = [
+        c for c in cols
+        if dtypes[c] == "string"
+        and 1 <= (prof[c]["n_distinct"] or 0) <= max_set_size
+    ]
+    aggs = []
+    for c in numeric:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    for c in enum_cand:
+        aggs.append(F.collect_set(c).alias(f"_set_{c}"))
+    extremes = df.agg(*aggs).collect()[0] if aggs else {}
+
+    fmt_cand = [c for c in cols if dtypes[c] == "string" and c not in enum_cand]
+    masks: dict[str, list] = {}
+    if fmt_cand:
+        for r in format_masks(df, fmt_cand, top_n=1).collect():
+            masks[r["col_name"]] = r
+
+    rules: list[Rule] = []
+    for c in cols:
+        p = prof[c]
+        n_rows, n_nulls = p["n_rows"], p["n_nulls"]
+        blanks = (n_nulls or 0) + (p["n_blank"] or 0)
+        uc = c.upper()
+        if n_rows and blanks == 0:
+            rules.append(Rule(f"{uc}_NOT_NULL", "not_null", c,
+                              name=f"{c} had no blank values when profiled"))
+        if n_rows and blanks == 0 and p["n_distinct"] == n_rows:
+            rules.append(Rule(f"{uc}_UNIQUE", "unique", c,
+                              name=f"{c} was a candidate key when profiled"))
+        if c in numeric and p["n_distinct"]:
+            lo, hi = extremes[f"_min_{c}"], extremes[f"_max_{c}"]
+            if lo is not None and hi is not None:
+                rules.append(Rule(
+                    f"{uc}_RANGE", "range", c,
+                    {"min": lo if isinstance(lo, int) else float(lo),
+                     "max": hi if isinstance(hi, int) else float(hi)},
+                    name=f"{c} observed envelope [{lo}, {hi}]"))
+        if c in enum_cand:
+            allowed = sorted(str(v) for v in extremes[f"_set_{c}"])
+            rules.append(Rule(f"{uc}_SET", "value_in_set", c,
+                              {"allowed": allowed},
+                              name=f"{c} took {len(allowed)} distinct values"))
+        m = masks.get(c)
+        if (
+            m is not None
+            and m["mask"] not in ("<null>",)
+            and not m["mask"].endswith("+")
+            and m["n"] == n_rows - blanks
+            and m["n"] > 0
+        ):
+            rules.append(Rule(f"{uc}_FORMAT", "format", c,
+                              {"pattern": _mask_to_regex(m["mask"])},
+                              name=f"every non-blank {c} matched mask {m['mask']}"))
+    return RuleCatalog(rules)
