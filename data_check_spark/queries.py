@@ -5750,3 +5750,133 @@ def agg_sla_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for g in gates[1:]:
         out = out.unionByName(g)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction (operators/bpe.py): the corpus collapses ONCE to a
+# (word, freq) dictionary; every merge iteration runs vocabulary-sized. The
+# oracle replays 4 full merge rounds — pair counting, deterministic argmax,
+# and the pinned padded-replace rewrite — entirely in SQL, so the WHOLE
+# training loop is value-checked cross-engine, not just the word counts.
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 4
+
+_BPE_WORDS_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, lower(t.tok) AS word
+  FROM documents,
+       unnest(CASE WHEN text IS NULL OR trim(text) = '' THEN []::varchar[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END) t(tok)
+), w0 AS (
+  SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS syms,
+         count(*) AS freq
+  FROM toks GROUP BY word
+), p1 AS (
+  SELECT l[i] AS lhs, l[i + 1] AS rhs, sum(freq) AS pair_freq
+  FROM (SELECT string_split(syms, ' ') AS l, freq FROM w0) s,
+       unnest(range(1, len(l))) t(i)
+  GROUP BY 1, 2
+), b1 AS (SELECT lhs, rhs, pair_freq FROM p1 ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+w1 AS (
+  SELECT word,
+         trim(replace(' ' || syms || ' ',
+                      ' ' || (SELECT lhs FROM b1) || ' ' || (SELECT rhs FROM b1) || ' ',
+                      ' ' || (SELECT lhs || rhs FROM b1) || ' ')) AS syms,
+         freq
+  FROM w0
+), p2 AS (
+  SELECT l[i] AS lhs, l[i + 1] AS rhs, sum(freq) AS pair_freq
+  FROM (SELECT string_split(syms, ' ') AS l, freq FROM w1) s,
+       unnest(range(1, len(l))) t(i)
+  GROUP BY 1, 2
+), b2 AS (SELECT lhs, rhs, pair_freq FROM p2 ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+w2 AS (
+  SELECT word,
+         trim(replace(' ' || syms || ' ',
+                      ' ' || (SELECT lhs FROM b2) || ' ' || (SELECT rhs FROM b2) || ' ',
+                      ' ' || (SELECT lhs || rhs FROM b2) || ' ')) AS syms,
+         freq
+  FROM w1
+), p3 AS (
+  SELECT l[i] AS lhs, l[i + 1] AS rhs, sum(freq) AS pair_freq
+  FROM (SELECT string_split(syms, ' ') AS l, freq FROM w2) s,
+       unnest(range(1, len(l))) t(i)
+  GROUP BY 1, 2
+), b3 AS (SELECT lhs, rhs, pair_freq FROM p3 ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+w3 AS (
+  SELECT word,
+         trim(replace(' ' || syms || ' ',
+                      ' ' || (SELECT lhs FROM b3) || ' ' || (SELECT rhs FROM b3) || ' ',
+                      ' ' || (SELECT lhs || rhs FROM b3) || ' ')) AS syms,
+         freq
+  FROM w2
+), p4 AS (
+  SELECT l[i] AS lhs, l[i + 1] AS rhs, sum(freq) AS pair_freq
+  FROM (SELECT string_split(syms, ' ') AS l, freq FROM w3) s,
+       unnest(range(1, len(l))) t(i)
+  GROUP BY 1, 2
+), b4 AS (SELECT lhs, rhs, pair_freq FROM p4 ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+w4 AS (
+  SELECT word,
+         trim(replace(' ' || syms || ' ',
+                      ' ' || (SELECT lhs FROM b4) || ' ' || (SELECT rhs FROM b4) || ' ',
+                      ' ' || (SELECT lhs || rhs FROM b4) || ' ')) AS syms,
+         freq
+  FROM w3
+)
+"""
+
+_BPE_MERGES_SQL = (
+    _BPE_WORDS_CTE
+    + r"""
+SELECT CAST(1 AS INT) AS merge_rank, lhs, rhs, CAST(pair_freq AS BIGINT) AS pair_freq,
+       lhs || rhs AS new_symbol FROM b1
+UNION ALL SELECT 2, lhs, rhs, CAST(pair_freq AS BIGINT), lhs || rhs FROM b2
+UNION ALL SELECT 3, lhs, rhs, CAST(pair_freq AS BIGINT), lhs || rhs FROM b3
+UNION ALL SELECT 4, lhs, rhs, CAST(pair_freq AS BIGINT), lhs || rhs FROM b4
+"""
+)
+
+
+@register("bpe_merges_documents", _BPE_MERGES_SQL)
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 4 BPE merges learned from the corpus (rank, pair, freq)."""
+    from data_check_spark.operators.bpe import bpe_merges_df, bpe_train
+
+    merges, _ = bpe_train(_docs_parallel(spark, sf_dir), n_merges=_BPE_N_MERGES)
+    return bpe_merges_df(spark, merges)
+
+
+_BPE_SEGMENT_SQL = (
+    _BPE_WORDS_CTE
+    + r"""
+, seg AS (
+  SELECT dt.doc_id,
+         count(*) AS n_words,
+         sum(len(string_split(w.syms, ' '))) AS n_pieces,
+         sum(len(dt.word)) AS n_word_chars
+  FROM toks dt JOIN w4 w USING (word)
+  GROUP BY dt.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(s.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(coalesce(s.n_word_chars, 0) AS BIGINT) AS n_word_chars,
+       CAST(CASE WHEN coalesce(s.n_pieces, 0) > 0
+                 THEN s.n_word_chars * 10000 // s.n_pieces
+                 ELSE 0 END AS BIGINT) AS chars_per_piece_bp
+FROM documents d LEFT JOIN seg s USING (doc_id)
+"""
+)
+
+
+@register("bpe_segment_documents", _BPE_SEGMENT_SQL)
+def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment the corpus with the 4-merge dictionary: per-document piece
+    counts and the chars-per-piece fertility ratio (training-cost sizing)."""
+    from data_check_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = _docs_parallel(spark, sf_dir)
+    _, dictionary = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return bpe_segment(docs, dictionary)
