@@ -775,3 +775,99 @@ def extraction_quality(
         )
         .drop("_len")
     )
+
+
+# Word-alphabet cap for word_edit_distance: Spark's `char(n)` wraps at 256
+# (n % 256), so only codes 1..255 yield distinct single characters that
+# DuckDB's chr() reproduces byte-for-byte (Latin-1 <-> same codepoints).
+WER_VOCAB_MAX = 255
+
+
+def word_edit_distance(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    ref_col: str = "ref_text",
+    hyp_col: str = "hyp_text",
+    threshold_bp: int = 2500,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Exact word-level edit distance (WER) per (reference, hypothesis) pair.
+
+    The ASR-transcript QA screen: word error rate between a reference
+    transcript and a hypothesis (a re-transcription, a second annotator, or
+    the stored `transcript` column vs a recompute). Word-level Levenshtein
+    is reduced to the built-in character-level ``levenshtein`` by mapping
+    each distinct word of the PAIR to one character: the pair's combined
+    vocabulary is sorted (binary collation — identical in Spark and DuckDB),
+    and word i encodes as ``char(i)``. Both engines build the same encoded
+    strings, so the JVM DP computes the exact word alignment — no Python,
+    no shuffle, one projection.
+
+    The alphabet holds ``WER_VOCAB_MAX`` (255) distinct words per pair —
+    plenty for utterance transcripts; pairs beyond it get
+    ``status='vocab_overflow'`` with NULL distance (error-as-data, same
+    convention as the undecodable-payload audio rows) rather than a silently
+    wrong number.
+
+    Output: ``n_ref_words``, ``n_hyp_words``, ``word_edits`` (NULL on
+    overflow), ``wer_bp`` = edits·10⁴ div n_ref_words, and ``status``:
+    ``empty_ref`` > ``vocab_overflow`` > ``exceeds`` (wer_bp above
+    ``threshold_bp``) > ``ok``.
+    """
+    ref_toks = _tokens(ref_col)
+    hyp_toks = _tokens(hyp_col)
+    if lowercase:
+        ref_toks = F.transform(ref_toks, F.lower)
+        hyp_toks = F.transform(hyp_toks, F.lower)
+    base = df.select(
+        F.col(id_col),
+        ref_toks.alias("_ref"),
+        hyp_toks.alias("_hyp"),
+    ).select(
+        id_col,
+        "_ref",
+        "_hyp",
+        F.array_sort(F.array_distinct(F.concat("_ref", "_hyp"))).alias("_vocab"),
+    )
+    encoded = base.select(
+        id_col,
+        F.size("_ref").alias("n_ref_words"),
+        F.size("_hyp").alias("n_hyp_words"),
+        F.size("_vocab").alias("_n_vocab"),
+        F.expr(
+            "concat_ws('', transform(_ref, w -> char(array_position(_vocab, w))))"
+        ).alias("_eref"),
+        F.expr(
+            "concat_ws('', transform(_hyp, w -> char(array_position(_vocab, w))))"
+        ).alias("_ehyp"),
+    )
+    edits = F.when(
+        F.col("_n_vocab") <= WER_VOCAB_MAX, F.levenshtein("_eref", "_ehyp")
+    ).cast("long")
+    out = encoded.select(
+        id_col,
+        F.col("n_ref_words").cast("long").alias("n_ref_words"),
+        F.col("n_hyp_words").cast("long").alias("n_hyp_words"),
+        F.col("_n_vocab"),
+        edits.alias("word_edits"),
+    )
+    return out.select(
+        id_col,
+        "n_ref_words",
+        "n_hyp_words",
+        "word_edits",
+        F.when(
+            (F.col("n_ref_words") > 0) & F.col("word_edits").isNotNull(),
+            F.expr("word_edits * 10000 div n_ref_words"),
+        )
+        .cast("long")
+        .alias("wer_bp"),
+        F.when(F.col("n_ref_words") == 0, F.lit("empty_ref"))
+        .when(F.col("_n_vocab") > WER_VOCAB_MAX, F.lit("vocab_overflow"))
+        .when(
+            F.expr("word_edits * 10000 div n_ref_words") > threshold_bp, F.lit("exceeds")
+        )
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )

@@ -5880,3 +5880,111 @@ def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir)
     _, dictionary = bpe_train(docs, n_merges=_BPE_N_MERGES)
     return bpe_segment(docs, dictionary)
+
+
+# ---------------------------------------------------------------------------
+# Word-level transcript WER (text.word_edit_distance): ASR-transcript QA.
+# The hypothesis is a planted mutation of each document's text (substitute /
+# delete / duplicate one word, chosen by doc_id arithmetic both engines
+# share); the WER pipeline itself — pair vocabulary, char encoding,
+# levenshtein DP — is replayed verbatim in DuckDB, so the word-alignment
+# distance is value-checked, not approximated.
+# ---------------------------------------------------------------------------
+
+_WER_THRESHOLD_BP = 250
+
+_WER_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []::varchar[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+  FROM documents
+), mut AS (
+  SELECT doc_id, l, len(l) AS n,
+         CASE WHEN len(l) = 0 THEN 0 ELSE (doc_id % len(l)) + 1 END AS p
+  FROM base
+), pairs AS (
+  SELECT doc_id, l AS ref_l,
+         CASE
+           WHEN n = 0 THEN []::varchar[]
+           WHEN doc_id % 4 = 0 THEN l[1:p-1] || ['zqsub'] || l[p+1:n]
+           WHEN doc_id % 4 = 1 THEN l[1:p-1] || l[p+1:n]
+           WHEN doc_id % 4 = 2 THEN l[1:p] || [l[p]] || l[p+1:n]
+           ELSE l
+         END AS hyp_l
+  FROM mut
+), toks AS (
+  SELECT doc_id,
+         list_transform(ref_l, w -> lower(w)) AS ref_t,
+         list_transform(hyp_l, w -> lower(w)) AS hyp_t
+  FROM pairs
+), enc AS (
+  SELECT doc_id, ref_t, hyp_t,
+         list_sort(list_distinct(ref_t || hyp_t)) AS vocab
+  FROM toks
+), ed AS (
+  SELECT doc_id,
+         len(ref_t) AS n_ref_words,
+         len(hyp_t) AS n_hyp_words,
+         len(vocab) AS n_vocab,
+         CASE WHEN len(vocab) <= 255 THEN levenshtein(
+             array_to_string(list_transform(ref_t, w -> chr(list_position(vocab, w))), ''),
+             array_to_string(list_transform(hyp_t, w -> chr(list_position(vocab, w))), ''))
+         END AS word_edits
+  FROM enc
+)
+SELECT doc_id,
+       CAST(n_ref_words AS BIGINT) AS n_ref_words,
+       CAST(n_hyp_words AS BIGINT) AS n_hyp_words,
+       CAST(word_edits AS BIGINT) AS word_edits,
+       CAST(CASE WHEN n_ref_words > 0 AND word_edits IS NOT NULL
+                 THEN word_edits * 10000 // n_ref_words END AS BIGINT) AS wer_bp,
+       CASE WHEN n_ref_words = 0 THEN 'empty_ref'
+            WHEN n_vocab > 255 THEN 'vocab_overflow'
+            WHEN word_edits * 10000 // n_ref_words > 250 THEN 'exceeds'
+            ELSE 'ok' END AS status
+FROM ed
+"""
+
+
+@register("transcript_wer_documents", _WER_SQL)
+def transcript_wer_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WER of a planted one-word mutation per document vs its own text:
+    doc_id%4 selects substitute / delete / duplicate / identical, so every
+    status band is populated and every distance is exactly one word edit."""
+    from data_check_spark.operators.text import word_edit_distance
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.col("text").alias("ref_text"),
+            F.expr(
+                "CASE WHEN text IS NULL OR trim(text) = '' THEN array()"
+                " ELSE split(trim(text), '\\\\s+') END"
+            ).alias("_l"),
+        )
+        .withColumn("_n", F.size("_l"))
+        .withColumn(
+            "_p",
+            F.when(F.col("_n") > 0, (F.col("doc_id") % F.col("_n")) + 1)
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .withColumn(
+            "hyp_text",
+            F.expr(
+                "array_join(CASE"
+                " WHEN _n = 0 THEN array()"
+                " WHEN doc_id % 4 = 0 THEN concat(slice(_l, 1, _p - 1), array('zqsub'),"
+                "                                slice(_l, _p + 1, _n - _p))"
+                " WHEN doc_id % 4 = 1 THEN concat(slice(_l, 1, _p - 1),"
+                "                                slice(_l, _p + 1, _n - _p))"
+                " WHEN doc_id % 4 = 2 THEN concat(slice(_l, 1, _p), array(element_at(_l, _p)),"
+                "                                slice(_l, _p + 1, _n - _p))"
+                " ELSE _l END, ' ')"
+            ),
+        )
+        .select("doc_id", "ref_text", "hyp_text")
+    )
+    return word_edit_distance(pairs, threshold_bp=_WER_THRESHOLD_BP)

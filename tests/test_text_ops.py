@@ -374,3 +374,85 @@ def test_extraction_quality_classifies_failure_modes(spark):
     assert out[5]["n_ctrl"] == 2 and out[5]["status"] == "mojibake"
 
     assert out[6]["status"] == "clean" and out[6]["residue_bp"] == 0
+
+
+# ---------------------------------------------------------------------------
+# word_edit_distance (transcript WER)
+# ---------------------------------------------------------------------------
+
+
+def _py_word_lev(a: list[str], b: list[str]) -> int:
+    prev = list(range(len(b) + 1))
+    for i, wa in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, wb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (wa != wb))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_word_edit_distance_hand_cases(spark):
+    from data_check_spark.operators.text import word_edit_distance
+
+    rows = [
+        (1, "the cat sat on the mat", "the cat sat on the mat"),   # identical
+        (2, "the cat sat on the mat", "the dog sat on the mat"),   # 1 sub
+        (3, "the cat sat on the mat", "the cat sat on mat"),       # 1 del
+        (4, "the cat sat", "the the cat sat"),                     # 1 ins
+        (5, "a b", "b a"),                                         # transposition = 2
+        (6, "", "whatever here"),                                  # empty ref
+        (7, "cat catalog", "cat catalog"),  # prefix words must encode apart
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ref_text string, hyp_text string")
+    out = {r["doc_id"]: r for r in word_edit_distance(df, threshold_bp=3000).collect()}
+    assert out[1]["word_edits"] == 0 and out[1]["status"] == "ok"
+    assert out[2]["word_edits"] == 1 and out[2]["wer_bp"] == 1666
+    assert out[3]["word_edits"] == 1
+    assert out[4]["word_edits"] == 1 and out[4]["status"] == "exceeds"  # 3333 bp
+    assert out[5]["word_edits"] == 2 and out[5]["wer_bp"] == 10000
+    assert out[6]["status"] == "empty_ref" and out[6]["wer_bp"] is None
+    assert out[7]["word_edits"] == 0
+
+
+def test_word_edit_distance_matches_python_dp(spark):
+    from data_check_spark.operators.text import word_edit_distance
+
+    # deterministic pseudo-random word sequences with heavy repetition
+    def words(seed, n):
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        return [vocab[(seed * (i + 3) + i * i) % len(vocab)] for i in range(n)]
+
+    rows = [
+        (i, " ".join(words(i, 8 + i % 5)), " ".join(words(i + 1, 6 + i % 7)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ref_text string, hyp_text string")
+    out = {r["doc_id"]: r for r in word_edit_distance(df).collect()}
+    for i, ref, hyp in rows:
+        assert out[i]["word_edits"] == _py_word_lev(ref.split(), hyp.split()), i
+
+
+def test_word_edit_distance_vocab_overflow(spark):
+    from data_check_spark.operators.text import word_edit_distance
+
+    big_ref = " ".join(f"w{i}" for i in range(200))
+    big_hyp = " ".join(f"v{i}" for i in range(200))  # pair vocab = 400 > 255
+    small = ("ok ref", "ok ref")
+    df = spark.createDataFrame(
+        [(1, big_ref, big_hyp), (2, *small)], "doc_id long, ref_text string, hyp_text string"
+    )
+    out = {r["doc_id"]: r for r in word_edit_distance(df).collect()}
+    assert out[1]["status"] == "vocab_overflow"
+    assert out[1]["word_edits"] is None and out[1]["wer_bp"] is None
+    assert out[2]["status"] == "ok" and out[2]["word_edits"] == 0
+
+
+def test_word_edit_distance_plan_is_jvm_projection(spark):
+    from data_check_spark.operators.text import word_edit_distance
+
+    df = spark.createDataFrame(
+        [(1, "a b", "a c")], "doc_id long, ref_text string, hyp_text string"
+    )
+    plan = word_edit_distance(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # zero shuffle
+    assert "Python" not in plan            # zero Python
