@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "ivf_ann_embeddings",
     "ivf_portable_ann_embeddings",
     "corpus_curation_documents",
+    # tokenizer induction + transcript QA (round 2, session 7)
+    "bpe_merges_documents",
+    "bpe_segment_documents",
+    "transcript_wer_documents",
     # profiling / drift / sampling family (round 2)
     "column_stats_orders",
     "numeric_quantiles_lineitem",
