@@ -223,6 +223,17 @@ def _dispatch_set_rule(
             ref_text=p.get("ref_column", "transcript_ref"),
             partition_col=partition_col,
         )
+    if rule.kind == "transcript_wer":
+        from data_check_spark.operators.audio import transcript_wer_violations
+
+        return transcript_wer_violations(
+            clips, dims[p["dim"]], rule.rule_id,
+            fact_key=p.get("dim_key", "clip_id"), dim_key=p.get("dim_key", "clip_id"),
+            fact_text=rule.column or "transcript",
+            ref_text=p.get("ref_column", "transcript_ref"),
+            max_wer_bp=p.get("max_wer_bp", 2500),
+            partition_col=partition_col,
+        )
     raise ValueError(f"unhandled set rule kind {rule.kind!r}")
 
 

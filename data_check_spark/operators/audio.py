@@ -230,6 +230,73 @@ def transcript_match_violations(
     )
 
 
+def transcript_wer_violations(
+    df: DataFrame,
+    transcripts: DataFrame,
+    rule_id: str,
+    *,
+    fact_key: str = "clip_id",
+    dim_key: str = "clip_id",
+    fact_text: str = "transcript",
+    ref_text: str = "transcript_ref",
+    max_wer_bp: int = 2500,
+    partition_col: str | None = "partition",
+    dim_rows: int | None = None,
+) -> DataFrame:
+    """WER-tolerance sibling of :func:`transcript_match_violations`.
+
+    Byte equality is the reference's contract (innosite transcript checks);
+    real ASR re-transcriptions legitimately differ by a few words, so this
+    rule fires only when the exact word-level edit distance (in basis
+    points of the reference length, ``text.word_edit_distance``) exceeds
+    ``max_wer_bp``. Same join/blank conventions as transcript_match: inner
+    join (missing dim rows are the referential rule's job), blank fact keys
+    exempt. Unevaluable pairs breach rather than silently pass (the
+    ``agg_threshold`` NULL-metric convention): an empty reference with a
+    non-empty hypothesis fires ``wer_bp=undefined_ref``, a pair whose
+    combined vocabulary overflows the 255-word alphabet fires
+    ``wer_bp=overflow``; both-empty pairs pass.
+    """
+    from data_check_spark.functions.blank import is_present
+    from data_check_spark.operators.text import word_edit_distance
+
+    dim = transcripts.select(F.col(dim_key).alias("_dk"), F.col(ref_text).alias("_ref_t"))
+    if dim_rows is not None and dim_rows <= 5_000_000:
+        dim = F.broadcast(dim)
+    part = F.col(partition_col) if partition_col else F.lit(None).cast("string")
+    fact = df.filter(is_present(fact_key))
+    joined = fact.join(dim, fact[fact_key] == F.col("_dk"), "inner").select(
+        F.col(fact_key).cast("string").alias("clip_id"),
+        part.alias("partition"),
+        F.col("_ref_t").alias("ref_text"),
+        F.col(fact_text).alias("hyp_text"),
+    )
+    wer = word_edit_distance(
+        joined,
+        id_col="clip_id",
+        keep_cols=("partition",),
+        threshold_bp=max_wer_bp,
+    )
+    return (
+        wer.filter(
+            (F.col("status") == "exceeds")
+            | (F.col("status") == "vocab_overflow")
+            | ((F.col("status") == "empty_ref") & (F.col("n_hyp_words") > 0))
+        )
+        .select(
+            F.lit(rule_id).alias("rule_id"),
+            "clip_id",
+            "partition",
+            F.concat(
+                F.lit("wer_bp="),
+                F.when(F.col("status") == "vocab_overflow", F.lit("overflow"))
+                .when(F.col("status") == "empty_ref", F.lit("undefined_ref"))
+                .otherwise(F.col("wer_bp").cast("string")),
+            ).alias("observed"),
+        )
+    )
+
+
 def synth_square_pcm(
     df: DataFrame,
     *,

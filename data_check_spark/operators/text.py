@@ -791,6 +791,7 @@ def word_edit_distance(
     hyp_col: str = "hyp_text",
     threshold_bp: int = 2500,
     lowercase: bool = True,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact word-level edit distance (WER) per (reference, hypothesis) pair.
 
@@ -813,25 +814,30 @@ def word_edit_distance(
     Output: ``n_ref_words``, ``n_hyp_words``, ``word_edits`` (NULL on
     overflow), ``wer_bp`` = edits·10⁴ div n_ref_words, and ``status``:
     ``empty_ref`` > ``vocab_overflow`` > ``exceeds`` (wer_bp above
-    ``threshold_bp``) > ``ok``.
+    ``threshold_bp``) > ``ok``. ``keep_cols`` pass through unchanged (the
+    engine's transcript_wer rule threads ``partition`` this way).
     """
     ref_toks = _tokens(ref_col)
     hyp_toks = _tokens(hyp_col)
     if lowercase:
         ref_toks = F.transform(ref_toks, F.lower)
         hyp_toks = F.transform(hyp_toks, F.lower)
+    keep = list(keep_cols)
     base = df.select(
         F.col(id_col),
+        *keep,
         ref_toks.alias("_ref"),
         hyp_toks.alias("_hyp"),
     ).select(
         id_col,
+        *keep,
         "_ref",
         "_hyp",
         F.array_sort(F.array_distinct(F.concat("_ref", "_hyp"))).alias("_vocab"),
     )
     encoded = base.select(
         id_col,
+        *keep,
         F.size("_ref").alias("n_ref_words"),
         F.size("_hyp").alias("n_hyp_words"),
         F.size("_vocab").alias("_n_vocab"),
@@ -847,6 +853,7 @@ def word_edit_distance(
     ).cast("long")
     out = encoded.select(
         id_col,
+        *keep,
         F.col("n_ref_words").cast("long").alias("n_ref_words"),
         F.col("n_hyp_words").cast("long").alias("n_hyp_words"),
         F.col("_n_vocab"),
@@ -854,6 +861,7 @@ def word_edit_distance(
     )
     return out.select(
         id_col,
+        *keep,
         "n_ref_words",
         "n_hyp_words",
         "word_edits",

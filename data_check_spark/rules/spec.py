@@ -114,6 +114,7 @@ SET_KINDS = {
     "volume_drift",
     "audio_decode",
     "transcript_match",
+    "transcript_wer",
     "func_dep",
     "outlier",
     "reconcile",

@@ -293,3 +293,42 @@ def test_agg_threshold_sla_through_engine(spark):
     assert rows["NULL_ID_SLA"]["observed"] == "metric=250000"
     assert rows["NULL_ID_SLA"]["clip_id"] is None
     assert rows["GATED_EMPTY_SLA"]["observed"] == "metric=<null>"
+
+
+def test_transcript_wer_rule_kind(spark):
+    """WER-tolerance transcript rule: small edits pass under the threshold,
+    heavy rewrites fire, unevaluable pairs (empty ref / alphabet overflow)
+    breach rather than silently pass."""
+    from data_check_spark.engine import run_validation
+    from data_check_spark.rules.spec import Rule, RuleCatalog
+
+    ref10 = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        ("a", ref10, "p"),                                        # exact match
+        ("b", ref10.replace("w3", "sub"), "p"),                   # 1/10 = 1000bp
+        ("c", "completely different words here now", "p"),        # heavy
+        ("d", "spurious transcript", "p"),                        # ref is empty
+        ("e", "", "p"),                                           # both empty
+        ("f", " ".join(f"v{i}" for i in range(300)), "p"),        # overflow
+    ]
+    clips = spark.createDataFrame(rows, "clip_id string, transcript string, partition string")
+    dim = spark.createDataFrame(
+        [("a", ref10), ("b", ref10), ("c", ref10), ("d", ""), ("e", ""),
+         ("f", " ".join(f"u{i}" for i in range(300)))],
+        "clip_id string, transcript_ref string",
+    )
+    catalog = RuleCatalog([
+        Rule("T_WER", "transcript_wer", "transcript",
+             {"dim": "transcripts", "dim_key": "clip_id", "max_wer_bp": 1500}),
+    ])
+    res = run_validation(
+        spark, clips, {"transcripts": dim}, catalog, run_ts="2026-01-01 00:00:00"
+    )
+    v = {
+        r["clip_id"]: r["observed"]
+        for r in res.violations.filter("rule_id = 'T_WER'").collect()
+    }
+    assert set(v) == {"c", "d", "f"}
+    assert v["c"].startswith("wer_bp=") and int(v["c"].split("=")[1]) > 1500
+    assert v["d"] == "wer_bp=undefined_ref"
+    assert v["f"] == "wer_bp=overflow"

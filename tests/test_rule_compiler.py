@@ -327,6 +327,7 @@ def test_every_rule_kind_round_trips_through_json(tmp_path):
         "volume_drift": {"threshold_bp": 5000},
         "audio_decode": {"snr_db_min": 30.0, "cap_ms": 50},
         "transcript_match": {"dim": "d", "dim_key": "k"},
+        "transcript_wer": {"dim": "d", "dim_key": "k", "max_wer_bp": 1500},
         "func_dep": {"determinant": ["a"]},
         "outlier": {"group_by": "g"},
         "reconcile": {"dim": "d", "dim_key": "k", "amount_col": "amt"},
