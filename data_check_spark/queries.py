@@ -5988,3 +5988,44 @@ def transcript_wer_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ref_text", "hyp_text")
     )
     return word_edit_distance(pairs, threshold_bp=_WER_THRESHOLD_BP)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar round trip (sources/tar.py + sinks.write_tar_shards): the
+# corpus is EXPORTED to tar shards and READ BACK inside the query, and the
+# result must value-match the original table — so the oracle checks the
+# whole write→read path (member naming, utf-8 encode/decode, NULL-payload
+# skip, shard assignment), not a simulation of it.
+# ---------------------------------------------------------------------------
+
+_TAR_ROUNDTRIP_SQL = r"""
+SELECT doc_id,
+       printf('shard-%06d.tar', doc_id % 8) AS shard_file,
+       text
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
+@register("tar_roundtrip_documents", _TAR_ROUNDTRIP_SQL)
+def tar_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export documents to 8 tar shards, read them back, return the
+    reconstructed rows (doc_id, shard_file, text)."""
+    import tempfile
+
+    from data_check_spark.sinks import write_tar_shards
+    from data_check_spark.sources.tar import read_tar_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.col("doc_id").cast("string").alias("key"),
+        "text",
+    )
+    out = tempfile.mkdtemp(prefix="tar_roundtrip_")
+    write_tar_shards(docs, out, key_col="key", payloads={"text": "txt"}).collect()
+    back = read_tar_shards(spark, out, payloads={"txt": "text"})
+    return back.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        "shard_file",
+        "text",
+    )

@@ -1,0 +1,78 @@
+"""Tar-shard source: WebDataset import, round trip with the export sink."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_check_spark.sinks import write_tar_shards
+from data_check_spark.sources.tar import read_tar_shards
+
+
+@pytest.fixture()
+def exported(spark, tmp_path):
+    df = spark.range(24).select(
+        (F.col("id") % 3).alias("shard"),
+        F.concat(F.lit("doc"), F.col("id")).alias("key"),
+        # one NULL text payload (doc7): the sink skips it, the reader must
+        # surface the sample with a NULL column (from its remaining member)
+        F.when(F.col("id") != 7, F.concat(F.lit("text of "), F.col("id"))).alias("text"),
+        F.encode(F.concat(F.lit("pcm"), F.col("id")), "UTF-8").alias("bytes"),
+        F.col("id").alias("pos"),
+    )
+    out = str(tmp_path / "tars")
+    write_tar_shards(
+        df, out, key_col="key", payloads={"text": "txt", "bytes": "wav"},
+        order_col="pos",
+    ).collect()
+    return df, out
+
+
+def test_round_trip_exact(spark, exported):
+    df, out = exported
+    back = read_tar_shards(
+        spark, out, payloads={"txt": "text", "wav": "bytes"},
+        binary_suffixes={"wav"},
+    )
+    rows = {r["key"]: r for r in back.collect()}
+    assert len(rows) == 24
+    assert all(r["status"] == "ok" for r in rows.values())
+    orig = {r["key"]: r for r in df.collect()}
+    for k, o in orig.items():
+        assert rows[k]["text"] == o["text"]          # incl. doc7 -> None
+        assert bytes(rows[k]["bytes"]) == bytes(o["bytes"])
+    # shard assignment is recoverable from the file name
+    assert rows["doc4"]["shard_file"] == "shard-000001.tar"
+
+
+def test_corrupt_shard_is_error_as_data(spark, exported, tmp_path):
+    _, out = exported
+    with open(f"{out}/shard-000099.tar", "wb") as f:
+        f.write(b"this is not a tar archive at all, not even close....")
+    back = read_tar_shards(
+        spark, out, payloads={"txt": "text", "wav": "bytes"}, binary_suffixes={"wav"}
+    )
+    bad = back.filter("status = 'corrupt_tar'").collect()
+    assert len(bad) == 1
+    assert bad[0]["shard_file"] == "shard-000099.tar"
+    assert bad[0]["key"] is None and bad[0]["text"] is None
+    assert back.filter("status = 'ok'").count() == 24
+
+
+def test_unknown_suffix_ignored_and_guards(spark, exported):
+    _, out = exported
+    only_wav = read_tar_shards(
+        spark, out, payloads={"wav": "bytes"}, binary_suffixes={"wav"}
+    )
+    rows = only_wav.collect()
+    assert len(rows) == 24 and all(r["bytes"] is not None for r in rows)
+    with pytest.raises(ValueError):
+        read_tar_shards(spark, out, payloads={})
+    with pytest.raises(ValueError):
+        read_tar_shards(spark, out, payloads={"txt": "x", "wav": "x"})
+
+
+def test_plan_no_shuffle_single_python_stage(spark, exported):
+    _, out = exported
+    back = read_tar_shards(spark, out, payloads={"txt": "text"})
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
