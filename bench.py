@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "bpe_segment_documents",
     "transcript_wer_documents",
     "tar_roundtrip_documents",
+    "transcript_alignment_documents",
     # profiling / drift / sampling family (round 2)
     "column_stats_orders",
     "numeric_quantiles_lineitem",

@@ -230,6 +230,118 @@ def transcript_match_violations(
     )
 
 
+def transcript_alignment(
+    segments: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_start_col: str = "start_sample",
+    seg_end_col: str = "end_sample",
+) -> DataFrame:
+    """Proportional transcript→audio alignment: a per-word time span.
+
+    The CTC-segmentation stand-in a labeling pipeline needs before model
+    inference exists: distribute each clip's transcript words over its
+    VOICED timeline (``voiced_segments`` output) proportionally to word
+    character length. Silence gaps are skipped exactly — a word interval is
+    laid out in concatenated-voiced coordinates and then mapped back
+    through the span table, so no word span ever covers a silence gap
+    interior. Integer-exact: ``start = cum_chars_before·V div C`` (V total
+    voiced samples, C total chars); boundary conventions are pinned
+    (a start landing exactly on a span boundary opens the NEXT span, an
+    end landing there closes the PREVIOUS one).
+
+    Output one row per word: ``token_idx`` (0-based), ``token``,
+    ``start_sample``, ``end_sample`` (absolute sample positions in the
+    clip). Docs without tokens or without voiced spans emit nothing —
+    alignment exists only where both modalities do.
+
+    Plan shape: the token side is pure map-side JVM (prefix sums via the
+    ``aggregate`` HOF — NO per-doc window, so no extra exchange for the
+    cumsum); the span side folds to one row per clip (narrow collect_list
+    aggregate); one equi-join keyed by ``id_col``; the per-token span
+    lookup is an array ``filter`` over the clip's own spans.
+    """
+    spans = (
+        segments.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(seg_start_col).cast("long").alias("abs_s"),
+                        F.col(seg_end_col).cast("long").alias("abs_e"),
+                    )
+                )
+            ).alias("_sp0")
+        )
+        .select(
+            id_col,
+            F.expr(
+                "aggregate(_sp0,"
+                " named_struct('vc', cast(0 as bigint),"
+                "              'out', cast(array() as array<struct<vc:bigint,abs:bigint,n:bigint>>)),"
+                " (acc, x) -> named_struct("
+                "     'vc', acc.vc + (x.abs_e - x.abs_s),"
+                "     'out', concat(acc.out, array(named_struct("
+                "         'vc', acc.vc, 'abs', x.abs_s, 'n', x.abs_e - x.abs_s)))),"
+                " acc -> acc.out)"
+            ).alias("_spans"),
+        )
+        .withColumn(
+            "_V",
+            F.expr("element_at(_spans, -1).vc + element_at(_spans, -1).n"),
+        )
+        .filter(F.col("_V") > 0)
+    )
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.expr(
+                f"CASE WHEN {text_col} IS NULL OR trim({text_col}) = '' THEN array()"
+                f" ELSE split(trim({text_col}), '\\\\s+') END"
+            ).alias("_t"),
+        )
+        .filter(F.size("_t") > 0)
+        .select(
+            id_col,
+            "_t",
+            F.expr(
+                "aggregate(_t, array(cast(0 as bigint)),"
+                " (acc, x) -> concat(acc, array(element_at(acc, -1) + length(x))))"
+            ).alias("_c"),
+        )
+        .select(
+            id_col,
+            F.expr("element_at(_c, -1)").alias("_C"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t)), i -> named_struct("
+                    " 'idx', i - 1, 'tok', element_at(_t, i),"
+                    " 'cb', element_at(_c, i), 'ce', element_at(_c, i + 1)))"
+                )
+            ).alias("_tk"),
+        )
+    )
+    placed = (
+        toks.join(spans, id_col)
+        .withColumn("_s", F.expr("_tk.cb * _V div _C"))
+        .withColumn("_e", F.expr("_tk.ce * _V div _C"))
+    )
+    start_sp = "element_at(filter(_spans, x -> x.vc <= _s), -1)"
+    end_sp = "try_element_at(filter(_spans, x -> x.vc < _e), -1)"
+    return placed.select(
+        id_col,
+        F.col("_tk.idx").cast("int").alias("token_idx"),
+        F.col("_tk.tok").alias("token"),
+        F.expr(f"{start_sp}.abs + (_s - {start_sp}.vc)").alias("start_sample"),
+        F.coalesce(
+            F.expr(f"{end_sp}.abs + (_e - {end_sp}.vc)"),
+            F.expr("element_at(_spans, 1).abs"),  # zero-width token at t=0
+        ).alias("end_sample"),
+    )
+
+
 def transcript_wer_violations(
     df: DataFrame,
     transcripts: DataFrame,

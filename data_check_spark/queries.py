@@ -6029,3 +6029,63 @@ def tar_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_file",
         "text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Transcript→audio alignment (audio.transcript_alignment): each document's
+# words laid out over the REAL decoded voiced timeline of its synthesized
+# two-burst clip. The burst geometry is md5-derived (closed forms), so
+# DuckDB re-derives the voiced spans analytically, replays the char-weight
+# prefix sums, and checks the exact start/end sample of every word —
+# including words straddling the interior silence gap.
+# ---------------------------------------------------------------------------
+
+_ALIGNMENT_SQL = f"""
+WITH geom AS ({_BURST_GEOM_SQL}),
+words AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []::varchar[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS l
+  FROM documents
+), tok AS (
+  SELECT doc_id, i AS idx1, l[i] AS tok
+  FROM words, unnest(range(1, len(l) + 1)) t(i)
+), cum AS (
+  SELECT doc_id, idx1, tok,
+         coalesce(sum(len(tok)) OVER (PARTITION BY doc_id ORDER BY idx1
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         sum(len(tok)) OVER (PARTITION BY doc_id ORDER BY idx1) AS ce,
+         sum(len(tok)) OVER (PARTITION BY doc_id) AS c
+  FROM tok
+), m AS (
+  SELECT cum.doc_id, idx1 - 1 AS token_idx, tok,
+         cb * (w1 + w2) // c AS s, ce * (w1 + w2) // c AS e,
+         lead, w1, gap
+  FROM cum JOIN geom ON cum.doc_id = geom.doc_id
+)
+SELECT doc_id,
+       CAST(token_idx AS INT) AS token_idx,
+       tok AS token,
+       CAST(CASE WHEN s < w1 THEN lead + s
+                 ELSE lead + w1 + gap + (s - w1) END AS BIGINT) AS start_sample,
+       CAST(CASE WHEN e <= w1 THEN lead + e
+                 ELSE lead + w1 + gap + (e - w1) END AS BIGINT) AS end_sample
+FROM m
+"""
+
+
+@register("transcript_alignment_documents", _ALIGNMENT_SQL)
+def transcript_alignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word audio spans over the voiced timeline of real decoded PCM:
+    synth → voiced_segments → proportional char-weight alignment."""
+    from data_check_spark.operators import audio as _audio
+
+    docs = _docs_parallel(spark, sf_dir)
+    params = (
+        _burst_geometry(docs.select("doc_id"))
+        .withColumn("amp", F.lit(1000) + _doc_h(":sa") % 31000)
+        .withColumn("k", F.lit(4) + _doc_h(":sk") % 28)
+    )
+    pcm = _audio.synth_two_burst_pcm(params)
+    segs = _audio.voiced_segments(pcm, frame_samples=64, keep=["doc_id"])
+    return _audio.transcript_alignment(segs, docs.select("doc_id", "text"))

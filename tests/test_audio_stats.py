@@ -532,3 +532,100 @@ def test_clipping_stats_through_decode(spark):
     )
     bad = {r["doc_id"]: r for r in clipping_stats(raw, keep=["doc_id"]).collect()}
     assert bad[9]["n_samples"] is None and bad[10]["max_clip_run"] is None
+
+
+# ---------------------------------------------------------------------------
+# transcript_alignment (proportional transcript→audio word spans)
+# ---------------------------------------------------------------------------
+
+
+def _py_align(spans, words):
+    """Row-at-a-time replay of the pinned alignment conventions."""
+    V = sum(e - s for s, e in spans)
+    C = sum(len(w) for w in words)
+    vcs = []
+    vc = 0
+    for s, e in spans:
+        vcs.append((vc, s, e - s))
+        vc += e - s
+    out = []
+    cb = 0
+    for i, w in enumerate(words):
+        ce = cb + len(w)
+        t0, t1 = cb * V // C, ce * V // C
+        sp0 = [x for x in vcs if x[0] <= t0][-1]
+        start = sp0[1] + (t0 - sp0[0])
+        sp1 = [x for x in vcs if x[0] < t1]
+        end = sp1[-1][1] + (t1 - sp1[-1][0]) if sp1 else vcs[0][1]
+        out.append((i, w, start, end))
+        cb = ce
+    return out
+
+
+def test_transcript_alignment_hand_cases(spark):
+    from data_check_spark.operators.audio import transcript_alignment
+
+    segs = spark.createDataFrame(
+        [
+            (1, 100, 200),             # one span
+            (2, 0, 10), (2, 50, 60),   # two spans, gap [10, 50)
+        ],
+        "doc_id long, start_sample long, end_sample long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "ab cd"), (2, "abcde fghij"), (3, "no audio"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["token_idx"]): r for r in transcript_alignment(segs, docs).collect()}
+    # doc 1: V=100, C=4 -> 'ab' [100,150), 'cd' [150,200)
+    assert (out[(1, 0)]["start_sample"], out[(1, 0)]["end_sample"]) == (100, 150)
+    assert (out[(1, 1)]["start_sample"], out[(1, 1)]["end_sample"]) == (150, 200)
+    # doc 2: V=20, C=10 -> word 1 exactly fills span 0 (end closes span 0 at
+    # 10), word 2 opens span 1 at 50 (the gap is skipped exactly)
+    assert (out[(2, 0)]["start_sample"], out[(2, 0)]["end_sample"]) == (0, 10)
+    assert (out[(2, 1)]["start_sample"], out[(2, 1)]["end_sample"]) == (50, 60)
+    # docs without spans (3) or without tokens (4) emit nothing
+    assert {k[0] for k in out} == {1, 2}
+    assert out[(2, 0)]["token"] == "abcde"
+
+
+def test_transcript_alignment_matches_python_replay(spark):
+    from data_check_spark.operators.audio import transcript_alignment
+
+    cases = {
+        10: ([(64, 256), (320, 321), (400, 1000)], "a bb ccc dddd eeeee ff g"),
+        11: ([(0, 7)], "xx yy zz"),          # V < C: zero-width spans appear
+        12: ([(5, 6)], "longword another"),  # tiny single span
+    }
+    segs = spark.createDataFrame(
+        [(d, s, e) for d, (spans, _) in cases.items() for s, e in spans],
+        "doc_id long, start_sample long, end_sample long",
+    )
+    docs = spark.createDataFrame(
+        [(d, text) for d, (_, text) in cases.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in transcript_alignment(segs, docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["token_idx"], r["token"], r["start_sample"], r["end_sample"])
+        )
+    for d, (spans, text) in cases.items():
+        assert sorted(got[d]) == _py_align(spans, text.split()), d
+    # invariant: spans are monotone and confined to the voiced region
+    for d, rows in got.items():
+        for _, _, s, e in rows:
+            assert s <= e
+
+
+def test_transcript_alignment_plan_no_window(spark):
+    """The char prefix sums run as HOFs, not per-doc Window — the token
+    side must stay map-side (no Window operator anywhere in the plan)."""
+    from data_check_spark.operators.audio import transcript_alignment
+
+    segs = spark.createDataFrame(
+        [(1, 0, 10)], "doc_id long, start_sample long, end_sample long"
+    )
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = transcript_alignment(segs, docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Python" not in plan

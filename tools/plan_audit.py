@@ -178,6 +178,24 @@ AUDITED = [
      "Best-copy selection: the row_number window is keyed by cluster_id "
      "over the near-dup subset only — partitions are cluster-sized, never "
      "corpus-sized; no global (unpartitioned) window."),
+    ("bpe_segment_documents",
+     "BPE: training collapses the corpus ONCE to the (word, freq) "
+     "dictionary (map-side partial counts); every merge iteration reads "
+     "the localCheckpointed dictionary, never the corpus. Segmentation is "
+     "a BroadcastHashJoin of the word→pieces dictionary against the "
+     "exploded corpus — no SortMergeJoin, no Python stage."),
+    ("transcript_wer_documents",
+     "Word-level WER: one codegen'd projection (vocab sort + char encode + "
+     "levenshtein DP all JVM-side) — zero Exchange, zero Python."),
+    ("transcript_alignment_documents",
+     "Transcript→audio alignment: token prefix sums via aggregate() HOFs "
+     "(NO per-doc Window), spans fold to one row per clip, one equi-join "
+     "keyed by doc_id; per-token span lookup is an array filter over the "
+     "clip's own spans."),
+    ("tar_roundtrip_documents",
+     "Tar import: binaryFile scan (one shard file = one task, glob-pruned) "
+     "feeding ONE mapInPandas parse — members regroup to samples in-task, "
+     "zero shuffle."),
 ]
 
 
