@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "transcript_wer_documents",
     "tar_roundtrip_documents",
     "transcript_alignment_documents",
+    "window_transcripts_documents",
     # profiling / drift / sampling family (round 2)
     "column_stats_orders",
     "numeric_quantiles_lineitem",

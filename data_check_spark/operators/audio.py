@@ -342,6 +342,55 @@ def transcript_alignment(
     )
 
 
+def window_transcripts(
+    windows: DataFrame,
+    tokens: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Label each training window with its transcript slice.
+
+    The last step of the Whisper-style pipeline: :func:`training_windows`
+    plans fixed-size audio windows, :func:`transcript_alignment` places
+    each word in time — this joins them so every window knows WHICH words
+    it contains (``first_token_idx`` … ``last_token_idx``, the slice the
+    training loader pairs with the audio span). A word counts as inside a
+    window when their half-open spans overlap; zero-width words (possible
+    when the voiced timeline is shorter than the transcript) count for the
+    window containing their position. Windows with no words keep a row
+    with ``n_tokens = 0`` and NULL indices — silent windows are data, not
+    dropped rows.
+
+    Plan shape: one equi-join keyed by ``id_col`` (the range predicate is
+    a post-join filter inside the per-doc group — candidate volume is
+    windows×words per clip, never cross-clip), then one hash aggregate
+    back to window grain.
+    """
+    t = tokens.select(
+        F.col(id_col).alias("_tid"),
+        F.col("token_idx").alias("_tix"),
+        F.col("start_sample").alias("_ts"),
+        F.col("end_sample").alias("_te"),
+    )
+    cond = (windows[id_col] == t["_tid"]) & (
+        ((t["_ts"] < windows["w_end"]) & (t["_te"] > windows["w_start"]))
+        | (
+            (t["_ts"] == t["_te"])
+            & (t["_ts"] >= windows["w_start"])
+            & (t["_ts"] < windows["w_end"])
+        )
+    )
+    return (
+        windows.join(t, cond, "left")
+        .groupBy(id_col, "seg_idx", "window_idx", "w_start", "w_end")
+        .agg(
+            F.count("_tix").cast("long").alias("n_tokens"),
+            F.min("_tix").cast("int").alias("first_token_idx"),
+            F.max("_tix").cast("int").alias("last_token_idx"),
+        )
+    )
+
+
 def transcript_wer_violations(
     df: DataFrame,
     transcripts: DataFrame,

@@ -6089,3 +6089,52 @@ def transcript_alignment_documents(spark: SparkSession, sf_dir: str) -> DataFram
     pcm = _audio.synth_two_burst_pcm(params)
     segs = _audio.voiced_segments(pcm, frame_samples=64, keep=["doc_id"])
     return _audio.transcript_alignment(segs, docs.select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Window transcript labeling (audio.window_transcripts): training_windows ∘
+# transcript_alignment — every fixed-size audio window learns which words it
+# contains. Both inputs' oracles already exist; this one composes them
+# (windows CTE ⋈ alignment CTE) so the overlap/zero-width conventions and
+# the empty-window contract are value-checked end to end.
+# ---------------------------------------------------------------------------
+
+_WINDOW_TRANSCRIPTS_SQL = f"""
+WITH w AS ({_AUDIO_WINDOWS_SQL}),
+a AS ({_ALIGNMENT_SQL})
+SELECT w.doc_id, w.seg_idx, w.window_idx, w.w_start, w.w_end,
+       CAST(count(a.token_idx) AS BIGINT) AS n_tokens,
+       CAST(min(a.token_idx) AS INT) AS first_token_idx,
+       CAST(max(a.token_idx) AS INT) AS last_token_idx
+FROM w LEFT JOIN a
+  ON a.doc_id = w.doc_id
+ AND ((a.start_sample < w.w_end AND a.end_sample > w.w_start)
+      OR (a.start_sample = a.end_sample
+          AND a.start_sample >= w.w_start AND a.start_sample < w.w_end))
+GROUP BY w.doc_id, w.seg_idx, w.window_idx, w.w_start, w.w_end
+"""
+
+
+@register("window_transcripts_documents", _WINDOW_TRANSCRIPTS_SQL)
+def window_transcripts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whisper-style window labeling over real decoded PCM: decode →
+    voiced segments → fixed windows → per-window transcript token slice."""
+    from data_check_spark.operators import audio as _audio
+
+    docs = _docs_parallel(spark, sf_dir)
+    params = (
+        _burst_geometry(docs.select("doc_id"))
+        .withColumn("amp", F.lit(1000) + _doc_h(":sa") % 31000)
+        .withColumn("k", F.lit(4) + _doc_h(":sk") % 28)
+    )
+    pcm = _audio.synth_two_burst_pcm(params)
+    segs = _audio.voiced_segments(pcm, frame_samples=64, keep=["doc_id"])
+    # localCheckpoint: windows and alignment both consume the decoded
+    # segments — materialize the narrow span frame once instead of running
+    # the synth+decode python stages twice
+    segs = segs.localCheckpoint()
+    windows = _audio.training_windows(
+        segs, window_samples=_AUDIO_WINDOWS_W, min_samples=_AUDIO_WINDOWS_MIN
+    )
+    tokens = _audio.transcript_alignment(segs, docs.select("doc_id", "text"))
+    return _audio.window_transcripts(windows, tokens)

@@ -629,3 +629,31 @@ def test_transcript_alignment_plan_no_window(spark):
     plan = transcript_alignment(segs, docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Python" not in plan
+
+
+def test_window_transcripts_hand_case(spark):
+    from data_check_spark.operators.audio import window_transcripts
+
+    windows = spark.createDataFrame(
+        [(1, 0, 0, 0, 10), (1, 0, 1, 10, 20), (1, 1, 0, 100, 110)],
+        "doc_id long, seg_idx int, window_idx long, w_start long, w_end long",
+    )
+    tokens = spark.createDataFrame(
+        [
+            (1, 0, 0, 4),     # inside window 0
+            (1, 1, 4, 10),    # fills the rest of window 0 (end at boundary)
+            (1, 2, 9, 15),    # straddles windows 0 and 1
+            (1, 3, 10, 10),   # zero-width ON the boundary -> window 1 only
+            (1, 4, 15, 18),   # inside window 1
+        ],
+        "doc_id long, token_idx int, start_sample long, end_sample long",
+    )
+    out = {
+        (r["seg_idx"], r["window_idx"]): r
+        for r in window_transcripts(windows, tokens).collect()
+    }
+    w0, w1, silent = out[(0, 0)], out[(0, 1)], out[(1, 0)]
+    assert (w0["n_tokens"], w0["first_token_idx"], w0["last_token_idx"]) == (3, 0, 2)
+    assert (w1["n_tokens"], w1["first_token_idx"], w1["last_token_idx"]) == (3, 2, 4)
+    # the silent window survives with a zero count, not a dropped row
+    assert (silent["n_tokens"], silent["first_token_idx"]) == (0, None)
