@@ -817,8 +817,12 @@ def word_edit_distance(
     ``threshold_bp``) > ``ok``. ``keep_cols`` pass through unchanged (the
     engine's transcript_wer rule threads ``partition`` this way).
     """
-    ref_toks = _tokens(ref_col)
-    hyp_toks = _tokens(hyp_col)
+    # NULL text ≡ blank text (the engine-wide blank coercion): without the
+    # coalesce a NULL array would NULL-out size()/status and silently
+    # report 'ok' instead of 'empty_ref'
+    empty = F.array().cast("array<string>")
+    ref_toks = F.coalesce(_tokens(ref_col), empty)
+    hyp_toks = F.coalesce(_tokens(hyp_col), empty)
     if lowercase:
         ref_toks = F.transform(ref_toks, F.lower)
         hyp_toks = F.transform(hyp_toks, F.lower)

@@ -402,6 +402,8 @@ def test_word_edit_distance_hand_cases(spark):
         (5, "a b", "b a"),                                         # transposition = 2
         (6, "", "whatever here"),                                  # empty ref
         (7, "cat catalog", "cat catalog"),  # prefix words must encode apart
+        (8, None, "ghost words"),           # NULL ref == blank ref
+        (9, "some words", None),            # NULL hyp == blank hyp
     ]
     df = spark.createDataFrame(rows, "doc_id long, ref_text string, hyp_text string")
     out = {r["doc_id"]: r for r in word_edit_distance(df, threshold_bp=3000).collect()}
@@ -412,6 +414,8 @@ def test_word_edit_distance_hand_cases(spark):
     assert out[5]["word_edits"] == 2 and out[5]["wer_bp"] == 10000
     assert out[6]["status"] == "empty_ref" and out[6]["wer_bp"] is None
     assert out[7]["word_edits"] == 0
+    assert out[8]["status"] == "empty_ref" and out[8]["n_ref_words"] == 0
+    assert out[9]["word_edits"] == 2 and out[9]["wer_bp"] == 10000
 
 
 def test_word_edit_distance_matches_python_dp(spark):
