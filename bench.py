@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     # tokenizer induction + transcript QA (round 2, session 7)
     "bpe_merges_documents",
     "bpe_segment_documents",
+    "bpe_tokenize_documents",
     "transcript_wer_documents",
     "tar_roundtrip_documents",
     "transcript_alignment_documents",

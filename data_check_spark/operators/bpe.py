@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from data_check_spark.operators.text import _tokens
 
-__all__ = ["word_symbol_frame", "bpe_train", "bpe_merges_df", "bpe_segment"]
+__all__ = ["word_symbol_frame", "bpe_train", "bpe_merges_df", "bpe_segment", "bpe_tokenize"]
 
 # Checkpoint the evolving dictionary every N merges: keeps the iteration
 # plan shallow without paying a materialization per merge.
@@ -216,4 +216,45 @@ def bpe_segment(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("chars_per_piece_bp"),
+    )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    dictionary: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize a corpus with a trained dictionary — the piece stream itself.
+
+    Where :func:`bpe_segment` reports counts, this emits the artifact a
+    training pipeline consumes: one row per piece, addressed as
+    ``(id, word_idx, piece_idx)`` so the stream is reconstructable in
+    order WITHOUT a global position (no per-doc window, no extra
+    exchange). Out-of-dictionary words fall back to character pieces.
+
+    Plan shape: posexplode words (map-side) → broadcast dictionary lookup
+    → posexplode pieces (map-side). The only exchange is the broadcast of
+    the word → pieces map; corpus text never shuffles.
+    """
+    dict_pieces = dictionary.select("word", F.split("syms", " ").alias("_dict_p"))
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("_wi", "word")
+    )
+    if lowercase:
+        toks = toks.select(id_col, "_wi", F.lower("word").alias("word"))
+    fallback = F.split(F.trim(F.regexp_replace("word", r"(.)", r"$1 ")), " ")
+    joined = toks.join(F.broadcast(dict_pieces), "word", "left").select(
+        id_col,
+        F.col("_wi").cast("int").alias("word_idx"),
+        F.coalesce("_dict_p", fallback).alias("_p"),
+    )
+    return joined.select(
+        id_col,
+        "word_idx",
+        F.posexplode("_p").alias("piece_idx", "piece"),
+    ).select(
+        id_col, "word_idx", F.col("piece_idx").cast("int").alias("piece_idx"), "piece"
     )

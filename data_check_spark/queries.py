@@ -6138,3 +6138,40 @@ def window_transcripts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tokens = _audio.transcript_alignment(segs, docs.select("doc_id", "text"))
     return _audio.window_transcripts(windows, tokens)
+
+
+# The piece stream itself (bpe.bpe_tokenize): one row per BPE piece,
+# addressed (doc, word_idx, piece_idx) — DuckDB replays the 4-merge
+# dictionary and unnests the same pieces.
+_BPE_TOKENIZE_SQL = (
+    _BPE_WORDS_CTE
+    + r"""
+, doctoks AS (
+  SELECT doc_id, i - 1 AS word_idx, l[i] AS word
+  FROM (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN []::varchar[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS l
+    FROM documents
+  ) s, unnest(range(1, len(l) + 1)) t(i)
+), pieced AS (
+  SELECT dt.doc_id, dt.word_idx, string_split(w.syms, ' ') AS p
+  FROM doctoks dt JOIN w4 w ON lower(dt.word) = w.word
+)
+SELECT doc_id, CAST(word_idx AS INT) AS word_idx,
+       CAST(j - 1 AS INT) AS piece_idx, p[j] AS piece
+FROM pieced, unnest(range(1, len(p) + 1)) u(j)
+"""
+)
+
+
+@register("bpe_tokenize_documents", _BPE_TOKENIZE_SQL)
+def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus tokenized with the 4-merge dictionary: the actual piece
+    stream, (doc, word_idx, piece_idx)-addressed so no global position
+    window is ever needed."""
+    from data_check_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    docs = _docs_parallel(spark, sf_dir)
+    _, dictionary = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return bpe_tokenize(docs, dictionary)

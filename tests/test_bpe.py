@@ -125,3 +125,39 @@ def test_bpe_segment_plan_broadcasts_dictionary(corpus):
     assert "SortMergeJoin" not in plan
     # segmentation is pure JVM: no Python stage anywhere
     assert "Python" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_tokenize_stream_and_fallback(spark, corpus):
+    from data_check_spark.operators.bpe import bpe_tokenize
+
+    merges, dictionary = bpe_train(corpus, n_merges=3)
+    extra = spark.createDataFrame([(6, "low qz")], "doc_id long, text string")
+    rows = bpe_tokenize(corpus.union(extra), dictionary).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {}).setdefault(r["word_idx"], []).append(
+            (r["piece_idx"], r["piece"])
+        )
+    # doc 1 = "low low lower lowest": word 0 pieces re-join to the word
+    w0 = [p for _, p in sorted(by_doc[1][0])]
+    assert "".join(w0) == "low"
+    dict_syms = {r["word"]: r["syms"].split(" ") for r in dictionary.collect()}
+    assert w0 == dict_syms["low"]
+    assert [p for _, p in sorted(by_doc[1][2])] == dict_syms["lower"]
+    # OOV 'qz' falls back to characters
+    assert [p for _, p in sorted(by_doc[6][1])] == ["q", "z"]
+    # piece counts agree with bpe_segment
+    from data_check_spark.operators.bpe import bpe_segment
+
+    seg = {r["doc_id"]: r["n_pieces"] for r in bpe_segment(corpus, dictionary).collect()}
+    counts = {d: sum(len(v) for v in ws.values()) for d, ws in by_doc.items() if d <= 5}
+    assert counts == {d: n for d, n in seg.items() if n > 0}
+
+
+def test_bpe_tokenize_plan_broadcast_only(spark, corpus):
+    from data_check_spark.operators.bpe import bpe_tokenize
+
+    _, dictionary = bpe_train(corpus, n_merges=2)
+    plan = bpe_tokenize(corpus, dictionary)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "Python" not in plan
