@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "bpe_segment_documents",
     "bpe_tokenize_documents",
     "transcript_wer_documents",
+    "normalize_width_documents",
     "tar_roundtrip_documents",
     "transcript_alignment_documents",
     "window_transcripts_documents",

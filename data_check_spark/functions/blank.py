@@ -61,3 +61,20 @@ def norm_text(c: Column | str) -> Column:
     """Lowercase + strip half/full-width spaces (keyword-match normalizer)."""
     col = _col(c)
     return F.lower(F.regexp_replace(col.cast("string"), r"[ 　]", ""))
+
+
+# Full-width ASCII block U+FF01..U+FF5E ↔ ASCII 0x21..0x7E (public Unicode
+# correspondence; the reference folds widths before keyword matching,
+# cloud.py:601-612 / constants.py width tables). U+3000 (ideographic
+# space) folds to the ASCII space. Shared by the Column helper, the corpus
+# operator, and the DuckDB oracle — one constant, three consumers.
+WIDTH_ASCII_CHARS = "".join(chr(c) for c in range(0x21, 0x7F))
+WIDTH_FULL_CHARS = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+
+
+def fold_width(c: Column | str) -> Column:
+    """Fold full-width ASCII (ＡＢＣ１２３) and U+3000 to half-width —
+    a single JVM ``translate`` (char-for-char, whole-stage codegen)."""
+    return F.translate(
+        _col(c).cast("string"), WIDTH_FULL_CHARS + "　", WIDTH_ASCII_CHARS + " "
+    )

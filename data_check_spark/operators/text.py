@@ -883,3 +883,31 @@ def word_edit_distance(
         .otherwise(F.lit("ok"))
         .alias("status"),
     )
+
+
+def normalize_text(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Width-fold normalization for a mixed-width corpus.
+
+    Japanese-sourced text mixes full-width ASCII (ＡＢＣ１２３) with
+    half-width; dedup fingerprints, keyword rules, and tokenizers all
+    fracture on the mix (the same reason the reference folds widths before
+    keyword matching). One ``translate`` projection (JVM codegen, zero
+    shuffle) folds U+FF01–U+FF5E → ASCII and U+3000 → space; ``n_folded``
+    counts the folded characters so a pipeline can route heavily-widened
+    docs to review. NULL text stays NULL with ``n_folded = 0``.
+    """
+    from data_check_spark.functions.blank import (
+        WIDTH_FULL_CHARS,
+        fold_width,
+    )
+
+    pattern = "[" + WIDTH_FULL_CHARS + "　]"
+    return df.select(
+        F.col(id_col),
+        fold_width(text_col).alias("text_norm"),
+        F.coalesce(F.regexp_count(F.col(text_col), F.lit(pattern)), F.lit(0))
+        .cast("long")
+        .alias("n_folded"),
+    )

@@ -6175,3 +6175,53 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir)
     _, dictionary = bpe_train(docs, n_merges=_BPE_N_MERGES)
     return bpe_tokenize(docs, dictionary)
+
+
+# ---------------------------------------------------------------------------
+# Width-fold normalization (text.normalize_text): docs with doc_id%3==0 are
+# WIDENED to full-width ASCII in both engines, then normalized back — the
+# full normalized text AND the folded-char count are value-checked, so the
+# char-for-char translate tables provably agree across engines.
+# ---------------------------------------------------------------------------
+
+from data_check_spark.functions.blank import (  # noqa: E402
+    WIDTH_ASCII_CHARS as _W_ASCII,
+    WIDTH_FULL_CHARS as _W_FULL,
+)
+
+_SQL_ASCII = _W_ASCII.replace("'", "''")
+_SQL_FULL = _W_FULL  # no ASCII quote in the full-width block
+
+_NORMALIZE_WIDTH_SQL = f"""
+WITH widened AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN translate(text, '{_SQL_ASCII}', '{_SQL_FULL}')
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       translate(text, '{_SQL_FULL}　', '{_SQL_ASCII} ') AS text_norm,
+       CAST(coalesce(len(text) - len(regexp_replace(text, '[{_SQL_FULL}　]', '', 'g')), 0)
+            AS BIGINT) AS n_folded
+FROM widened
+"""
+
+
+@register("normalize_width_documents", _NORMALIZE_WIDTH_SQL)
+def normalize_width_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold planted full-width text back to half-width: every third doc is
+    widened (ＡＢＣ style), normalization must restore the original bytes."""
+    from data_check_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    widened = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.translate("text", _W_ASCII, _W_FULL),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return normalize_text(widened)

@@ -460,3 +460,21 @@ def test_word_edit_distance_plan_is_jvm_projection(spark):
     plan = word_edit_distance(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan          # zero shuffle
     assert "Python" not in plan            # zero Python
+
+
+def test_normalize_text_width_fold(spark):
+    from data_check_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "ＡＢＣ　１２３"),        # full-width letters + ideographic space
+        (2, "plain ascii stays"),
+        (3, None),
+        (4, "mixＥｄ ｗidth！"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text_norm"] == "ABC 123"
+    assert out[1]["n_folded"] == 7          # 6 full-width chars + the U+3000
+    assert out[2]["text_norm"] == "plain ascii stays" and out[2]["n_folded"] == 0
+    assert out[3]["text_norm"] is None and out[3]["n_folded"] == 0
+    assert out[4]["text_norm"] == "mixEd width!" and out[4]["n_folded"] == 4
