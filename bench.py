@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "tar_roundtrip_documents",
     "transcript_alignment_documents",
     "window_transcripts_documents",
+    "window_density_documents",
     # profiling / drift / sampling family (round 2)
     "column_stats_orders",
     "numeric_quantiles_lineitem",

@@ -391,6 +391,33 @@ def window_transcripts(
     )
 
 
+def window_density_screen(
+    labeled: DataFrame,
+    *,
+    max_tokens_per_100k: int = 2000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """QA screen over :func:`window_transcripts` output: token density per
+    window. A window whose transcript slice is implausibly dense points at
+    a broken alignment (wrong clip paired, silence mislabeled voiced);
+    a zero-token window is surfaced as ``silent`` so downstream training
+    can drop or keep it deliberately. ``density_pm`` is integer tokens per
+    100k samples (``n_tokens·100000 div window_samples``); statuses:
+    ``silent`` > ``too_dense`` > ``ok``. Pure projection — zero shuffle."""
+    density = F.expr("n_tokens * 100000L div (w_end - w_start)")
+    return labeled.select(
+        id_col,
+        "seg_idx",
+        "window_idx",
+        F.col("n_tokens"),
+        density.cast("long").alias("density_pm"),
+        F.when(F.col("n_tokens") == 0, F.lit("silent"))
+        .when(density > max_tokens_per_100k, F.lit("too_dense"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
 def transcript_wer_violations(
     df: DataFrame,
     transcripts: DataFrame,

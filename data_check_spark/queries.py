@@ -6225,3 +6225,25 @@ def normalize_width_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return normalize_text(widened)
+
+
+# Window token-density QA (audio.window_density_screen): projection over the
+# composed window-labeling pipeline; thresholds replayed in SQL.
+_WINDOW_DENSITY_SQL = f"""
+WITH lab AS ({_WINDOW_TRANSCRIPTS_SQL})
+SELECT doc_id, seg_idx, window_idx, n_tokens,
+       CAST(n_tokens * 100000 // (w_end - w_start) AS BIGINT) AS density_pm,
+       CASE WHEN n_tokens = 0 THEN 'silent'
+            WHEN n_tokens * 100000 // (w_end - w_start) > 2000 THEN 'too_dense'
+            ELSE 'ok' END AS status
+FROM lab
+"""
+
+
+@register("window_density_documents", _WINDOW_DENSITY_SQL)
+def window_density_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token density per training window with silent/too-dense statuses."""
+    from data_check_spark.operators import audio as _audio
+
+    labeled = window_transcripts_documents(spark, sf_dir)
+    return _audio.window_density_screen(labeled)

@@ -657,3 +657,19 @@ def test_window_transcripts_hand_case(spark):
     assert (w1["n_tokens"], w1["first_token_idx"], w1["last_token_idx"]) == (3, 2, 4)
     # the silent window survives with a zero count, not a dropped row
     assert (silent["n_tokens"], silent["first_token_idx"]) == (0, None)
+
+
+def test_window_density_screen(spark):
+    from data_check_spark.operators.audio import window_density_screen
+
+    labeled = spark.createDataFrame(
+        [(1, 0, 0, 0, 100000, 5), (1, 0, 1, 100000, 200000, 0),
+         (1, 1, 0, 0, 1000, 30)],
+        "doc_id long, seg_idx int, window_idx long, w_start long, w_end long,"
+        " n_tokens long",
+    )
+    out = {(r["seg_idx"], r["window_idx"]): r
+           for r in window_density_screen(labeled).collect()}
+    assert out[(0, 0)]["status"] == "ok" and out[(0, 0)]["density_pm"] == 5
+    assert out[(0, 1)]["status"] == "silent"
+    assert out[(1, 0)]["status"] == "too_dense" and out[(1, 0)]["density_pm"] == 3000
