@@ -102,7 +102,7 @@ BENCH_QUERIES = [
     "semantic_dedup_embeddings",
     "label_centroids_embeddings",
     "ivf_ann_embeddings",
-    "ivf_portable_ann_embeddings",
+    "ivf_fast_ann_embeddings",
     "corpus_curation_documents",
     # tokenizer induction + transcript QA (round 2, session 7)
     "bpe_merges_documents",

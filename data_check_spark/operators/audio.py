@@ -402,7 +402,9 @@ def window_density_screen(
     a broken alignment (wrong clip paired, silence mislabeled voiced);
     a zero-token window is surfaced as ``silent`` so downstream training
     can drop or keep it deliberately. ``density_pm`` is integer tokens per
-    100k samples (``n_tokens·100000 div window_samples``); statuses:
+    100k samples (``n_tokens·100000 div (w_end - w_start)`` — actual window
+    length, which is shorter than ``window_samples`` for tail windows);
+    statuses:
     ``silent`` > ``too_dense`` > ``ok``. Pure projection — zero shuffle."""
     density = F.expr("n_tokens * 100000L div (w_end - w_start)")
     return labeled.select(

@@ -27,6 +27,9 @@ _BASE_CONF: dict[str, str] = {
     # validation union (persist+count 170s vs 33s plain).
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.session.timeZone": "UTC",
+    # MIN/MAX/COUNT of raw columns over a plain parquet scan answer from
+    # footer statistics instead of reading data (metadata-only aggregates).
+    "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Arrow batches for pandas UDFs: large enough to amortize the per-batch
     # python round-trip; 8192 rows of ~5KB capped PCM ≈ 40MB per batch.

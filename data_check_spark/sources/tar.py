@@ -19,7 +19,10 @@ sizing: thousands of ~1 GB shards), and the scan prunes to
 
 Corrupt shards are error-as-data: an unreadable tar yields ONE row with
 ``status='corrupt_tar'`` and a NULL key instead of failing the job (the
-engine-wide undecodable-payload convention).
+engine-wide undecodable-payload convention). A single non-UTF-8 *member*
+does NOT poison its shard: that sample's column stays NULL and the sample
+row carries ``status='bad_member'``; every other sample in the shard still
+parses (round-2 advisor fix).
 """
 
 from __future__ import annotations
@@ -47,8 +50,14 @@ def read_tar_shards(
     a member keeps NULL in that column (the sink skips NULL payloads, so
     the round trip is exact).
 
+    Member names split at the FIRST dot (the public WebDataset key/suffix
+    convention): ``key.seq.txt`` is key ``key`` with suffix ``seq.txt`` —
+    register multi-dot suffixes in ``payloads`` explicitly. Keys must not
+    contain dots (the sink's ``<key>.<suffix>`` naming makes dotted keys
+    ambiguous; same restriction as WebDataset itself).
+
     Output schema: ``shard_file`` (basename), ``key``, one column per
-    payload, ``status`` (``ok`` | ``corrupt_tar``).
+    payload, ``status`` (``ok`` | ``bad_member`` | ``corrupt_tar``).
     """
     if not payloads:
         raise ValueError("payloads must map at least one suffix to a column")
@@ -86,10 +95,12 @@ def read_tar_shards(
                     tf = tarfile.open(fileobj=io.BytesIO(bytes(rec["content"])))
                     samples: dict[str, dict] = {}
                     order: list[str] = []
+                    bad: set[str] = set()
                     for m in tf:
-                        if not m.isfile() or "." not in m.name:
+                        name = os.path.basename(m.name)
+                        if not m.isfile() or "." not in name:
                             continue
-                        key, sfx = m.name.rsplit(".", 1)
+                        key, sfx = name.split(".", 1)
                         col = suffix_to_col.get(sfx)
                         if col is None:
                             continue
@@ -97,14 +108,21 @@ def read_tar_shards(
                         if key not in samples:
                             samples[key] = dict(blank)
                             order.append(key)
-                        samples[key][col] = (
-                            data if sfx in bin_sfx else data.decode("utf-8")
-                        )
+                        if sfx in bin_sfx:
+                            samples[key][col] = data
+                        else:
+                            try:
+                                samples[key][col] = data.decode("utf-8")
+                            except UnicodeDecodeError:
+                                # error-as-data at SAMPLE grain: keep the
+                                # shard's other samples, NULL this column.
+                                bad.add(key)
                     rows.extend(
-                        {"shard_file": shard, "key": k, **samples[k], "status": "ok"}
+                        {"shard_file": shard, "key": k, **samples[k],
+                         "status": "bad_member" if k in bad else "ok"}
                         for k in order
                     )
-                except (tarfile.TarError, EOFError, UnicodeDecodeError):
+                except (tarfile.TarError, EOFError):
                     rows.append(
                         {"shard_file": shard, "key": None, **blank,
                          "status": "corrupt_tar"}

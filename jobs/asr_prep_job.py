@@ -59,7 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dedup", action="store_true",
                     help="drop gain-invariant acoustic duplicates (first id wins)")
     args = ap.parse_args(argv)
-    min_samples = args.min_samples or max(1, args.window_samples // 10)
+    if args.min_samples is None:
+        min_samples = max(1, args.window_samples // 10)
+    else:
+        min_samples = args.min_samples
+    if min_samples < 1:
+        ap.error("--min-samples must be >= 1")
 
     from pyspark.sql import functions as F
 

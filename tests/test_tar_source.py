@@ -57,6 +57,63 @@ def test_corrupt_shard_is_error_as_data(spark, exported, tmp_path):
     assert back.filter("status = 'ok'").count() == 24
 
 
+def test_bad_member_does_not_poison_shard(spark, exported, tmp_path):
+    """A single non-UTF-8 text member NULLs that sample's column and marks
+    it bad_member; every other sample in the shard still parses (round-2
+    advisor fix — previously the whole shard became one corrupt_tar row)."""
+    import io
+    import tarfile
+
+    _, out = exported
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for key, payload in [
+            ("good1", b"fine text"),
+            ("mojibake", b"\xff\xfe broken \x80"),   # not utf-8
+            ("good2", b"also fine"),
+        ]:
+            info = tarfile.TarInfo(f"{key}.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    with open(f"{out}/shard-000050.tar", "wb") as f:
+        f.write(buf.getvalue())
+    back = read_tar_shards(spark, out, payloads={"txt": "text"})
+    rows = {r["key"]: r for r in back.filter(
+        F.col("shard_file") == "shard-000050.tar").collect()}
+    assert set(rows) == {"good1", "mojibake", "good2"}
+    assert rows["good1"]["status"] == "ok" and rows["good1"]["text"] == "fine text"
+    assert rows["good2"]["status"] == "ok" and rows["good2"]["text"] == "also fine"
+    assert rows["mojibake"]["status"] == "bad_member"
+    assert rows["mojibake"]["text"] is None
+
+
+def test_first_dot_split_convention(spark, exported):
+    """WebDataset key/suffix split is at the FIRST dot: key.seq.txt is key
+    'key' with (registrable) suffix 'seq.txt', not key 'key.seq'."""
+    import io
+    import tarfile
+
+    _, out = exported
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in [
+            ("docA.seq.txt", b"sequence text"),
+            ("docA.txt", b"plain text"),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    with open(f"{out}/shard-000060.tar", "wb") as f:
+        f.write(buf.getvalue())
+    back = read_tar_shards(
+        spark, out, payloads={"txt": "text", "seq.txt": "seq"}
+    ).filter(F.col("shard_file") == "shard-000060.tar")
+    rows = {r["key"]: r for r in back.collect()}
+    assert set(rows) == {"docA"}
+    assert rows["docA"]["text"] == "plain text"
+    assert rows["docA"]["seq"] == "sequence text"
+
+
 def test_unknown_suffix_ignored_and_guards(spark, exported):
     _, out = exported
     only_wav = read_tar_shards(

@@ -161,7 +161,7 @@ AUDITED = [
      "as exact dedup — one shuffle keyed by the 128-bit fingerprint, "
      "collect_set bounded by the label domain, raw text never shuffles "
      "past the first projection."),
-    ("ivf_portable_ann_embeddings",
+    ("ivf_ann_embeddings",
      "Deterministic IVF: centroid seeding is TakeOrdered + an n_lists-row "
      "collect; each Lloyd pass shuffles only (cell, dim, partial-sum) rows; "
      "search broadcasts the probe side (queries x n_probe) into the "
