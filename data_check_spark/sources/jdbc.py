@@ -6,8 +6,12 @@ connection-string builder common.py:49-74). In Spark the same pushdown is
 declarative: pass a ``query``/``dbtable`` and predicates; Catalyst +
 the JDBC source push filters and prune columns.
 
-No live database exists in this sandbox — ``jdbc_reader`` builds the fully
-configured DataFrameReader (unit-testable), and ``read_jdbc`` executes it.
+``jdbc_reader`` builds the fully configured DataFrameReader (unit-testable),
+and ``read_jdbc`` executes it. Integration-tested against embedded Derby
+(the JDBC driver shipped in the Spark image): real read/write round trip,
+query-mode pushdown, filter pushdown into the JDBC scan, and partitioned
+reads — tests/test_jdbc_integration.py. No networked DBMS exists in this
+sandbox; Derby-embedded covers the reader plumbing end-to-end.
 Partitioned reads (``partition_column``/``num_partitions``) are how a
 10^12-row extraction parallelizes instead of the reference's single-cursor
 fetch.
