@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "quantization_plan_embeddings",
     # round 3
     "rule_suggestions_orders",
+    "partition_profile_orders",
 ]
 
 

@@ -6446,3 +6446,54 @@ def rule_suggestions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rule_id string, kind string, col_name string, params string"
     ).orderBy("rule_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-group profile (column_profile(group_by=...)) under the oracle — the
+# per-partition profiling axis of the north-rule "column stats" family
+# (whole-table sibling: column_stats_orders). One grouped aggregation pass;
+# the unpivot runs on the aggregated rows only.
+# ---------------------------------------------------------------------------
+
+def _group_profile_col_sql(col: str, render: str, blank: str | None) -> str:
+    from data_check_spark.functions.blank import WHITESPACE_CLASS
+
+    nb = (
+        f"count(*) FILTER (WHERE {col} IS NOT NULL AND "
+        f"regexp_replace({col}, '{WHITESPACE_CLASS}+', '', 'g') = '')"
+        if blank == "string"
+        else "CAST(NULL AS BIGINT)"
+    )
+    return f"""
+    SELECT o_orderstatus, '{col}' AS col_name, count(*) AS n_rows,
+           count(*) - count({col}) AS n_nulls,
+           {nb} AS n_blank,
+           count(DISTINCT {col}) AS n_distinct,
+           {render.format(v=f"min({col})")} AS min_value,
+           {render.format(v=f"max({col})")} AS max_value
+    FROM orders GROUP BY o_orderstatus"""
+
+
+_GROUP_PROFILE_SQL = "\nUNION ALL\n".join(
+    [
+        _group_profile_col_sql("o_custkey", "CAST({v} AS VARCHAR)", None),
+        _group_profile_col_sql("o_orderpriority", "{v}", "string"),
+        _group_profile_col_sql("o_totalprice", "printf('%.2f', {v})", None),
+    ]
+) + "\nORDER BY o_orderstatus, col_name"
+
+
+@register("partition_profile_orders", _GROUP_PROFILE_SQL)
+def partition_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group column profile (nulls/blanks/distinct/min/max per
+    o_orderstatus) in ONE grouped aggregation — the per-partition profiling
+    the engine's partition verdicts build on. Exact distinct here (oracle
+    contract); at 100 TB use approx=True (HLL++, no Expand multiplying rows
+    by column count before the aggregate)."""
+    from data_check_spark.operators.profile import column_profile
+
+    return column_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderpriority", "o_totalprice"],
+        group_by="o_orderstatus",
+    ).orderBy("o_orderstatus", "col_name")

@@ -196,6 +196,16 @@ AUDITED = [
      "Tar import: binaryFile scan (one shard file = one task, glob-pruned) "
      "feeding ONE mapInPandas parse — members regroup to samples in-task, "
      "zero shuffle."),
+    ("partition_profile_orders",
+     "Per-group profile: ONE grouped aggregation over one scan (map-side "
+     "partials); the per-column unpivot explodes the aggregated rows only "
+     "(group-count x column-count), never the fact table."),
+    ("numeric_quantiles_lineitem",
+     "Exact quantiles behind the range guard: a column-pruned min/max "
+     "probe aggregate decides exact-vs-approx routing; the percentile pass "
+     "itself is one partial+final aggregate whose final-task state is "
+     "bounded by the probed quantized range (<= 2e7 entries) or by the GK "
+     "sketch accuracy on the approx route."),
 ]
 
 
