@@ -168,25 +168,37 @@ def _wide_range_columns(
     scale: int,
     max_exact_range: int | None,
 ) -> set[str]:
-    """Columns whose quantized range exceeds ``max_exact_range``.
+    """Columns whose exact-percentile state could exceed ``max_exact_range``.
 
-    ONE cheap probe job: a column-pruned codegen'd min/max aggregate over
-    just these columns (quantized, so NaN/Inf are already NULLed — the raw
-    footer statistics can't answer this, but the scan reads only the probed
-    columns and partial-aggregates map-side). The probe is what makes the
-    exact-percentile memory guard possible — range cannot be known without
+    The exact ``percentile`` (value → count) map is bounded by
+    ``min(non-null rows, quantized range)`` — so a column is routed to the
+    approx path only when BOTH exceed the bound (a huge-range column with
+    few rows, e.g. a violation subset's lateness in µs, keeps its exact
+    contract). ONE cheap probe job: a column-pruned codegen'd
+    min/max/count aggregate over just these columns (quantized, so NaN/Inf
+    are already NULLed; partial-aggregated map-side). The probe is what
+    makes the memory guard possible — the bound cannot be known without
     looking — and costs far less than the percentile pass it protects."""
     if max_exact_range is None:
         return set()
     aggs = []
     for c in columns:
         q = F.round(_finite(F.col(c)) * scale).cast("long")
-        aggs += [F.min(q).alias(f"{c}!lo"), F.max(q).alias(f"{c}!hi")]
+        aggs += [
+            F.min(q).alias(f"{c}!lo"),
+            F.max(q).alias(f"{c}!hi"),
+            F.count(q).alias(f"{c}!n"),
+        ]
     probe = df.agg(*aggs).first()
     wide = set()
     for c in columns:
-        lo, hi = probe[f"{c}!lo"], probe[f"{c}!hi"]
-        if lo is not None and hi is not None and hi - lo > max_exact_range:
+        lo, hi, n = probe[f"{c}!lo"], probe[f"{c}!hi"], probe[f"{c}!n"]
+        if (
+            lo is not None
+            and hi is not None
+            and hi - lo > max_exact_range
+            and n > max_exact_range
+        ):
             wide.add(c)
     return wide
 

