@@ -5104,6 +5104,10 @@ def watermark_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("ts")),
     )
     late = out_of_order_rows(ev, key_col="user_id", seq_col="event_id", ts_col="ts")
+    # The guard's range probe plus the percentile pass would otherwise
+    # compute the windowed late-frame twice; it is violation-sized, so one
+    # lazy local checkpoint makes both passes read the materialized subset.
+    late = late.select("late_by_us").localCheckpoint(eager=False)
     return numeric_quantiles(
         late, ["late_by_us"], percentiles=(0.25, 0.5, 0.75, 1.0), scale=1
     ).orderBy("col_name", "percentile")
