@@ -6382,7 +6382,7 @@ def _suggest_sql() -> str:
         "array_to_string(list_transform(string_split(mask, ''), c -> "
         "CASE WHEN c = 'A' THEN '[A-Z]' WHEN c = 'a' THEN '[a-z]' "
         "WHEN c = '9' THEN '[0-9]' "
-        "WHEN strpos('()[]{}?*+-|^$\\.&~# ', c) > 0 THEN '\\' || c "
+        "WHEN c <> '' AND strpos('()[]{}?*+-|^$\\.&~# ', c) > 0 THEN '\\' || c "
         "ELSE c END), '')"
     )
 

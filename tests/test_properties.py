@@ -145,3 +145,42 @@ def test_wasserstein_bounded_by_range(xs, ys):
     span = max(np.max(xs), np.max(ys)) - min(np.min(xs), np.min(ys))
     w = td.wasserstein(a, b)
     assert 0.0 <= w <= span + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine parity properties for the rule-suggestion oracle's trickiest
+# parts (queries.rule_suggestions_orders): the mask -> anchored-regex
+# translation and the %.2f float rendering must agree byte-for-byte between
+# Python (Spark side builds params driver-side) and DuckDB SQL.
+# ---------------------------------------------------------------------------
+
+_MASK_CHARS = "Aa9" + "()[]{}?*+-|^$\\.&~# " + "_:/@%'"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=_MASK_CHARS, min_size=0, max_size=24))
+def test_mask_to_regex_duckdb_parity(mask):
+    import duckdb
+
+    from data_check_spark.rules.suggest import _mask_to_regex
+
+    py = _mask_to_regex(mask)
+    sql_expr = (
+        "array_to_string(list_transform(string_split(?, ''), c -> "
+        "CASE WHEN c = 'A' THEN '[A-Z]' WHEN c = 'a' THEN '[a-z]' "
+        "WHEN c = '9' THEN '[0-9]' "
+        "WHEN c <> '' AND strpos('()[]{}?*+-|^$\\.&~# ', c) > 0 THEN '\\' || c "
+        "ELSE c END), '')"
+    )
+    got = duckdb.connect().execute(f"SELECT {sql_expr}", [mask]).fetchone()[0]
+    assert got == py, (mask, py, got)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.floats(min_value=-1e12, max_value=1e12,
+                 allow_nan=False, allow_infinity=False))
+def test_float_2f_rendering_duckdb_parity(v):
+    import duckdb
+
+    got = duckdb.connect().execute("SELECT printf('%.2f', ?::DOUBLE)", [v]).fetchone()[0]
+    assert got == f"{v:.2f}", (v, got)
