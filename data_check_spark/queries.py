@@ -604,7 +604,9 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> Da
         return _dedup.ngram_jaccard_pairs(
             _docs_parallel(spark, sf_dir), threshold=threshold
         )
-    key = (sf_dir, threshold)
+    # applicationId in the key: a checkpointed frame dies with its session,
+    # so a restarted SparkSession must rebuild, not serve dead blocks.
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
     df = _NGRAM_PAIRS_CACHE.get(key)
     if df is None:
         df = _dedup.ngram_jaccard_pairs(

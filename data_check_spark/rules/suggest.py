@@ -21,7 +21,11 @@ Heuristics (all evidence-based, each rule true of the profiled data):
 Cost: three single-scan passes (profile; native min/max + enum sets; mask
 histogram over the format candidates) — a design-time tool, not a per-run
 one. Every pass is a map-side-combined aggregate; nothing collects row data
-except the bounded enum sets.
+except the bounded enum sets (collected only for columns the profile
+already proved have <= max_set_size distinct values). At 100 TB, run it on
+a sample or a column subset: the exact multi-count_distinct profile plans
+an Expand (rows x columns before the aggregate) — the price of the
+evidence-exact UNIQUE/SET decisions this tool exists to make.
 """
 
 from __future__ import annotations
