@@ -250,10 +250,26 @@ def run_validation(
     cache_input: bool = True,
     reliable_cache: bool = False,
     profile_columns: list[str] | None = None,
+    exclude_partitions: list[str] | None = None,
+    exclude_null_partition: bool = False,
 ) -> ValidationResult:
     """Run the full catalog; returns lazily-built violations + materialized
     verdicts (the verdict aggregation is the single action that executes the
-    whole plan)."""
+    whole plan).
+
+    ``exclude_partitions``: treat these partitions exactly like
+    already-checkpointed ones — pruned from the wide pass, excluded from
+    partition-attributed output, while global-grain rules (uniqueness,
+    referential orphans, drift baselines) still see the FULL key set. This
+    is the partition-batching hook (jobs/validate_job.py
+    ``--partition-batches``): a 10^12-row run split into K batches
+    checkpoints after each, so a mid-job failure loses at most one batch,
+    and the union of the batched runs' violations is multiset-identical to
+    the single-run output (asserted in tests/test_resume.py).
+    ``exclude_null_partition``: drop NULL-partition rows from the wide pass
+    — the resume filter always keeps them (a NULL partition can never be
+    marked done), so in batched mode exactly ONE batch must own them or
+    their row-rule violations would be emitted once per batch."""
     dims = dims or {}
     if catalog is None:
         from data_check_spark.rules.catalog_audio import audio_catalog
@@ -278,8 +294,12 @@ def run_validation(
     # and replaced by synthetic violations (reference: aux-file-missing
     # early return with placeholder rows, dekispart.py:1316-1328).
     synthetic: list[tuple[str, str, str | None, str]] = []
-    for prob in schema_problems:
-        synthetic.append(("SCHEMA_MISMATCH", "N/A", None, prob))
+    if not exclude_null_partition:
+        # Run-level findings belong to the global-state-owning run: in
+        # batched mode only batch 0 reports them, or the batched union
+        # would repeat each schema problem once per batch.
+        for prob in schema_problems:
+            synthetic.append(("SCHEMA_MISMATCH", "N/A", None, prob))
     unavailable_dims: set[str] = set()
     needed_dims = {
         r.params["dim"] for r in catalog.set_oriented if "dim" in r.params
@@ -298,10 +318,12 @@ def run_validation(
     for name in sorted(needed_dims):
         if name not in dims:
             unavailable_dims.add(name)
-            synthetic.append((f"AUX_MISSING_{name.upper()}", "N/A", None, f"dimension {name} not provided"))
+            if not exclude_null_partition:  # run-level finding: batch 0 owns
+                synthetic.append((f"AUX_MISSING_{name.upper()}", "N/A", None, f"dimension {name} not provided"))
         elif name not in nonempty:
             unavailable_dims.add(name)
-            synthetic.append((f"AUX_EMPTY_{name.upper()}", "N/A", None, f"dimension {name} is empty"))
+            if not exclude_null_partition:
+                synthetic.append((f"AUX_EMPTY_{name.upper()}", "N/A", None, f"dimension {name} is empty"))
     if unavailable_dims:
         skipped = [
             r for r in catalog.set_oriented
@@ -319,7 +341,14 @@ def run_validation(
     clips_full = clips
     if resume and checkpoint_dir:
         done = cp.completed_partitions(spark, checkpoint_dir)
+    if exclude_partitions:
+        # Out-of-batch partitions ride the resume machinery: same pruning,
+        # same global-grain full-key scans, same attribution filter.
+        done = sorted(set(done) | set(exclude_partitions))
+    if done:
         clips = cp.prune_completed(clips, done, partition_col)
+    if exclude_null_partition:
+        clips = clips.filter(F.col(partition_col).isNotNull())
 
     # --- single wide pass: byte_len + SNR in one mapInPandas stage, then the
     # binary column is gone. Everything downstream is narrow.
@@ -530,6 +559,17 @@ def run_validation(
         _t = time.monotonic()
         try:
             if done and global_grain:
+                if exclude_null_partition and rule.kind not in (
+                    "unique", "cat_drift", "rate_drift", "volume_drift",
+                    "func_dep", "outlier", "reconcile", "cardinality",
+                ):
+                    # Whole-table-state rules with no partition attribution
+                    # (orphan referential, value-grain uniqueness) re-emit
+                    # their global state on every resume run BY DESIGN; in
+                    # batched mode exactly one batch (the NULL-owning batch
+                    # 0) must emit them or the batched union would repeat
+                    # them K times.
+                    continue
                 # Full-table key scan (column-pruned; never touches bytes).
                 v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
                                        shared_dups=dups, run_ts=run_ts)
@@ -538,10 +578,14 @@ def run_validation(
                     # Partition-attributed output: rows in completed
                     # partitions were already reported by the run that
                     # checkpointed them. Keep NULL-partition rows — ~isin is
-                    # three-valued and would silently drop them.
-                    v = v.filter(
-                        ~F.col("partition").isin(done) | F.col("partition").isNull()
+                    # three-valued and would silently drop them — UNLESS
+                    # this run explicitly disowns NULLs (batched mode gives
+                    # them to exactly one batch).
+                    keep_null = (
+                        F.lit(False) if exclude_null_partition
+                        else F.col("partition").isNull()
                     )
+                    v = v.filter(~F.col("partition").isin(done) | keep_null)
                 parts.append(v)
             else:
                 parts.append(_dispatch_set_rule(rule, prepared, dims, partition_col=partition_col,
@@ -609,7 +653,7 @@ def run_validation(
     # the checkpoint stores the run-level wall time on each row (documented).
     verdicts = verdicts.withColumn("wall_time_ms", F.lit(wall_ms))
 
-    if rows_scanned == 0 and not (resume and checkpoint_dir):
+    if rows_scanned == 0 and not (resume and checkpoint_dir) and not exclude_partitions:
         # Empty fact table is itself a violation (reference: empty-df
         # placeholder rows, dekispart.py:1330-1337).
         empty_row = spark.createDataFrame(

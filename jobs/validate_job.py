@@ -52,7 +52,21 @@ def main(argv: list[str] | None = None) -> int:
                          "bytes were produced (ignored with --rules)")
     ap.add_argument("--run-ts", default=None, help="pinned run timestamp (UTC)")
     ap.add_argument("--partition-col", default="partition")
+    ap.add_argument("--partition-batches", type=int, default=1,
+                    help="split the run into K sequential partition batches, "
+                         "checkpointing after each — a mid-job failure loses "
+                         "at most one batch and a relaunch with the same "
+                         "args resumes past completed batches (requires "
+                         "--checkpoint-dir; implies --resume). The union of "
+                         "batched violations is multiset-identical to the "
+                         "single-run output (cross-batch duplicates and "
+                         "referential orphans included — global-grain rules "
+                         "scan the full key set every batch)")
     args = ap.parse_args(argv)
+    if args.partition_batches < 1:
+        ap.error("--partition-batches must be >= 1")
+    if args.partition_batches > 1 and not args.checkpoint_dir:
+        ap.error("--partition-batches needs --checkpoint-dir")
 
     from data_check_spark.engine import run_validation
     from data_check_spark.rules.spec import load_catalog
@@ -79,6 +93,55 @@ def main(argv: list[str] | None = None) -> int:
         catalog = audio_catalog(bytes_cap_ms=args.cap_ms)
 
     t0 = time.monotonic()
+    from pyspark.sql import functions as F
+
+    if args.partition_batches > 1:
+        # Bounded-blast-radius mode: the distinct partition list (tiny —
+        # one column-pruned scan) splits into K sorted chunks; each chunk
+        # runs with every OTHER chunk excluded (engine prunes them exactly
+        # like checkpointed partitions) and appends its checkpoint rows, so
+        # a kill loses at most the in-flight chunk. resume=True makes a
+        # relaunch with identical args skip completed chunks' partitions.
+        all_parts = sorted(
+            r[0] for r in
+            clips.select(args.partition_col).distinct().collect()
+            if r[0] is not None
+        )
+        k = min(args.partition_batches, max(len(all_parts), 1))
+        chunks = [all_parts[i::k] for i in range(k)]
+        batch_runs = []
+        for i, chunk in enumerate(chunks):
+            res = run_validation(
+                spark, clips, dims, catalog,
+                run_ts=args.run_ts,
+                partition_col=args.partition_col,
+                checkpoint_dir=args.checkpoint_dir,
+                resume=True,
+                reliable_cache=args.reliable_cache,
+                exclude_partitions=[p for c in chunks if c is not chunk for p in c],
+                # NULL-partition rows can't be excluded by value, so batch 0
+                # owns them exclusively (engine drops them elsewhere).
+                exclude_null_partition=(i > 0),
+            )
+            (res.violations.withColumn("run_id", F.lit(res.run_id))
+                .write.mode("append").partitionBy("run_id")
+                .parquet(f"{args.output_dir}/violations"))
+            (res.verdicts.withColumn("run_id", F.lit(res.run_id))
+                .write.mode("append").partitionBy("run_id")
+                .parquet(f"{args.output_dir}/verdicts"))
+            s = res.summary()
+            batch_runs.append({"batch": i, "run_id": res.run_id,
+                               "rows_scanned": res.rows_scanned,
+                               "violations": s["total"]})
+        total = sum(b["violations"] for b in batch_runs)
+        print(json.dumps({
+            "batches": batch_runs,
+            "rows_scanned": sum(b["rows_scanned"] for b in batch_runs),
+            "total_violations": total,
+            "wall_sec": round(time.monotonic() - t0, 1),
+        }))
+        return 0
+
     res = run_validation(
         spark, clips, dims, catalog,
         run_ts=args.run_ts,
@@ -90,8 +153,6 @@ def main(argv: list[str] | None = None) -> int:
     # Partitioned-by-run append: a resumed relaunch into the same output dir
     # adds its (partial) results under a new run_id instead of clobbering the
     # completed partitions written by the earlier attempt.
-    from pyspark.sql import functions as F
-
     (res.violations.withColumn("run_id", F.lit(res.run_id))
         .write.mode("append").partitionBy("run_id")
         .parquet(f"{args.output_dir}/violations"))

@@ -260,3 +260,96 @@ def test_resume_cardinality_counts_children_globally(spark, tmp_path):
             if r["rule_id"] == "CARD_ONE"}
     # p1 parents reported with globally-correct counts; p0 parent not re-reported
     assert viol == {("c_many", "too_many:2"), ("c_none", "too_few:0")}
+
+
+# ---------------------------------------------------------------------------
+# Partition-batched runs (run_validation(exclude_partitions=...), the
+# jobs/validate_job.py --partition-batches machinery): the union of the
+# batched runs' violations must be MULTISET-identical to the single-run
+# output — cross-batch duplicates, orphans, and NULL-partition rows
+# included — and a relaunch past a completed batch must not rescan it.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def batch_data(spark):
+    clips = spark.createDataFrame(
+        [
+            ("a", 16000, 100, "flac", "t", "p0"),
+            ("dup", 16000, 100, "flac", "t", "p0"),
+            ("dup", -1, 100, "flac", "t", "p1"),     # dup spans p0/p1 + bad sr
+            ("c", 16000, 100, "flac", "t", "p1"),
+            ("nofk", 16000, 100, "flac", "t", "p2"),  # not in transcripts
+            ("nullrow", -5, 100, "flac", "t", None),  # NULL partition, bad sr
+        ],
+        "clip_id string, sr_hz int, dur_ms int, codec string, transcript string, partition string",
+    )
+    tr = spark.createDataFrame(
+        [("a", "t"), ("dup", "t"), ("c", "t"), ("orphan_row", "t")],
+        "clip_id string, transcript_ref string",
+    )
+    return clips, tr
+
+
+def _vset(df):
+    from collections import Counter
+
+    return Counter(
+        (r["rule_id"], r["clip_id"], r["partition"], r["observed"])
+        for r in df.collect()
+    )
+
+
+def test_batched_union_equals_single_run(spark, batch_data, tmp_path):
+    clips, tr = batch_data
+    single = run_validation(
+        spark, clips, {"transcripts": tr}, CATALOG, run_ts="2026-01-01 00:00:00"
+    )
+    want = _vset(single.violations)
+
+    ckpt = str(tmp_path / "ckpt")
+    chunks = [["p0"], ["p1"], ["p2"]]
+    got = None
+    scanned = 0
+    for i, chunk in enumerate(chunks):
+        res = run_validation(
+            spark, clips, {"transcripts": tr}, CATALOG,
+            run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt, resume=True,
+            exclude_partitions=[p for c in chunks if c is not chunk for p in c],
+            exclude_null_partition=(i > 0),
+        )
+        scanned += res.rows_scanned
+        v = _vset(res.violations)
+        got = v if got is None else got + v
+    assert got == want
+    assert scanned == clips.count()  # every row validated exactly once
+    # every batch's verdicts landed in the checkpoint
+    from data_check_spark import checkpoint as cp
+
+    assert set(cp.completed_partitions(spark, ckpt)) == {"p0", "p1", "p2"}
+
+
+def test_batched_relaunch_skips_completed_batches(spark, batch_data, tmp_path):
+    clips, tr = batch_data
+    ckpt = str(tmp_path / "ckpt")
+    chunks = [["p0", "p1"], ["p2"]]
+
+    def run_batch(i):
+        return run_validation(
+            spark, clips, {"transcripts": tr}, CATALOG,
+            run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt, resume=True,
+            exclude_partitions=[p for c in chunks if c is not chunks[i] for p in c],
+            exclude_null_partition=(i > 0),
+        )
+
+    first = run_batch(0)
+    assert first.rows_scanned == 5  # p0+p1 rows + the NULL-partition row
+    # "relaunch": batch 0 again — its partitions are checkpointed, so only
+    # the NULL-partition row (never checkpointable) is rescanned
+    again = run_batch(0)
+    assert again.rows_scanned == 1
+    # then the remaining batch completes the run
+    second = run_batch(1)
+    assert second.rows_scanned == 1  # p2's row only
+    s = second.summary()
+    assert s["per_rule"].get("R_FK") == 1          # nofk caught in its batch
+    assert "R_ORPHAN" not in s["per_rule"]         # batch 0 owns global state
