@@ -102,13 +102,24 @@ def main(argv: list[str] | None = None) -> int:
         # like checkpointed partitions) and appends its checkpoint rows, so
         # a kill loses at most the in-flight chunk. resume=True makes a
         # relaunch with identical args skip completed chunks' partitions.
-        all_parts = sorted(
-            r[0] for r in
-            clips.select(args.partition_col).distinct().collect()
-            if r[0] is not None
+        # Size-aware chunking (LPT greedy): the synthetic table plants
+        # skewed partitions, and real corpora are worse — stride chunking
+        # measured a 3x spread in batch wall. One column-pruned count per
+        # partition (tiny aggregate) feeds a largest-first greedy fill so
+        # every batch carries ~1/K of the rows.
+        sizes = sorted(
+            ((r[0], r[1]) for r in
+             clips.groupBy(args.partition_col).count().collect()
+             if r[0] is not None),
+            key=lambda t: (-t[1], t[0]),
         )
-        k = min(args.partition_batches, max(len(all_parts), 1))
-        chunks = [all_parts[i::k] for i in range(k)]
+        k = min(args.partition_batches, max(len(sizes), 1))
+        bins = [[0, []] for _ in range(k)]
+        for part, n in sizes:
+            tgt = min(bins, key=lambda b: b[0])
+            tgt[0] += n
+            tgt[1].append(part)
+        chunks = [sorted(b[1]) for b in bins]
         batch_runs = []
         for i, chunk in enumerate(chunks):
             res = run_validation(
