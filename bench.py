@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     # round 3
     "rule_suggestions_orders",
     "partition_profile_orders",
+    "clips_validate_batched",
 ]
 
 

@@ -1166,15 +1166,10 @@ def _portable_clips(spark: SparkSession, sf_dir: str):
     return fact, dim
 
 
-@register("clips_validate_portable", _CLIPS_ENGINE_SQL)
-def clips_validate_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full engine run over the portable clip table — every violation row
-    value-checked by DuckDB (see _CLIPS_ENGINE_SQL header comment)."""
-    from data_check_spark.engine import run_validation
+def _portable_catalog():
     from data_check_spark.rules.spec import Rule, RuleCatalog
 
-    fact, dim = _portable_clips(spark, sf_dir)
-    catalog = RuleCatalog([
+    return RuleCatalog([
         Rule("PCLIP_NOT_NULL", "not_null", "clip_id"),
         Rule("PCLIP_FORMAT", "format", "clip_id", {"pattern": r"^clip_[0-9a-f]{16}$"}),
         Rule("PSR_WHITELIST", "value_in_set", "sr_hz",
@@ -1188,10 +1183,47 @@ def clips_validate_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         Rule("PTRANSCRIPT_MATCH", "transcript_match", "transcript",
              {"dim": "transcripts", "dim_key": "clip_id", "ref_column": "transcript_ref"}),
     ])
+
+
+@register("clips_validate_portable", _CLIPS_ENGINE_SQL)
+def clips_validate_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine run over the portable clip table — every violation row
+    value-checked by DuckDB (see _CLIPS_ENGINE_SQL header comment)."""
+    from data_check_spark.engine import run_validation
+
+    fact, dim = _portable_clips(spark, sf_dir)
     res = run_validation(
-        spark, fact, {"transcripts": dim}, catalog, run_ts="2024-01-01 00:00:00"
+        spark, fact, {"transcripts": dim}, _portable_catalog(),
+        run_ts="2024-01-01 00:00:00",
     )
     return res.violations
+
+
+@register("clips_validate_batched", _CLIPS_ENGINE_SQL)
+def clips_validate_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME engine run split into two partition batches
+    (run_validation(exclude_partitions=...), the validate_job
+    --partition-batches machinery): batch 0 owns p00-p03 plus all
+    non-attributable global state, batch 1 owns p04-p07. The union is
+    checked against the IDENTICAL DuckDB oracle as the single-run query —
+    cross-engine, value-level proof that batched mode loses nothing and
+    double-reports nothing (cross-batch duplicate pools, referential
+    orphans, transcript mismatches included)."""
+    from data_check_spark.engine import run_validation
+
+    fact, dim = _portable_clips(spark, sf_dir)
+    parts = [f"p{i:02d}" for i in range(8)]
+    first, second = parts[:4], parts[4:]
+    r0 = run_validation(
+        spark, fact, {"transcripts": dim}, _portable_catalog(),
+        run_ts="2024-01-01 00:00:00", exclude_partitions=second,
+    )
+    r1 = run_validation(
+        spark, fact, {"transcripts": dim}, _portable_catalog(),
+        run_ts="2024-01-01 00:00:00", exclude_partitions=first,
+        exclude_null_partition=True,
+    )
+    return r0.violations.unionByName(r1.violations)
 
 
 # ---------------------------------------------------------------------------
