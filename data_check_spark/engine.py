@@ -251,25 +251,28 @@ def run_validation(
     reliable_cache: bool = False,
     profile_columns: list[str] | None = None,
     exclude_partitions: list[str] | None = None,
-    exclude_null_partition: bool = False,
+    batch_member: bool = False,
 ) -> ValidationResult:
     """Run the full catalog; returns lazily-built violations + materialized
     verdicts (the verdict aggregation is the single action that executes the
     whole plan).
 
-    ``exclude_partitions``: treat these partitions exactly like
-    already-checkpointed ones — pruned from the wide pass, excluded from
-    partition-attributed output, while global-grain rules (uniqueness,
-    referential orphans, drift baselines) still see the FULL key set. This
-    is the partition-batching hook (jobs/validate_job.py
-    ``--partition-batches``): a 10^12-row run split into K batches
-    checkpoints after each, so a mid-job failure loses at most one batch,
-    and the union of the batched runs' violations is multiset-identical to
-    the single-run output (asserted in tests/test_resume.py).
-    ``exclude_null_partition``: drop NULL-partition rows from the wide pass
-    — the resume filter always keeps them (a NULL partition can never be
-    marked done), so in batched mode exactly ONE batch must own them or
-    their row-rule violations would be emitted once per batch."""
+    ``exclude_partitions``: prune these partitions from the wide pass
+    exactly like already-checkpointed ones. This is the partition-batching
+    hook (jobs/validate_job.py ``--partition-batches``): a 10^12-row run
+    split into K batches checkpoints after each, so a mid-job failure
+    loses at most one batch, and the union of the batched runs' violations
+    is multiset-identical to the single-run output (asserted in
+    tests/test_resume.py).
+    ``batch_member``: marks every batch EXCEPT the global-state owner
+    (batch 0). A member batch validates only its own partitions: it drops
+    NULL-partition rows (a NULL partition can never be excluded by value
+    or marked done, so exactly one batch must own them), skips run-level
+    synthetics (schema/aux findings), and skips ALL global-grain rules —
+    the owner batch runs each global-grain rule ONCE over the full key
+    set and emits its rows for every partition, instead of every batch
+    re-scanning the full table (K× full key scans was the dominant
+    batching overhead at scale)."""
     dims = dims or {}
     if catalog is None:
         from data_check_spark.rules.catalog_audio import audio_catalog
@@ -294,7 +297,7 @@ def run_validation(
     # and replaced by synthetic violations (reference: aux-file-missing
     # early return with placeholder rows, dekispart.py:1316-1328).
     synthetic: list[tuple[str, str, str | None, str]] = []
-    if not exclude_null_partition:
+    if not batch_member:
         # Run-level findings belong to the global-state-owning run: in
         # batched mode only batch 0 reports them, or the batched union
         # would repeat each schema problem once per batch.
@@ -318,11 +321,11 @@ def run_validation(
     for name in sorted(needed_dims):
         if name not in dims:
             unavailable_dims.add(name)
-            if not exclude_null_partition:  # run-level finding: batch 0 owns
+            if not batch_member:  # run-level finding: batch 0 owns
                 synthetic.append((f"AUX_MISSING_{name.upper()}", "N/A", None, f"dimension {name} not provided"))
         elif name not in nonempty:
             unavailable_dims.add(name)
-            if not exclude_null_partition:
+            if not batch_member:
                 synthetic.append((f"AUX_EMPTY_{name.upper()}", "N/A", None, f"dimension {name} is empty"))
     if unavailable_dims:
         skipped = [
@@ -337,17 +340,18 @@ def run_validation(
     # FULL key set via a narrow column-pruned scan of the original table —
     # a key-only scan is ~1% of the wide bytes at 10^12 rows, and without it
     # a duplicate spanning a completed and a new partition would be missed.
-    done: list[str] = []
+    cp_done: list[str] = []
     clips_full = clips
     if resume and checkpoint_dir:
-        done = cp.completed_partitions(spark, checkpoint_dir)
-    if exclude_partitions:
-        # Out-of-batch partitions ride the resume machinery: same pruning,
-        # same global-grain full-key scans, same attribution filter.
-        done = sorted(set(done) | set(exclude_partitions))
+        cp_done = cp.completed_partitions(spark, checkpoint_dir)
+    # Out-of-batch partitions ride the same pruning as checkpointed ones;
+    # attribution of global-grain output filters on cp_done ONLY (the
+    # owner batch emits global rows for the whole table, excluded
+    # partitions included — member batches skip global-grain entirely).
+    done = sorted(set(cp_done) | set(exclude_partitions or []))
     if done:
         clips = cp.prune_completed(clips, done, partition_col)
-    if exclude_null_partition:
+    if batch_member:
         clips = clips.filter(F.col(partition_col).isNotNull())
 
     # --- single wide pass: byte_len + SNR in one mapInPandas stage, then the
@@ -559,33 +563,27 @@ def run_validation(
         _t = time.monotonic()
         try:
             if done and global_grain:
-                if exclude_null_partition and rule.kind not in (
-                    "unique", "cat_drift", "rate_drift", "volume_drift",
-                    "func_dep", "outlier", "reconcile", "cardinality",
-                ):
-                    # Whole-table-state rules with no partition attribution
-                    # (orphan referential, value-grain uniqueness) re-emit
-                    # their global state on every resume run BY DESIGN; in
-                    # batched mode exactly one batch (the NULL-owning batch
-                    # 0) must emit them or the batched union would repeat
-                    # them K times.
+                if batch_member:
+                    # Member batches never run global-grain rules: the
+                    # owner batch scans the full key set ONCE and emits
+                    # every partition's rows (K× full-table key scans was
+                    # the dominant batching overhead at scale).
                     continue
                 # Full-table key scan (column-pruned; never touches bytes).
                 v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
                                        shared_dups=dups, run_ts=run_ts)
-                if rule.kind in ("unique", "cat_drift", "rate_drift", "volume_drift",
-                                 "func_dep", "outlier", "reconcile", "cardinality"):
-                    # Partition-attributed output: rows in completed
-                    # partitions were already reported by the run that
-                    # checkpointed them. Keep NULL-partition rows — ~isin is
-                    # three-valued and would silently drop them — UNLESS
-                    # this run explicitly disowns NULLs (batched mode gives
-                    # them to exactly one batch).
-                    keep_null = (
-                        F.lit(False) if exclude_null_partition
-                        else F.col("partition").isNull()
+                if cp_done and rule.kind in (
+                    "unique", "cat_drift", "rate_drift", "volume_drift",
+                    "func_dep", "outlier", "reconcile", "cardinality",
+                ):
+                    # Partition-attributed output: rows in partitions a
+                    # PREVIOUS attempt checkpointed were already reported
+                    # by that attempt. Keep NULL-partition rows — ~isin is
+                    # three-valued and would silently drop them.
+                    v = v.filter(
+                        ~F.col("partition").isin(cp_done)
+                        | F.col("partition").isNull()
                     )
-                    v = v.filter(~F.col("partition").isin(done) | keep_null)
                 parts.append(v)
             else:
                 parts.append(_dispatch_set_rule(rule, prepared, dims, partition_col=partition_col,

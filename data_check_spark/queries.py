@@ -1221,7 +1221,7 @@ def clips_validate_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = run_validation(
         spark, fact, {"transcripts": dim}, _portable_catalog(),
         run_ts="2024-01-01 00:00:00", exclude_partitions=first,
-        exclude_null_partition=True,
+        batch_member=True,
     )
     return r0.violations.unionByName(r1.violations)
 

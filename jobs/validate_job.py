@@ -59,9 +59,10 @@ def main(argv: list[str] | None = None) -> int:
                          "args resumes past completed batches (requires "
                          "--checkpoint-dir; implies --resume). The union of "
                          "batched violations is multiset-identical to the "
-                         "single-run output (cross-batch duplicates and "
-                         "referential orphans included — global-grain rules "
-                         "scan the full key set every batch)")
+                         "single-run output: batch 0 runs every global-grain "
+                         "rule once over the FULL key set (cross-batch "
+                         "duplicates, orphans) and member batches validate "
+                         "only their own partitions")
     args = ap.parse_args(argv)
     if args.partition_batches < 1:
         ap.error("--partition-batches must be >= 1")
@@ -130,9 +131,10 @@ def main(argv: list[str] | None = None) -> int:
                 resume=True,
                 reliable_cache=args.reliable_cache,
                 exclude_partitions=[p for c in chunks if c is not chunk for p in c],
-                # NULL-partition rows can't be excluded by value, so batch 0
-                # owns them exclusively (engine drops them elsewhere).
-                exclude_null_partition=(i > 0),
+                # batch 0 is the global-state owner (global-grain rules,
+                # NULL-partition rows, run-level synthetics); members skip
+                # all of that and validate only their own partitions.
+                batch_member=(i > 0),
             )
             (res.violations.withColumn("run_id", F.lit(res.run_id))
                 .write.mode("append").partitionBy("run_id")

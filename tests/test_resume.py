@@ -315,7 +315,7 @@ def test_batched_union_equals_single_run(spark, batch_data, tmp_path):
             spark, clips, {"transcripts": tr}, CATALOG,
             run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt, resume=True,
             exclude_partitions=[p for c in chunks if c is not chunk for p in c],
-            exclude_null_partition=(i > 0),
+            batch_member=(i > 0),
         )
         scanned += res.rows_scanned
         v = _vset(res.violations)
@@ -338,7 +338,7 @@ def test_batched_relaunch_skips_completed_batches(spark, batch_data, tmp_path):
             spark, clips, {"transcripts": tr}, CATALOG,
             run_ts="2026-01-01 00:00:00", checkpoint_dir=ckpt, resume=True,
             exclude_partitions=[p for c in chunks if c is not chunks[i] for p in c],
-            exclude_null_partition=(i > 0),
+            batch_member=(i > 0),
         )
 
     first = run_batch(0)
