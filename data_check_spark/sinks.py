@@ -260,6 +260,17 @@ def write_tar_shards(
             # to_dict (not itertuples): itertuples positionally renames
             # underscore-prefixed column names, silently breaking lookups
             for rd in pdf.to_dict("records"):
+                key = rd[key_col]
+                if key is not None and "." in str(key):
+                    # WebDataset splits member names at the FIRST dot, so a
+                    # dotted key writes members no conforming reader (incl.
+                    # sources/tar.py) can reassemble — fail loud at export
+                    # instead of shipping an ambiguous shard.
+                    raise ValueError(
+                        f"tar sample key {key!r} contains '.' — WebDataset "
+                        "keys must be dot-free (the first dot starts the "
+                        "suffix)"
+                    )
                 s = int(rd[shard_col])
                 if state["tf"] is None or s != state["shard"]:
                     _close()

@@ -114,6 +114,20 @@ def test_first_dot_split_convention(spark, exported):
     assert rows["docA"]["seq"] == "sequence text"
 
 
+def test_sink_rejects_dotted_keys(spark, tmp_path):
+    """WebDataset keys must be dot-free: a dotted key would write members
+    the first-dot reader cannot reassemble — the sink fails loud."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, "bad.key", "text")], "shard int, key string, text string"
+    )
+    with _pytest.raises(Exception, match="dot-free"):
+        write_tar_shards(
+            df, str(tmp_path / "t"), key_col="key", payloads={"text": "txt"}
+        ).collect()
+
+
 def test_unknown_suffix_ignored_and_guards(spark, exported):
     _, out = exported
     only_wav = read_tar_shards(
