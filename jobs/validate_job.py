@@ -33,6 +33,29 @@ import sys
 import time
 
 
+def _partition_sizes(clips, partition_col: str) -> list[tuple[str, int]]:
+    """(partition, rows) for non-NULL partitions — ONE column-pruned
+    aggregate; the frame is bounded by the partition count."""
+    return sorted(
+        ((r[0], r[1]) for r in clips.groupBy(partition_col).count().collect()
+         if r[0] is not None),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+
+def _lpt_chunks(sizes: list[tuple[str, int]], k: int) -> list[tuple[list[str], int]]:
+    """Largest-first greedy fill into k bins → [(partitions, rows)] per
+    batch. Partitions are the atomic unit (a planted hot partition stays
+    whole), so bins land within one partition's weight of balanced."""
+    k = min(k, max(len(sizes), 1))
+    bins: list[list] = [[0, []] for _ in range(k)]
+    for part, n in sizes:
+        tgt = min(bins, key=lambda b: b[0])
+        tgt[0] += n
+        tgt[1].append(part)
+    return [(sorted(b[1]), b[0]) for b in bins]
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="clips parquet dir")
@@ -63,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
                          "rule once over the FULL key set (cross-batch "
                          "duplicates, orphans) and member batches validate "
                          "only their own partitions")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="print the run plan (rule counts, partition/batch "
+                         "assignment with row counts, partitions already "
+                         "complete in the checkpoint) and exit without "
+                         "validating — the sanity gate before an expensive "
+                         "cluster launch")
     args = ap.parse_args(argv)
     if args.partition_batches < 1:
         ap.error("--partition-batches must be >= 1")
@@ -96,6 +125,32 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.monotonic()
     from pyspark.sql import functions as F
 
+    if args.dry_run:
+        from data_check_spark import checkpoint as cp
+
+        sizes = _partition_sizes(clips, args.partition_col)
+        null_rows = clips.filter(F.col(args.partition_col).isNull()).count()
+        done = (cp.completed_partitions(spark, args.checkpoint_dir)
+                if args.checkpoint_dir else [])
+        chunks = _lpt_chunks(sizes, args.partition_batches)
+        print(json.dumps({
+            "dry_run": True,
+            "rules": {
+                "row_local": sum(1 for r in catalog if r.is_row_local),
+                "set_oriented": len(catalog.set_oriented),
+            },
+            "partitions": len(sizes),
+            "rows": sum(n for _p, n in sizes) + null_rows,
+            "null_partition_rows": null_rows,
+            "already_complete": sorted(set(done)),
+            "batches": [
+                {"batch": i, "partitions": len(parts), "rows": rows,
+                 "remaining_partitions": len([p for p in parts if p not in set(done)])}
+                for i, (parts, rows) in enumerate(chunks)
+            ],
+        }))
+        return 0
+
     if args.partition_batches > 1:
         # Bounded-blast-radius mode: the distinct partition list (tiny —
         # one column-pruned scan) splits into K sorted chunks; each chunk
@@ -105,22 +160,10 @@ def main(argv: list[str] | None = None) -> int:
         # relaunch with identical args skip completed chunks' partitions.
         # Size-aware chunking (LPT greedy): the synthetic table plants
         # skewed partitions, and real corpora are worse — stride chunking
-        # measured a 3x spread in batch wall. One column-pruned count per
-        # partition (tiny aggregate) feeds a largest-first greedy fill so
-        # every batch carries ~1/K of the rows.
-        sizes = sorted(
-            ((r[0], r[1]) for r in
-             clips.groupBy(args.partition_col).count().collect()
-             if r[0] is not None),
-            key=lambda t: (-t[1], t[0]),
-        )
-        k = min(args.partition_batches, max(len(sizes), 1))
-        bins = [[0, []] for _ in range(k)]
-        for part, n in sizes:
-            tgt = min(bins, key=lambda b: b[0])
-            tgt[0] += n
-            tgt[1].append(part)
-        chunks = [sorted(b[1]) for b in bins]
+        # measured a 3x spread in batch wall.
+        sizes = _partition_sizes(clips, args.partition_col)
+        chunks = [parts for parts, _rows in
+                  _lpt_chunks(sizes, args.partition_batches)]
         batch_runs = []
         for i, chunk in enumerate(chunks):
             res = run_validation(

@@ -353,3 +353,35 @@ def test_batched_relaunch_skips_completed_batches(spark, batch_data, tmp_path):
     s = second.summary()
     assert s["per_rule"].get("R_FK") == 1          # nofk caught in its batch
     assert "R_ORPHAN" not in s["per_rule"]         # batch 0 owns global state
+
+
+def test_validate_job_dry_run_plan(spark, batch_data, tmp_path, capsys):
+    """--dry-run prints the batch plan (LPT row balance, resume state) and
+    validates nothing."""
+    import json as _json
+
+    from jobs.validate_job import main as job_main
+
+    clips, tr = batch_data
+    inp = str(tmp_path / "clips")
+    trp = str(tmp_path / "tr")
+    clips.write.parquet(inp)
+    tr.write.parquet(trp)
+    rc = job_main([
+        "--input", inp, "--transcripts", trp,
+        "--output-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--partition-batches", "2", "--dry-run",
+    ])
+    assert rc == 0
+    plan = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert plan["dry_run"] is True
+    assert plan["partitions"] == 3 and plan["null_partition_rows"] == 1
+    assert plan["rows"] == 6
+    assert len(plan["batches"]) == 2
+    assert sum(b["rows"] for b in plan["batches"]) == 5  # non-NULL rows
+    assert plan["already_complete"] == []
+    # nothing was validated or checkpointed
+    import os as _os
+
+    assert not _os.path.exists(str(tmp_path / "ck"))
