@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "rule_suggestions_orders",
     "partition_profile_orders",
     "clips_validate_batched",
+    "scan_pruning_lineitem",
 ]
 
 

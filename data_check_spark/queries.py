@@ -6544,3 +6544,49 @@ def partition_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_custkey", "o_orderpriority", "o_totalprice"],
         group_by="o_orderstatus",
     ).orderBy("o_orderstatus", "col_name")
+
+
+# ---------------------------------------------------------------------------
+# Parquet zone-map audit (operators/scanstats.py): row-group footer
+# statistics + data-skipping effectiveness, value-checked against DuckDB's
+# parquet_metadata() over the IDENTICAL footers. The oracle pins the
+# driver's comparison scale (sf=0.01 per the driver contract) because
+# parquet_metadata takes a literal path, not a view.
+# ---------------------------------------------------------------------------
+
+_SCAN_PRUNE_COLS = ("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey")
+_SCAN_PRUNE_LO, _SCAN_PRUNE_HI = 1000, 2000
+
+_SCAN_PRUNING_SQL = f"""
+SELECT regexp_extract(file_name, '[^/]+$') AS file,
+       path_in_schema AS col_name,
+       CAST(row_group_id AS INT) AS row_group,
+       row_group_num_rows AS n_rows,
+       CAST(stats_min_value AS BIGINT) AS min_v,
+       CAST(stats_max_value AS BIGINT) AS max_v,
+       coalesce(CAST(stats_max_value AS BIGINT) < {_SCAN_PRUNE_LO}
+                OR CAST(stats_min_value AS BIGINT) > {_SCAN_PRUNE_HI},
+                FALSE) AS would_skip
+FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+WHERE path_in_schema IN {_SCAN_PRUNE_COLS!r}
+ORDER BY col_name, row_group
+"""
+
+
+@register("scan_pruning_lineitem", _SCAN_PRUNING_SQL)
+def scan_pruning_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map audit of lineitem's integer columns: per-row-group footer
+    min/max plus the would-this-row-group-be-skipped flag for a range
+    predicate in [1000, 2000] — footers only, never data pages, file list
+    distributed. DuckDB re-reads the same footers analytically."""
+    from data_check_spark.operators.scanstats import (
+        parquet_rowgroup_stats,
+        pruning_report,
+    )
+
+    stats = parquet_rowgroup_stats(
+        spark, f"{sf_dir}/lineitem.parquet", list(_SCAN_PRUNE_COLS)
+    )
+    return pruning_report(
+        stats, lo=_SCAN_PRUNE_LO, hi=_SCAN_PRUNE_HI
+    ).orderBy("col_name", "row_group")
