@@ -2339,10 +2339,10 @@ ranked AS (
   SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r FROM counts
 ),
 ks(vocab_k) AS (VALUES (5), (20), (100))
-SELECT k.vocab_k, sum(r.cnt) AS covered,
-       (SELECT total_tokens FROM tot) AS total_tokens,
-       sum(r.cnt) * 1000000 // greatest((SELECT total_tokens FROM tot), 1)
-           AS coverage_ppm
+SELECT k.vocab_k, CAST(sum(r.cnt) AS BIGINT) AS covered,
+       CAST((SELECT total_tokens FROM tot) AS BIGINT) AS total_tokens,
+       CAST(sum(r.cnt) * 1000000 // greatest((SELECT total_tokens FROM tot), 1)
+           AS BIGINT) AS coverage_ppm
 FROM ks k JOIN ranked r ON r.r <= k.vocab_k
 GROUP BY k.vocab_k
 """
@@ -2360,9 +2360,10 @@ def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LABEL_CENTROIDS_SQL = """
 SELECT e.label, p.i AS pos, count(*) AS n_vecs,
-       sum(cast(floor(e.embedding[p.i]::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS sum_q,
-       sum(cast(floor(e.embedding[p.i]::DOUBLE * 1000000 + 0.5) AS BIGINT)) // count(*)
-           AS centroid_q
+       CAST(sum(cast(floor(e.embedding[p.i]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+           AS BIGINT) AS sum_q,
+       CAST(sum(cast(floor(e.embedding[p.i]::DOUBLE * 1000000 + 0.5) AS BIGINT)) // count(*)
+           AS BIGINT) AS centroid_q
 FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) p
 WHERE e.label IS NOT NULL AND e.embedding IS NOT NULL
 GROUP BY e.label, p.i
@@ -2475,10 +2476,10 @@ e AS (
     FROM g CROSS JOIN cat CROSS JOIN tot
     LEFT JOIN c ON c.group_value = g.group_value AND c.category = cat.category
 )
-SELECT group_value, category, n_gc,
-       (n_gc * 10000) // n_g AS share_bp,
-       (n_c * 10000) // n AS base_bp,
-       abs((n_gc * 10000) // n_g - (n_c * 10000) // n) AS diff_bp
+SELECT group_value, category, CAST(n_gc AS BIGINT) AS n_gc,
+       CAST((n_gc * 10000) // n_g AS BIGINT) AS share_bp,
+       CAST((n_c * 10000) // n AS BIGINT) AS base_bp,
+       CAST(abs((n_gc * 10000) // n_g - (n_c * 10000) // n) AS BIGINT) AS diff_bp
 FROM e
 ORDER BY group_value, category
 """
@@ -2506,9 +2507,9 @@ WITH per AS (
 ),
 tot AS (SELECT sum(n_g) AS n, sum(k_g) AS k FROM per)
 SELECT group_value, n_g, k_g,
-       (k_g * 10000) // n_g AS rate_bp,
-       (k * 10000) // n AS base_bp,
-       abs((k_g * 10000) // n_g - (k * 10000) // n) AS diff_bp
+       CAST((k_g * 10000) // n_g AS BIGINT) AS rate_bp,
+       CAST((k * 10000) // n AS BIGINT) AS base_bp,
+       CAST(abs((k_g * 10000) // n_g - (k * 10000) // n) AS BIGINT) AS diff_bp
 FROM per, tot
 ORDER BY group_value
 """
@@ -2534,7 +2535,7 @@ WITH per AS (
 ),
 tot AS (SELECT sum(n_g) AS n, count(*) AS g FROM per)
 SELECT group_value, n_g,
-       (n_g * g * 10000) // n - 10000 AS dev_bp
+       CAST((n_g * g * 10000) // n - 10000 AS BIGINT) AS dev_bp
 FROM per, tot
 ORDER BY group_value
 """
@@ -4363,12 +4364,12 @@ _COMPACTION_PLAN_SQL = f"""
 WITH inv AS ({_COMPACTION_INV_SQL})
 SELECT part_dir, file_name, file_size,
        CASE WHEN file_size < 131072 THEN 'merge' ELSE 'keep' END AS action,
-       CASE WHEN file_size < 131072 THEN
+       CAST(CASE WHEN file_size < 131072 THEN
          coalesce(sum(CASE WHEN file_size < 131072 THEN file_size ELSE 0 END)
                     OVER (PARTITION BY part_dir ORDER BY file_name
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          // 262144
-       END AS group_id
+       END AS BIGINT) AS group_id
 FROM inv
 """
 
@@ -4376,11 +4377,12 @@ _COMPACTION_SUMMARY_SQL = f"""
 WITH plan AS ({_COMPACTION_PLAN_SQL})
 SELECT part_dir,
        count(*) AS n_files,
-       sum(CASE WHEN action = 'merge' THEN 1 ELSE 0 END) AS n_small,
-       sum(CASE WHEN action = 'merge' THEN file_size ELSE 0 END) AS bytes_small,
+       CAST(sum(CASE WHEN action = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+       CAST(sum(CASE WHEN action = 'merge' THEN file_size ELSE 0 END) AS BIGINT)
+         AS bytes_small,
        count(DISTINCT group_id) AS n_groups,
-       count(*) - sum(CASE WHEN action = 'merge' THEN 1 ELSE 0 END)
-         + count(DISTINCT group_id) AS n_files_after
+       CAST(count(*) - sum(CASE WHEN action = 'merge' THEN 1 ELSE 0 END)
+         + count(DISTINCT group_id) AS BIGINT) AS n_files_after
 FROM plan
 GROUP BY part_dir
 """
@@ -4564,9 +4566,9 @@ base AS (
   GROUP BY p.i
 )
 SELECT c.pos, c.n_cur, b.n_base,
-       c.sum_q // c.n_cur AS mean_cur_q,
-       b.sum_q // b.n_base AS mean_base_q,
-       c.sum_q // c.n_cur - b.sum_q // b.n_base AS delta_q,
+       CAST(c.sum_q // c.n_cur AS BIGINT) AS mean_cur_q,
+       CAST(b.sum_q // b.n_base AS BIGINT) AS mean_base_q,
+       CAST(c.sum_q // c.n_cur - b.sum_q // b.n_base AS BIGINT) AS delta_q,
        abs(c.sum_q // c.n_cur - b.sum_q // b.n_base) > 20000 AS drifted
 FROM cur c JOIN base b ON b.pos = c.pos
 """
@@ -4618,10 +4620,12 @@ head AS (
 ),
 shared AS (
   SELECT token, cnt_cur, cnt_base,
-         CASE WHEN (SELECT tc FROM tot) > 0
-              THEN cnt_cur * 1000000 // (SELECT tc FROM tot) END AS share_cur_ppm,
-         CASE WHEN (SELECT tb FROM tot) > 0
-              THEN cnt_base * 1000000 // (SELECT tb FROM tot) END AS share_base_ppm
+         CAST(CASE WHEN (SELECT tc FROM tot) > 0
+              THEN cnt_cur * 1000000 // (SELECT tc FROM tot) END AS BIGINT)
+           AS share_cur_ppm,
+         CAST(CASE WHEN (SELECT tb FROM tot) > 0
+              THEN cnt_base * 1000000 // (SELECT tb FROM tot) END AS BIGINT)
+           AS share_base_ppm
   FROM head
 )
 SELECT token, cnt_cur, cnt_base, share_cur_ppm, share_base_ppm,
@@ -4776,11 +4780,11 @@ g AS (
 t AS (SELECT sum(n) AS total FROM g),
 e(digit, benford_ppm) AS (VALUES {values})
 SELECT g.digit, g.n,
-       (g.n * 1000000 + (SELECT total FROM t) // 2) // (SELECT total FROM t)
-           AS share_ppm,
+       CAST((g.n * 1000000 + (SELECT total FROM t) // 2) // (SELECT total FROM t)
+           AS BIGINT) AS share_ppm,
        CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
-       abs((g.n * 1000000 + (SELECT total FROM t) // 2) // (SELECT total FROM t)
-           - e.benford_ppm) AS delta_ppm
+       CAST(abs((g.n * 1000000 + (SELECT total FROM t) // 2) // (SELECT total FROM t)
+           - e.benford_ppm) AS BIGINT) AS delta_ppm
 FROM g JOIN e USING (digit)
 ORDER BY digit
 """
