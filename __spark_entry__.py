@@ -73,14 +73,37 @@ def _clips_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_rules(result.violations, k=None)
 
 
-# Queries the driver has already hash-verified green in CORRECTNESS_r01/r02.
+# Queries the driver has already hash-verified green in CORRECTNESS_r01-r03.
 # If the driver samples a subset of the registry, dict order decides what it
 # sees — so never-yet-driver-checked entries go FIRST (registry order), the
 # already-green ones after, and the rows-only-by-design entries (no DuckDB
 # analog possible: synthetic clip table with real float PCM decode; MLlib
 # KMeans quantizer) LAST, since rows-only is already their max achievable
-# check and r01 recorded it. COVERAGE.md is the per-query ledger.
+# check and r01 recorded it. COVERAGE.md is the per-query ledger. The 5
+# r03 hash-reds (HUGEINT oracle outputs, cast to BIGINT since) are left out
+# so the driver re-samples them first.
 _DRIVER_GREEN: frozenset[str] = frozenset({
+    # r03 green (CORRECTNESS_r03.json):
+    "audio_batching_documents", "audio_curation_documents",
+    "audio_fingerprint_documents", "audio_windows_documents",
+    "bigram_coherence_documents", "binaryfile_ingest_documents",
+    "bloom_anti_orders", "bloom_semi_lineitem", "chunk_documents_corpus",
+    "clips_validate_batched", "cluster_split_documents",
+    "corpus_shuffle_documents", "daily_volume_anomaly_events",
+    "decontamination_documents", "events_hourly_rolling", "func_dep_lineitem",
+    "fuzzy_decontamination_documents", "heavy_hitters_orders",
+    "histogram_totalprice_orders", "iqr_outliers_events", "ivf_ann_embeddings",
+    "jsonl_ingest_documents", "mix_documents", "pack_stats_documents",
+    "pii_scan_documents", "provenance_documents", "quantile_drift_lineitem",
+    "repetition_stats_documents", "sequence_gaps_orders",
+    "sequence_packing_documents", "skew_report_orders", "snapshot_diff_orders",
+    "span_dedup_documents", "speech_rate_documents",
+    "stratified_sample_documents", "summary_regression_orders",
+    "temperature_mix_documents", "token_budget_documents",
+    "top_bigrams_documents", "top_terms_documents", "unigram_rarity_documents",
+    "upsample_documents", "violation_examples_orders",
+    "voiced_segments_documents", "weighted_sample_documents",
+    # r01/r02 green:
     "ann_cosine_topk", "asof_latest_order_per_event", "audio_stats_documents",
     "clips_validate_portable", "column_stats_orders",
     "corpus_curation_documents", "date_parse_orders",

