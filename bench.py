@@ -166,9 +166,10 @@ BENCH_QUERIES = [
 
 # Calibration reference: calibration_score() measured on the host/boot that
 # recorded the round-3 BASELINE.md numbers. value_calib_normalized =
-# value * (calib_sec / CALIB_REF_SEC) rescales a headline onto that boot's
-# speed so cross-boot comparisons (this VM re-clocks ~1.4x across reboots,
-# see CLAUDE.md) are arithmetic instead of prose.
+# value * (CALIB_REF_SEC / calib_sec) rescales a headline onto that boot's
+# speed (a slower boot has calib_sec > ref, so its wall time is scaled DOWN
+# toward the reference boot) so cross-boot comparisons (this VM re-clocks
+# ~1.4x across reboots, see CLAUDE.md) are arithmetic instead of prose.
 CALIB_REF_SEC = 0.42
 
 

@@ -18,6 +18,14 @@ from pyspark.sql import functions as F
 
 from data_check_spark.schemas import CHECKPOINT_SCHEMA
 
+# Sentinel "partition" recording that the owner batch (batch 0 of a
+# partition-batched run) finished its run-level duties: global-grain rules,
+# NULL-partition rows, and run-level synthetics. A relaunched batch 0 that
+# sees this marker runs as a plain member — without it, every relaunch after
+# a mid-job crash re-emitted those rows under a new run_id and the union
+# across attempts stopped being multiset-identical to the single run.
+OWNER_SENTINEL = "__batch_globals__"
+
 
 def write_checkpoint(verdicts: DataFrame, checkpoint_dir: str, run_id: str) -> None:
     """Append per-partition completion rows for this run.
@@ -47,6 +55,32 @@ def mark_failed(spark: SparkSession, checkpoint_dir: str, partition: str, run_id
     spark.createDataFrame(row, CHECKPOINT_SCHEMA).write.mode("append").parquet(checkpoint_dir)
 
 
+def mark_owner_complete(spark: SparkSession, checkpoint_dir: str, run_id: str) -> None:
+    """Append the owner-completion sentinel row (call AFTER the owner
+    batch's outputs are durably written — the marker asserts those rows
+    exist, so it must never precede them)."""
+    import datetime as _dt
+
+    now = _dt.datetime.now(_dt.timezone.utc)
+    row = [(OWNER_SENTINEL, "done", None, None, None, run_id, now)]
+    spark.createDataFrame(row, CHECKPOINT_SCHEMA).write.mode("append").parquet(checkpoint_dir)
+
+
+def owner_complete(spark: SparkSession, checkpoint_dir: str) -> bool:
+    """True iff a previous attempt's owner batch completed (sentinel row
+    present with latest status done)."""
+    cp = read_checkpoint(spark, checkpoint_dir)
+    if cp is None:
+        return False
+    latest = (
+        cp.filter(F.col("partition") == OWNER_SENTINEL)
+        .groupBy("partition")
+        .agg(F.max_by("status", F.col("completed_at")).alias("status"))
+        .filter(F.col("status") == "done")
+    )
+    return bool(latest.take(1))
+
+
 def read_checkpoint(spark: SparkSession, checkpoint_dir: str) -> DataFrame | None:
     """None = no checkpoint yet (first run). A driver-local isdir() probe
     would wrongly report hdfs://-/s3a://-style dirs as missing on a cluster,
@@ -71,7 +105,10 @@ def completed_partitions(spark: SparkSession, checkpoint_dir: str) -> list[str]:
     if cp is None:
         return []
     latest = (
-        cp.filter(F.col("partition").isNotNull())
+        cp.filter(
+            F.col("partition").isNotNull()
+            & (F.col("partition") != OWNER_SENTINEL)
+        )
         .groupBy("partition")
         .agg(F.max_by("status", F.col("completed_at")).alias("status"))
         .filter(F.col("status") == "done")

@@ -252,6 +252,7 @@ def run_validation(
     profile_columns: list[str] | None = None,
     exclude_partitions: list[str] | None = None,
     batch_member: bool = False,
+    defer_checkpoint: bool = False,
 ) -> ValidationResult:
     """Run the full catalog; returns lazily-built violations + materialized
     verdicts (the verdict aggregation is the single action that executes the
@@ -272,7 +273,14 @@ def run_validation(
     the owner batch runs each global-grain rule ONCE over the full key
     set and emits its rows for every partition, instead of every batch
     re-scanning the full table (K× full key scans was the dominant
-    batching overhead at scale)."""
+    batching overhead at scale). Callers composing batches manually should
+    consult ``checkpoint.owner_complete`` on relaunch and pass
+    ``batch_member=True`` for batch 0 once its first attempt completed —
+    otherwise the relaunch re-emits run-level rows (validate_job does this).
+    ``defer_checkpoint``: skip the engine's own checkpoint append so the
+    caller can write it AFTER its output writes are durable — a crash
+    between a checkpoint append and the output write would otherwise mark
+    partitions done whose violations never landed anywhere."""
     dims = dims or {}
     if catalog is None:
         from data_check_spark.rules.catalog_audio import audio_catalog
@@ -421,9 +429,13 @@ def run_validation(
                     spark._jvm.java.util.regex.Pattern.compile(pat)
             candidates.append((r, compile_rule_many(r, run_ts)))
         except Exception as e:  # noqa: BLE001 — degrade, don't die
-            synthetic.append(
-                (f"RULE_ERROR_{r.rule_id}", "N/A", None, str(e).splitlines()[0][:200])
-            )
+            if not batch_member:
+                # Analysis errors are plan-time, identical in every batch:
+                # run-level findings the owner reports once (members still
+                # skip the broken rule, they just don't re-report it).
+                synthetic.append(
+                    (f"RULE_ERROR_{r.rule_id}", "N/A", None, str(e).splitlines()[0][:200])
+                )
     # analysis-only probe (resolves columns/types, runs no job): ONE batched
     # analysis on the healthy path; only when something is broken fall back
     # to per-rule probes to attribute the failure — a per-rule .schema costs
@@ -449,9 +461,10 @@ def run_validation(
                     prepared.select(c.predicate.cast("boolean"), c.observed).schema
                 compiled.extend(rule_compiled)
             except Exception as e:  # noqa: BLE001 — degrade, don't die
-                synthetic.append(
-                    (f"RULE_ERROR_{r.rule_id}", "N/A", None, str(e).splitlines()[0][:200])
-                )
+                if not batch_member:  # run-level finding: batch 0 owns
+                    synthetic.append(
+                        (f"RULE_ERROR_{r.rule_id}", "N/A", None, str(e).splitlines()[0][:200])
+                    )
     if compiled:
         parts.append(apply_row_rules(prepared, compiled, partition_col=partition_col))
 
@@ -561,14 +574,16 @@ def run_validation(
         )
         dups = None if rule.gate else shared_dups.get(rule.column or "clip_id")
         _t = time.monotonic()
+        if global_grain and batch_member:
+            # Member batches never run global-grain rules: the owner batch
+            # scans the full key set ONCE and emits every partition's rows
+            # (K× full-table key scans was the dominant batching overhead
+            # at scale). Hoisted OUT of the `done` check: a member with no
+            # exclusions and an empty checkpoint must still skip, or it
+            # double-reports against the owner.
+            continue
         try:
             if done and global_grain:
-                if batch_member:
-                    # Member batches never run global-grain rules: the
-                    # owner batch scans the full key set ONCE and emits
-                    # every partition's rows (K× full-table key scans was
-                    # the dominant batching overhead at scale).
-                    continue
                 # Full-table key scan (column-pruned; never touches bytes).
                 v = _dispatch_set_rule(rule, clips_full, dims, partition_col=partition_col,
                                        shared_dups=dups, run_ts=run_ts)
@@ -589,9 +604,10 @@ def run_validation(
                 parts.append(_dispatch_set_rule(rule, prepared, dims, partition_col=partition_col,
                                                 shared_dups=dups, run_ts=run_ts))
         except Exception as e:  # noqa: BLE001 — same per-rule degradation
-            synthetic.append(
-                (f"RULE_ERROR_{rule.rule_id}", "N/A", None, str(e).splitlines()[0][:200])
-            )
+            if not batch_member:  # run-level finding: batch 0 owns
+                synthetic.append(
+                    (f"RULE_ERROR_{rule.rule_id}", "N/A", None, str(e).splitlines()[0][:200])
+                )
         _mark(f"dispatch {rule.rule_id}", _t)
 
     if synthetic:
@@ -660,7 +676,7 @@ def run_validation(
         )
         violations = violations.unionByName(empty_row)
 
-    if checkpoint_dir:
+    if checkpoint_dir and not defer_checkpoint:
         cp.write_checkpoint(verdicts, checkpoint_dir, run_id)
 
     # Optional per-partition column stats (north-rule "column stats"

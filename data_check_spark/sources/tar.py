@@ -97,10 +97,18 @@ def read_tar_shards(
                     order: list[str] = []
                     bad: set[str] = set()
                     for m in tf:
-                        name = os.path.basename(m.name)
-                        if not m.isfile() or "." not in name:
+                        # WebDataset keys include the directory path: a/x.txt
+                        # and b/x.txt are DIFFERENT samples (keying on the
+                        # basename alone silently merged them last-write-wins).
+                        full = m.name
+                        while full.startswith("./"):
+                            full = full[2:]
+                        base = os.path.basename(full)
+                        if not m.isfile() or "." not in base:
                             continue
-                        key, sfx = name.split(".", 1)
+                        stem, sfx = base.split(".", 1)
+                        dirpart = os.path.dirname(full)
+                        key = f"{dirpart}/{stem}" if dirpart else stem
                         col = suffix_to_col.get(sfx)
                         if col is None:
                             continue

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -164,6 +165,16 @@ def main(argv: list[str] | None = None) -> int:
         sizes = _partition_sizes(clips, args.partition_col)
         chunks = [parts for parts, _rows in
                   _lpt_chunks(sizes, args.partition_batches)]
+        from data_check_spark import checkpoint as cp
+
+        # Relaunch detection: once a previous attempt's batch 0 completed,
+        # a re-run batch 0 must behave like a member (skip run-level
+        # synthetics, NULL-partition rows, global-grain emission) or the
+        # cross-attempt union double-reports exactly those rows.
+        owner_done = cp.owner_complete(spark, args.checkpoint_dir)
+        # Test seam: crash (raise) after finishing batch K, simulating a
+        # mid-job failure between batches for the relaunch-union test.
+        crash_after = os.environ.get("DATA_CHECK_TEST_CRASH_AFTER_BATCH")
         batch_runs = []
         for i, chunk in enumerate(chunks):
             res = run_validation(
@@ -177,7 +188,11 @@ def main(argv: list[str] | None = None) -> int:
                 # batch 0 is the global-state owner (global-grain rules,
                 # NULL-partition rows, run-level synthetics); members skip
                 # all of that and validate only their own partitions.
-                batch_member=(i > 0),
+                batch_member=(i > 0) or owner_done,
+                # Checkpoint is written below, AFTER the output appends are
+                # durable — the done-marker must never precede the rows it
+                # attests to.
+                defer_checkpoint=True,
             )
             (res.violations.withColumn("run_id", F.lit(res.run_id))
                 .write.mode("append").partitionBy("run_id")
@@ -185,10 +200,15 @@ def main(argv: list[str] | None = None) -> int:
             (res.verdicts.withColumn("run_id", F.lit(res.run_id))
                 .write.mode("append").partitionBy("run_id")
                 .parquet(f"{args.output_dir}/verdicts"))
+            cp.write_checkpoint(res.verdicts, args.checkpoint_dir, res.run_id)
+            if i == 0 and not owner_done:
+                cp.mark_owner_complete(spark, args.checkpoint_dir, res.run_id)
             s = res.summary()
             batch_runs.append({"batch": i, "run_id": res.run_id,
                                "rows_scanned": res.rows_scanned,
                                "violations": s["total"]})
+            if crash_after is not None and i == int(crash_after):
+                raise RuntimeError(f"injected crash after batch {i}")
         total = sum(b["violations"] for b in batch_runs)
         print(json.dumps({
             "batches": batch_runs,
@@ -205,6 +225,10 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
         reliable_cache=args.reliable_cache,
+        # Output-then-checkpoint ordering (below): a crash between the two
+        # must leave partitions UNmarked (re-validated on relaunch) rather
+        # than marked-done with no rows written anywhere.
+        defer_checkpoint=bool(args.checkpoint_dir),
     )
     # Partitioned-by-run append: a resumed relaunch into the same output dir
     # adds its (partial) results under a new run_id instead of clobbering the
@@ -215,6 +239,10 @@ def main(argv: list[str] | None = None) -> int:
     (res.verdicts.withColumn("run_id", F.lit(res.run_id))
         .write.mode("append").partitionBy("run_id")
         .parquet(f"{args.output_dir}/verdicts"))
+    if args.checkpoint_dir:
+        from data_check_spark import checkpoint as cp
+
+        cp.write_checkpoint(res.verdicts, args.checkpoint_dir, res.run_id)
     summary = res.summary()
     print(json.dumps({
         "run_id": res.run_id,

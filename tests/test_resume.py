@@ -385,3 +385,48 @@ def test_validate_job_dry_run_plan(spark, batch_data, tmp_path, capsys):
     import os as _os
 
     assert not _os.path.exists(str(tmp_path / "ck"))
+
+
+def test_batched_relaunch_union_multiset(spark, batch_data, tmp_path, monkeypatch):
+    """Crash-recovery exactly-once: job crashes after the owner batch, the
+    relaunch completes the run, and the union of BOTH attempts' outputs is
+    multiset-identical to a single run — the relaunched batch 0 must not
+    re-emit run-level synthetics, NULL-partition rows, or global-grain rows
+    (it sees the owner-completion sentinel and runs as a member)."""
+    from collections import Counter
+
+    from jobs.validate_job import main as job_main
+    from data_check_spark.rules.catalog_audio import audio_catalog
+
+    clips, tr = batch_data
+    inp, trp = str(tmp_path / "clips"), str(tmp_path / "tr")
+    clips.write.parquet(inp)
+    tr.write.parquet(trp)
+
+    want = _vset(run_validation(
+        spark, spark.read.parquet(inp), {"transcripts": spark.read.parquet(trp)},
+        audio_catalog(bytes_cap_ms=100), run_ts="2026-01-01 00:00:00",
+    ).violations)
+
+    args = [
+        "--input", inp, "--transcripts", trp,
+        "--output-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--partition-batches", "3",
+        "--run-ts", "2026-01-01 00:00:00",
+    ]
+    monkeypatch.setenv("DATA_CHECK_TEST_CRASH_AFTER_BATCH", "0")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        job_main(list(args))
+    monkeypatch.delenv("DATA_CHECK_TEST_CRASH_AFTER_BATCH")
+    assert job_main(list(args)) == 0
+
+    out = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    got = Counter(
+        (r["rule_id"], r["clip_id"], r["partition"], r["observed"])
+        for r in out.collect()
+    )
+    assert got == want
+    # attempt 1's batch 0 + the relaunch together scan each row exactly once
+    verd = spark.read.parquet(str(tmp_path / "out" / "verdicts"))
+    assert verd.agg(F.sum("rows_scanned")).collect()[0][0] == clips.count()

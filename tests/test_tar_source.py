@@ -147,3 +147,29 @@ def test_plan_no_shuffle_single_python_stage(spark, exported):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_source_keys_include_directory(spark, tmp_path):
+    """Members in different directories with the same basename are distinct
+    samples (WebDataset keys include the path), not a silent last-write-wins
+    merge."""
+    import io
+    import tarfile
+
+    p = tmp_path / "shards"
+    p.mkdir()
+    with tarfile.open(p / "s0.tar", "w") as tf:
+        for member, payload in [
+            ("a/x.txt", b"from-a"),
+            ("b/x.txt", b"from-b"),
+            ("./c/x.txt", b"from-c"),
+        ]:
+            info = tarfile.TarInfo(member)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+    from data_check_spark.sources.tar import read_tar_shards
+
+    back = read_tar_shards(spark, str(p), payloads={"txt": "text"})
+    rows = {r["key"]: r["text"] for r in back.collect()}
+    assert rows == {"a/x": "from-a", "b/x": "from-b", "c/x": "from-c"}

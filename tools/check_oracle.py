@@ -77,7 +77,13 @@ def main():
         if name not in oracles:
             print(f"{name:34s} rows-only  spark={len(srows)}")
             continue
-        cur = con.execute(oracles[name])
+        # A few oracles (parquet_metadata) embed a literal file path because
+        # DuckDB's table functions can't read from a view; the driver always
+        # runs them verbatim at sf0.01, but THIS harness may run at any
+        # scale — retarget the literal so both engines read identical files
+        # instead of comparing footers across scales.
+        osql = oracles[name].replace("/root/testdata/sf0.01", sf_dir.rstrip("/"))
+        cur = con.execute(osql)
         ocols = [d[0] for d in cur.description]
         orows = cur.fetchall()
         sc, sr = norm_rows(scols, [tuple(r) for r in srows])
