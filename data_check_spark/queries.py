@@ -6478,6 +6478,10 @@ def rule_suggestions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     %.2f) so the value hash is stable cross-engine."""
     from data_check_spark.rules.suggest import suggest_rules
 
+    # No _docs_parallel-style re-split here: at 150k narrow rows the
+    # repartition shuffle (with or without localCheckpoint) measured SLOWER
+    # than the single-split aggregation it parallelizes (2.3-2.7s vs 2.0s
+    # interleaved A/B); production tables arrive in many splits anyway.
     orders = _t(spark, sf_dir, "orders")
     cat = suggest_rules(orders)
 

@@ -18,14 +18,25 @@ Heuristics (all evidence-based, each rule true of the profiled data):
   mask (profile.format_masks), converted to an anchored regex
   (A→[A-Z], a→[a-z], 9→[0-9], punctuation literal).
 
-Cost: three single-scan passes (profile; native min/max + enum sets; mask
-histogram over the format candidates) — a design-time tool, not a per-run
-one. Every pass is a map-side-combined aggregate; nothing collects row data
-except the bounded enum sets (collected only for columns the profile
-already proved have <= max_set_size distinct values). At 100 TB, run it on
-a sample or a column subset: the exact multi-count_distinct profile plans
-an Expand (rows x columns before the aggregate) — the price of the
-evidence-exact UNIQUE/SET decisions this tool exists to make.
+Cost: nominate-then-verify. The profile pass uses HLL++ distinct counts
+(``column_profile(approx=True)`` — a plain partial+final aggregate; the
+exact multi-``count_distinct`` path plans an Expand that multiplies every
+row by the column count BEFORE the shuffle, which at 100 TB is a second
+full-table aggregation storm). The approximate counts only NOMINATE:
+
+- UNIQUE nominees (approx distinct near the row count) are re-verified with
+  one exact single-column ``count_distinct`` each (no Expand — nominees are
+  rare, and each job scans one column);
+- SET candidacy is decided by the EXACT ``collect_set`` size (HLL only
+  prunes obviously-high-cardinality columns from the collect);
+- every other decision (not-null, range, format) never depended on distinct
+  counts.
+
+So the emitted catalog is identical to the exact path's on every input —
+the DuckDB oracle replays the decisions with exact SQL — while the scan
+cost drops from Expand×columns to two cheap aggregates. ``exact=True``
+restores the single-pass exact profile (useful when a table has MANY
+near-unique columns and per-nominee verification jobs would add up).
 """
 
 from __future__ import annotations
@@ -59,26 +70,59 @@ def suggest_rules(
     *,
     columns: list[str] | None = None,
     max_set_size: int = 12,
+    exact: bool = False,
 ) -> RuleCatalog:
     """Propose a catalog the current data satisfies (see module docstring)."""
     from data_check_spark.operators.profile import column_profile, format_masks
 
     dtypes = dict(df.dtypes)
     cols = columns or [c for c, t in df.dtypes if t != "binary"]
-    prof = {r["col_name"]: r for r in column_profile(df, cols).collect()}
+    prof = {
+        r["col_name"]: r
+        for r in column_profile(df, cols, approx=not exact, rsd=0.02).collect()
+    }
+
+    def _blanks(p) -> int:
+        return (p["n_nulls"] or 0) + (p["n_blank"] or 0)
+
+    # UNIQUE nominees: HLL at rsd=0.02 puts a truly-unique column's estimate
+    # within a few percent of n_rows — 0.8 can't miss one. Nominees are
+    # re-verified with exact count_distinct fused into the extremes
+    # aggregate below (nominees are rare — usually one key column — so the
+    # Expand this plans multiplies rows by ~2, not by the column count).
+    uniq_nominees = [
+        c for c in cols
+        if not exact
+        and prof[c]["n_rows"]
+        and _blanks(prof[c]) == 0
+        and (prof[c]["n_distinct"] or 0) >= 0.8 * prof[c]["n_rows"]
+    ]
+    exact_distinct: dict[str, int] = (
+        {c: prof[c]["n_distinct"] for c in cols} if exact else {}
+    )
 
     numeric = [c for c in cols if dtypes[c].startswith(_NUMERIC_PREFIXES)]
-    enum_cand = [
+    # SET candidacy is decided by the EXACT collect_set below; the approx
+    # count only keeps unbounded collects off high-cardinality columns (a
+    # generous 4x margin — HLL cannot inflate <=12 distinct past it).
+    set_nominees = [
         c for c in cols
         if dtypes[c] == "string"
-        and 1 <= (prof[c]["n_distinct"] or 0) <= max_set_size
+        and 1 <= (prof[c]["n_distinct"] or 0) <= max(4 * max_set_size, 64)
     ]
     aggs = []
     for c in numeric:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
-    for c in enum_cand:
+    for c in set_nominees:
         aggs.append(F.collect_set(c).alias(f"_set_{c}"))
+    for c in uniq_nominees:
+        aggs.append(F.count_distinct(c).alias(f"_nd_{c}"))
     extremes = df.agg(*aggs).collect()[0] if aggs else {}
+    for c in uniq_nominees:
+        exact_distinct[c] = extremes[f"_nd_{c}"]
+    enum_cand = [
+        c for c in set_nominees if 1 <= len(extremes[f"_set_{c}"]) <= max_set_size
+    ]
 
     fmt_cand = [c for c in cols if dtypes[c] == "string" and c not in enum_cand]
     masks: dict[str, list] = {}
@@ -89,13 +133,13 @@ def suggest_rules(
     rules: list[Rule] = []
     for c in cols:
         p = prof[c]
-        n_rows, n_nulls = p["n_rows"], p["n_nulls"]
-        blanks = (n_nulls or 0) + (p["n_blank"] or 0)
+        n_rows = p["n_rows"]
+        blanks = _blanks(p)
         uc = c.upper()
         if n_rows and blanks == 0:
             rules.append(Rule(f"{uc}_NOT_NULL", "not_null", c,
                               name=f"{c} had no blank values when profiled"))
-        if n_rows and blanks == 0 and p["n_distinct"] == n_rows:
+        if n_rows and blanks == 0 and exact_distinct.get(c) == n_rows:
             rules.append(Rule(f"{uc}_UNIQUE", "unique", c,
                               name=f"{c} was a candidate key when profiled"))
         if c in numeric and p["n_distinct"]:
