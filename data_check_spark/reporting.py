@@ -120,6 +120,14 @@ def export_csv(df: DataFrame, path: str, *, single_file: bool = True) -> None:
                     while chunk := src.read(1 << 20):
                         dst.write(chunk)
             os.replace(tmp, part)
+            # The BOM rewrite invalidates Hadoop's checksum sidecar; leaving
+            # it makes Spark itself unable to re-read the exported file
+            # (ChecksumException) — delete it so re-ingest round-trips.
+            crc = os.path.join(
+                os.path.dirname(part), "." + os.path.basename(part) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
 
 
 def summary_df(violations: DataFrame, *, series_col: str = "series") -> DataFrame:
@@ -205,3 +213,132 @@ def examples_per_rule(
         violations.withColumn("example_rank", F.row_number().over(w))
         .where(F.col("example_rank") <= n)
     )
+
+
+def _xlsx_col_ref(idx: int) -> str:
+    """Zero-based column index -> Excel letters ('BC' for 54)."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(65 + rem) + out
+    return out
+
+
+def export_xlsx(
+    df: DataFrame,
+    path: str,
+    *,
+    sheet_name: str = "result",
+    max_rows: int = 1_048_575,
+) -> None:
+    """Result export to a real .xlsx workbook (reference: the primary result
+    export is DataFrame.to_excel, data_check.py:1249-1264; export_csv's
+    BOM-CSV is the scale-path sibling). Stdlib-only writer — zipfile + hand
+    rendered OOXML, the write-side twin of sources/xlsx.py — emitting one
+    sheet with a header row; strings as inline-string cells (no shared
+    strings part), numerics as native number cells, None as omitted cells.
+
+    Like the reference's to_excel this is a DRIVER-side write of a bounded
+    REPORT frame (summaries, top-k, examples_per_rule output): it refuses
+    more than ``max_rows`` data rows (the xlsx format's own sheet limit)
+    instead of truncating silently — route bigger results through
+    export_csv/parquet."""
+    from xml.sax.saxutils import escape as _xml_escape
+    import zipfile
+
+    from pyspark.sql.types import (
+        ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType,
+        ShortType,
+    )
+
+    numeric = (ByteType, ShortType, IntegerType, LongType, FloatType,
+               DoubleType, DecimalType)
+    is_num = [isinstance(f.dataType, numeric) for f in df.schema.fields]
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"export_xlsx refuses >{max_rows} rows (xlsx sheet limit); "
+            "use export_csv or parquet for full-size results"
+        )
+
+    def _cell(ref: str, v, num: bool) -> str:
+        if v is None:
+            return ""
+        if num and not (isinstance(v, float) and (v != v or v in (float("inf"), float("-inf")))):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if isinstance(v, bool):
+            v = "true" if v else "false"
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{_xml_escape(str(v))}</t></is></c>"
+        )
+
+    def _row(r_idx: int, values, nums) -> str:
+        cells = "".join(
+            _cell(f"{_xlsx_col_ref(c)}{r_idx}", v, n)
+            for c, (v, n) in enumerate(zip(values, nums))
+        )
+        return f'<row r="{r_idx}">{cells}</row>'
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{pkg_ns}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{ns}" xmlns:r="{rel_ns}"><sheets>'
+        f'<sheet name="{_xml_escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{pkg_ns}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        # Stream the sheet part: header row + data rows, never one giant str.
+        with zf.open("xl/worksheets/sheet1.xml", "w") as out:
+            out.write(
+                b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            )
+            out.write(f'<worksheet xmlns="{ns}"><sheetData>'.encode())
+            out.write(
+                _row(1, df.columns, [False] * len(df.columns)).encode()
+            )
+            for i, r in enumerate(rows, start=2):
+                out.write(_row(i, list(r), is_num).encode())
+            out.write(b"</sheetData></worksheet>")
+
+
+def export_result(df: DataFrame, path: str, **kwargs) -> None:
+    """Extension-dispatched result export mirroring the reference's save
+    dialog (data_check.py:1256-1261: ``.csv`` → BOM-CSV so Excel opens
+    Japanese text correctly, ``.xlsx`` → Excel workbook)."""
+    if path.endswith(".xlsx"):
+        export_xlsx(df, path, **kwargs)
+    elif path.endswith(".csv"):
+        # export_csv writes a directory of part files; the reference writes
+        # ONE file — single_file honours that contract.
+        export_csv(df, path, single_file=True, **kwargs)
+    else:
+        raise ValueError(f"unsupported result extension: {path!r} (.csv/.xlsx)")

@@ -521,3 +521,44 @@ def test_quantization_plan_zero_dim_and_bits_guard(spark):
     assert out[0]["absmax_q"] == 0 and out[0]["err_ppm"] is None
     with _pytest.raises(ValueError):
         quantization_plan(df, bits=1)
+
+
+def test_ivf_fast_agrees_with_portable_on_registered_probes(spark):
+    """Value-pins the rows-only registry entry ivf_fast_ann_embeddings: on
+    the EXACT probes the registered query uses (vec_id < 3, k=10, n_lists=8,
+    n_probe=6), the MLlib-KMeans fast path and the value-checked portable
+    quantizer must agree on >= 80% of each query's top-10 (both are
+    >=0.9-recall approximations of the same exact top-10), and the fast
+    path itself must hold recall@10 >= 0.9 vs brute force. This is the
+    strongest check available — the MLlib float iteration itself has no
+    DuckDB replay (similarity.py documents why)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        portable_ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id as q_id", "embedding as q_vec"
+    )
+
+    def by_query(df):
+        out = defaultdict(set)
+        for r in df.collect():
+            out[r["q_id"]].add(r["vec_id"])
+        return out
+
+    fast = by_query(ivf_ann_topk(emb, q, k=10, n_lists=8, n_probe=6))
+    portable = by_query(
+        portable_ivf_topk(emb, q, k=10, n_lists=8, n_probe=6, lloyd_iters=2)
+    )
+    exact = by_query(cosine_topk(emb, q, k=10))
+    assert set(fast) == set(exact) == set(portable)
+    for qid in exact:
+        assert len(fast[qid] & portable[qid]) >= 8, (qid, fast[qid], portable[qid])
+        assert len(fast[qid] & exact[qid]) >= 9, (qid, fast[qid], exact[qid])

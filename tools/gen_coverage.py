@@ -67,6 +67,23 @@ def main() -> None:
         else:
             status = "never"
         lines.append(f"| {name} | {oracle} | {status} | {harness} |\n")
+    lines.append(
+        "\n## Rows-only entries — why, and what pins them instead\n\n"
+        "- `ivf_fast_ann_embeddings` — PERMANENTLY rows-only: the MLlib\n"
+        "  KMeans coarse quantizer iterates in floating point inside the JVM\n"
+        "  and cannot be replayed in DuckDB (similarity.py documents the\n"
+        "  seam). Value backing:\n"
+        "  tests/test_similarity_ops.py::"
+        "test_ivf_fast_agrees_with_portable_on_registered_probes pins its\n"
+        "  top-10 ids on the registered probes against both the exact scan\n"
+        "  (recall@10 >= 0.9) and the oracle-green portable IVF (>= 8/10\n"
+        "  agreement per query).\n"
+        "- `clips_validate_full` / `clips_partition_verdicts` /\n"
+        "  `clips_rule_summary` — the synthetic clip table with real float\n"
+        "  PCM decode has no DuckDB analog; pinned by\n"
+        "  tests/test_golden_multiset.py (exact violation multiset) and the\n"
+        "  expected-violation sentinels (CLAUDE.md).\n"
+    )
     with open("/root/repo/COVERAGE.md", "w") as f:
         f.writelines(lines)
     print(f"COVERAGE.md regenerated: {len(lines) - 1} rows")
