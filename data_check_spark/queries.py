@@ -570,9 +570,18 @@ cand AS (
   WHERE a.s IN (SELECT s FROM rare)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+-- Exact intersections only over docs that appear in a candidate pair: the
+-- unrestricted shingle self-join materializes count^2 rows per COMMON
+-- shingle (the df cap above only prunes candidate GENERATION), which at
+-- sf0.1 spilled >60 GB of DuckDB temp. Near-dup docs are rare, so this
+-- mirrors the Spark operator's shape (dedup.py: candidates from the
+-- df-capped index, exact n_inter over candidate docs' full shingle sets)
+-- and leaves every emitted pair's n_inter unchanged.
+cdocs AS (SELECT id_a AS doc_id FROM cand UNION SELECT id_b AS doc_id FROM cand),
+shc AS (SELECT * FROM sh WHERE doc_id IN (SELECT doc_id FROM cdocs)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT c.id_a, c.id_b,
@@ -627,8 +636,11 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/graph.py) — an inherently iterative operator that still
 # gets full value-level oracle coverage.
 _DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS ({_NGRAM_SQL}),
-edges AS (
+-- pairs/edges MATERIALIZED: DuckDB inlines plain CTEs into every recursive
+-- iteration, so without the hint each walk step recomputed the ENTIRE
+-- n-gram pair pipeline (at sf0.1 that spilled 37+ GB of temp before dying).
+WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_SQL}),
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL
   SELECT id_b AS a, id_a AS b FROM pairs
@@ -3521,8 +3533,10 @@ def mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set) so a training doc's near-duplicate can never land in eval. DuckDB
 # recomputes components (recursive CTE) and the md5 side rule.
 _CLUSTER_SPLIT_SQL = f"""
-WITH RECURSIVE pairs AS ({_NGRAM_SQL}),
-edges AS (
+-- MATERIALIZED for the same reason as _DEDUP_CLUSTERS_SQL: plain CTEs are
+-- re-inlined into every recursive iteration.
+WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_SQL}),
+edges AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL
   SELECT id_b AS a, id_a AS b FROM pairs

@@ -59,6 +59,9 @@ def main():
     only = set(args)
     spark = get_spark("oracle_check", master="local[8]")
     con = duckdb.connect()
+    # Disk guard: a runaway oracle plan (e.g. an uncapped shingle self-join)
+    # must fail ITS query, not fill the VM's root disk for everyone.
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
