@@ -30,6 +30,11 @@ harness `tools/check_oracle.py`, and `queries()` orders them FIRST so a
 sampling driver picks them up next). Regenerate with
 `python tools/gen_coverage.py` whenever a CORRECTNESS file lands.
 
+Round-4 builder evidence (2026-08-21): the FULL registry (144 oracle-backed
++ 4 rows-only) value-checked green under `tools/check_oracle.py` at BOTH
+sf0.01 and sf0.1 — including the 5 round-3 hash-reds after their BIGINT
+casts and the n-gram/cluster oracles after the DuckDB-side scale fixes.
+
 | query | oracle | last driver-green | builder harness |
 |---|---|---|---|
 """
