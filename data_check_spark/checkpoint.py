@@ -27,20 +27,40 @@ from data_check_spark.schemas import CHECKPOINT_SCHEMA
 OWNER_SENTINEL = "__batch_globals__"
 
 
-def write_checkpoint(verdicts: DataFrame, checkpoint_dir: str, run_id: str) -> None:
+def write_checkpoint(
+    verdicts: DataFrame,
+    checkpoint_dir: str,
+    run_id: str,
+    *,
+    owner_sentinel: bool = False,
+) -> None:
     """Append per-partition completion rows for this run.
 
     "done" means the partition was fully validated (whether it passed or
-    not) — resume must not re-validate failing-but-processed partitions."""
+    not) — resume must not re-validate failing-but-processed partitions.
+
+    ``owner_sentinel``: union the owner-completion sentinel row into the
+    SAME append. Writing it as a second append would open a crash window
+    where batch 0's partitions are checkpointed but the sentinel is not —
+    the relaunch would then re-run batch 0 as owner and double-emit every
+    run-level and member-partition global-grain row."""
     rows = verdicts.select(
-        "partition",
+        F.col("partition").cast("string"),
         F.lit("done").alias("status"),
-        "rows_scanned",
-        "violations",
-        "wall_time_ms",
+        F.col("rows_scanned").cast("long"),
+        F.col("violations").cast("long"),
+        F.col("wall_time_ms").cast("long"),
         F.lit(run_id).alias("lineage"),
         F.current_timestamp().alias("completed_at"),
     )
+    if owner_sentinel:
+        spark = verdicts.sparkSession
+        sentinel = spark.createDataFrame(
+            [(OWNER_SENTINEL, "done", None, None, None, run_id)],
+            "partition string, status string, rows_scanned long, "
+            "violations long, wall_time_ms long, lineage string",
+        ).withColumn("completed_at", F.current_timestamp())
+        rows = rows.unionByName(sentinel)
     rows.write.mode("append").parquet(checkpoint_dir)
 
 
@@ -52,17 +72,6 @@ def mark_failed(spark: SparkSession, checkpoint_dir: str, partition: str, run_id
     # and lose the max_by(completed_at) ordering to an earlier 'done' row.
     now = _dt.datetime.now(_dt.timezone.utc)
     row = [(partition, "failed", None, None, None, run_id, now)]
-    spark.createDataFrame(row, CHECKPOINT_SCHEMA).write.mode("append").parquet(checkpoint_dir)
-
-
-def mark_owner_complete(spark: SparkSession, checkpoint_dir: str, run_id: str) -> None:
-    """Append the owner-completion sentinel row (call AFTER the owner
-    batch's outputs are durably written — the marker asserts those rows
-    exist, so it must never precede them)."""
-    import datetime as _dt
-
-    now = _dt.datetime.now(_dt.timezone.utc)
-    row = [(OWNER_SENTINEL, "done", None, None, None, run_id, now)]
     spark.createDataFrame(row, CHECKPOINT_SCHEMA).write.mode("append").parquet(checkpoint_dir)
 
 

@@ -280,7 +280,17 @@ def run_validation(
     ``defer_checkpoint``: skip the engine's own checkpoint append so the
     caller can write it AFTER its output writes are durable — a crash
     between a checkpoint append and the output write would otherwise mark
-    partitions done whose violations never landed anywhere."""
+    partitions done whose violations never landed anywhere.
+
+    Member-batch degradation caveat: members mirror the owner's per-rule
+    degradation (a rule that fails analysis is skipped) WITHOUT re-reporting
+    the RULE_ERROR/AUX_* synthetic — the owner's single emission records
+    it, keeping the batched union multiset-identical to a single run. The
+    flip side: if the environment changes BETWEEN a crash and its relaunch
+    (a dim becomes empty, a rule newly breaks), an owner-done relaunch runs
+    only members and the new failure is skipped without a synthetic row.
+    Batched runs assume a stable catalog/dims across attempts; after an
+    environment change, start a fresh checkpoint dir."""
     dims = dims or {}
     if catalog is None:
         from data_check_spark.rules.catalog_audio import audio_catalog
@@ -735,3 +745,94 @@ def run_series_validations(
     violations = reduce(DataFrame.unionByName, v_parts)
     verdicts = reduce(DataFrame.unionByName, d_parts)
     return violations, verdicts, results
+
+
+def reconcile_outputs(
+    spark: SparkSession,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    warning_ids: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exactly-once read view over validate_job's at-least-once appends.
+
+    The job writes outputs BEFORE the checkpoint (a crash between the two
+    must re-validate, never mark rows done that were never written), which
+    means a crash in that window leaves an ORPHAN attempt in the output dir:
+    committed violation/verdict rows under a run_id that was never
+    checkpointed, re-validated by the relaunch under a fresh run_id. This
+    reader reconciles by checkpoint lineage:
+
+    - valid run_ids = the ``lineage`` values of latest-done checkpoint rows
+      (each run_validation call appends its whole batch's rows + lineage in
+      ONE write, so run_id granularity is exact) — orphan attempts are
+      dropped wholesale;
+    - NULL-partition / run-level rows (never checkpointable by partition)
+      are taken from the owner-sentinel lineage when present (batched mode:
+      exactly one owner emission), else from the most recent lineage (plain
+      resume: the LAST attempt rescans all NULL rows, earlier attempts'
+      copies are superseded);
+    - verdicts are recomputed from the reconciled violations, so member
+      partitions whose only violations are global-grain rows (emitted by
+      the owner batch, invisible to their own batch) get the same
+      violation counts and pass/fail the single run would report.
+
+    Returns (violations, verdicts). ``warning_ids``: rules whose violations
+    do not fail a partition (pass the catalog's warning-severity ids —
+    engine parity requires the same severity tiering)."""
+    from data_check_spark import checkpoint as cp
+
+    cpdf = cp.read_checkpoint(spark, checkpoint_dir)
+    if cpdf is None:
+        raise ValueError(f"no checkpoint at {checkpoint_dir!r} — nothing to reconcile")
+    latest = (
+        cpdf.groupBy("partition")
+        .agg(
+            F.max_by(
+                F.struct("status", "lineage", "completed_at"), F.col("completed_at")
+            ).alias("w")
+        )
+        .select("partition", "w.status", "w.lineage", "w.completed_at")
+        .filter(F.col("status") == "done")
+    )
+    rows = latest.collect()  # bounded by the partition count by contract
+    valid = {r["lineage"] for r in rows}
+    sentinel = [r for r in rows if r["partition"] == cp.OWNER_SENTINEL]
+    if sentinel:
+        null_rid = sentinel[0]["lineage"]
+    else:
+        null_rid = max(rows, key=lambda r: r["completed_at"])["lineage"]
+
+    v = spark.read.parquet(f"{output_dir}/violations")
+    d = spark.read.parquet(f"{output_dir}/verdicts")
+    violations = v.filter(
+        (F.col("partition").isNotNull() & F.col("run_id").isin(sorted(valid)))
+        | (F.col("partition").isNull() & (F.col("run_id") == null_rid))
+    )
+
+    warning_ids = sorted(warning_ids or [])
+    is_error = (
+        ~F.col("rule_id").isin(warning_ids) if warning_ids else F.lit(True)
+    )
+    viol_per_part = (
+        violations.filter(F.col("partition").isNotNull())
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("_viols"),
+            F.sum(F.when(is_error, 1).otherwise(0)).alias("_errors"),
+        )
+    )
+    verdicts = (
+        d.filter(F.col("run_id").isin(sorted(valid)))
+        .select("partition", "rows_scanned", "wall_time_ms", "run_id")
+        .join(viol_per_part, "partition", "left")
+        .select(
+            "partition",
+            (F.coalesce(F.col("_errors"), F.lit(0)) == 0).alias("passed"),
+            "rows_scanned",
+            F.coalesce(F.col("_viols"), F.lit(0)).alias("violations"),
+            "wall_time_ms",
+            "run_id",
+        )
+    )
+    return violations, verdicts

@@ -244,13 +244,34 @@ def export_xlsx(
     more than ``max_rows`` data rows (the xlsx format's own sheet limit)
     instead of truncating silently — route bigger results through
     export_csv/parquet."""
-    from xml.sax.saxutils import escape as _xml_escape
+    import re as _re
     import zipfile
+    from xml.sax.saxutils import escape as _sax_escape
 
     from pyspark.sql.types import (
         ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType,
         ShortType,
     )
+
+    # Excel's own sheet-name rules, enforced up front: a violating name
+    # yields a workbook Excel refuses or silently "repairs".
+    if not 1 <= len(sheet_name) <= 31 or _re.search(r"[\[\]:*?/\\]", sheet_name):
+        raise ValueError(
+            f"invalid xlsx sheet name {sheet_name!r}: 1-31 chars, none of []:*?/\\"
+        )
+
+    # Control characters are illegal in XML 1.0 even escaped; OOXML's own
+    # convention (what openpyxl emits) is the _xHHHH_ escape. Literal
+    # sequences that LOOK like that escape must have their underscore
+    # escaped first or they would decode as the wrong character. Violation
+    # `observed` strings carry raw data bytes, so this path is live.
+    _ILLEGAL = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    _FAKE_ESC = _re.compile(r"_(?=x[0-9A-Fa-f]{4}_)")
+
+    def _xml_escape(s: str) -> str:
+        s = _FAKE_ESC.sub("_x005F_", s)
+        s = _ILLEGAL.sub(lambda m: f"_x{ord(m.group()):04X}_", s)
+        return _sax_escape(s)
 
     numeric = (ByteType, ShortType, IntegerType, LongType, FloatType,
                DoubleType, DecimalType)
@@ -330,15 +351,16 @@ def export_xlsx(
             out.write(b"</sheetData></worksheet>")
 
 
-def export_result(df: DataFrame, path: str, **kwargs) -> None:
+def export_result(df: DataFrame, path: str, *, sheet_name: str = "result") -> None:
     """Extension-dispatched result export mirroring the reference's save
     dialog (data_check.py:1256-1261: ``.csv`` → BOM-CSV so Excel opens
-    Japanese text correctly, ``.xlsx`` → Excel workbook)."""
+    Japanese text correctly, ``.xlsx`` → Excel workbook). ``sheet_name``
+    applies to the xlsx branch only (CSV has no sheets)."""
     if path.endswith(".xlsx"):
-        export_xlsx(df, path, **kwargs)
+        export_xlsx(df, path, sheet_name=sheet_name)
     elif path.endswith(".csv"):
         # export_csv writes a directory of part files; the reference writes
         # ONE file — single_file honours that contract.
-        export_csv(df, path, single_file=True, **kwargs)
+        export_csv(df, path, single_file=True)
     else:
         raise ValueError(f"unsupported result extension: {path!r} (.csv/.xlsx)")

@@ -261,15 +261,17 @@ def write_tar_shards(
             # underscore-prefixed column names, silently breaking lookups
             for rd in pdf.to_dict("records"):
                 key = rd[key_col]
-                if key is not None and "." in str(key):
-                    # WebDataset splits member names at the FIRST dot, so a
-                    # dotted key writes members no conforming reader (incl.
+                if key is not None and "." in str(key).rsplit("/", 1)[-1]:
+                    # WebDataset splits the BASENAME at its first dot, so a
+                    # dot there writes members no conforming reader (incl.
                     # sources/tar.py) can reassemble — fail loud at export
-                    # instead of shipping an ambiguous shard.
+                    # instead of shipping an ambiguous shard. Dots in
+                    # directory segments (v1.0/clip) are fine: readers key
+                    # on the full path and split only the basename.
                     raise ValueError(
-                        f"tar sample key {key!r} contains '.' — WebDataset "
-                        "keys must be dot-free (the first dot starts the "
-                        "suffix)"
+                        f"tar sample key {key!r} has '.' in its basename — "
+                        "WebDataset splits the basename at the first dot, "
+                        "so that segment must be dot-free"
                     )
                 s = int(rd[shard_col])
                 if state["tf"] is None or s != state["shard"]:

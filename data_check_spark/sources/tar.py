@@ -50,11 +50,13 @@ def read_tar_shards(
     a member keeps NULL in that column (the sink skips NULL payloads, so
     the round trip is exact).
 
-    Member names split at the FIRST dot (the public WebDataset key/suffix
-    convention): ``key.seq.txt`` is key ``key`` with suffix ``seq.txt`` —
-    register multi-dot suffixes in ``payloads`` explicitly. Keys must not
-    contain dots (the sink's ``<key>.<suffix>`` naming makes dotted keys
-    ambiguous; same restriction as WebDataset itself).
+    Member BASENAMES split at the FIRST dot (the public WebDataset
+    key/suffix convention): ``key.seq.txt`` is key ``key`` with suffix
+    ``seq.txt`` — register multi-dot suffixes in ``payloads`` explicitly.
+    Keys include the member's directory path (``a/x.txt`` and ``b/x.txt``
+    are distinct samples ``a/x`` and ``b/x``), so only the basename must
+    be dot-free — the restriction the sink enforces on export. Dots in
+    directory segments (``v1.0/clip``) round-trip fine.
 
     Output schema: ``shard_file`` (basename), ``key``, one column per
     payload, ``status`` (``ok`` | ``bad_member`` | ``corrupt_tar``).

@@ -172,9 +172,11 @@ def main(argv: list[str] | None = None) -> int:
         # synthetics, NULL-partition rows, global-grain emission) or the
         # cross-attempt union double-reports exactly those rows.
         owner_done = cp.owner_complete(spark, args.checkpoint_dir)
-        # Test seam: crash (raise) after finishing batch K, simulating a
-        # mid-job failure between batches for the relaunch-union test.
+        # Test seams: crash (raise) after finishing batch K, or after batch
+        # K's output appends but BEFORE its checkpoint write — the orphan-
+        # attempt window the reconciled read view exists for.
         crash_after = os.environ.get("DATA_CHECK_TEST_CRASH_AFTER_BATCH")
+        crash_before_ckpt = os.environ.get("DATA_CHECK_TEST_CRASH_BEFORE_CKPT")
         batch_runs = []
         for i, chunk in enumerate(chunks):
             res = run_validation(
@@ -200,20 +202,44 @@ def main(argv: list[str] | None = None) -> int:
             (res.verdicts.withColumn("run_id", F.lit(res.run_id))
                 .write.mode("append").partitionBy("run_id")
                 .parquet(f"{args.output_dir}/verdicts"))
-            cp.write_checkpoint(res.verdicts, args.checkpoint_dir, res.run_id)
-            if i == 0 and not owner_done:
-                cp.mark_owner_complete(spark, args.checkpoint_dir, res.run_id)
+            if crash_before_ckpt is not None and i == int(crash_before_ckpt):
+                raise RuntimeError(f"injected crash before checkpoint, batch {i}")
+            # ONE append carries both the batch's partition rows and (for
+            # the first owner attempt) the owner-completion sentinel — two
+            # appends would leave a crash window where batch 0 is
+            # checkpointed but not marked, and the relaunch re-runs it as
+            # owner, double-emitting run-level rows.
+            cp.write_checkpoint(
+                res.verdicts, args.checkpoint_dir, res.run_id,
+                owner_sentinel=(i == 0 and not owner_done),
+            )
             s = res.summary()
             batch_runs.append({"batch": i, "run_id": res.run_id,
                                "rows_scanned": res.rows_scanned,
                                "violations": s["total"]})
             if crash_after is not None and i == int(crash_after):
                 raise RuntimeError(f"injected crash after batch {i}")
-        total = sum(b["violations"] for b in batch_runs)
+        # Exactly-once final views: the per-batch appends above are
+        # at-least-once (a crash between an output append and its
+        # checkpoint write leaves an orphan attempt that the relaunch
+        # re-validates under a new run_id). reconcile_outputs drops orphan
+        # run_ids by checkpoint lineage and recomputes verdicts from the
+        # reconciled violations, so member partitions whose only violations
+        # are owner-emitted global-grain rows fail here exactly as a single
+        # run would.
+        from data_check_spark.engine import reconcile_outputs
+
+        warning_ids = [r.rule_id for r in catalog if r.severity == "warning"]
+        fv, fd = reconcile_outputs(
+            spark, args.output_dir, args.checkpoint_dir, warning_ids=warning_ids
+        )
+        fv.write.mode("overwrite").parquet(f"{args.output_dir}/violations_final")
+        fd.write.mode("overwrite").parquet(f"{args.output_dir}/verdicts_final")
+        final_total = fv.count()
         print(json.dumps({
             "batches": batch_runs,
             "rows_scanned": sum(b["rows_scanned"] for b in batch_runs),
-            "total_violations": total,
+            "total_violations": final_total,
             "wall_sec": round(time.monotonic() - t0, 1),
         }))
         return 0

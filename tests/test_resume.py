@@ -430,3 +430,65 @@ def test_batched_relaunch_union_multiset(spark, batch_data, tmp_path, monkeypatc
     # attempt 1's batch 0 + the relaunch together scan each row exactly once
     verd = spark.read.parquet(str(tmp_path / "out" / "verdicts"))
     assert verd.agg(F.sum("rows_scanned")).collect()[0][0] == clips.count()
+
+
+def test_orphan_attempt_reconciled(spark, batch_data, tmp_path, monkeypatch):
+    """Crash BETWEEN a batch's output appends and its checkpoint write
+    leaves an orphan attempt (committed rows under an un-checkpointed
+    run_id); the relaunch re-validates that batch. The raw appends are
+    at-least-once, and reconcile_outputs must recover the exact single-run
+    multiset — for the verdicts too, including member partitions whose
+    only violations are owner-emitted global-grain rows."""
+    from collections import Counter
+
+    from jobs.validate_job import main as job_main
+    from data_check_spark.engine import reconcile_outputs
+    from data_check_spark.rules.catalog_audio import audio_catalog
+
+    clips, tr = batch_data
+    inp, trp = str(tmp_path / "clips"), str(tmp_path / "tr")
+    clips.write.parquet(inp)
+    tr.write.parquet(trp)
+
+    cat = audio_catalog(bytes_cap_ms=100)
+    single = run_validation(
+        spark, spark.read.parquet(inp), {"transcripts": spark.read.parquet(trp)},
+        cat, run_ts="2026-01-01 00:00:00",
+    )
+    want_v = _vset(single.violations)
+    want_d = Counter(
+        (r["partition"], r["passed"], r["rows_scanned"], r["violations"])
+        for r in single.verdicts.collect()
+    )
+
+    args = [
+        "--input", inp, "--transcripts", trp,
+        "--output-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--partition-batches", "3",
+        "--run-ts", "2026-01-01 00:00:00",
+    ]
+    # crash after batch 1's outputs land but before its checkpoint
+    monkeypatch.setenv("DATA_CHECK_TEST_CRASH_BEFORE_CKPT", "1")
+    with pytest.raises(RuntimeError, match="before checkpoint"):
+        job_main(list(args))
+    monkeypatch.delenv("DATA_CHECK_TEST_CRASH_BEFORE_CKPT")
+    assert job_main(list(args)) == 0
+
+    # the RAW appends double-report batch 1 (orphan + relaunch attempt) ...
+    raw = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    assert sum(_vset(raw).values()) >= sum(want_v.values())
+    # ... and reconciliation recovers the exact single-run multisets
+    warning_ids = [r.rule_id for r in cat if r.severity == "warning"]
+    fv, fd = reconcile_outputs(
+        spark, str(tmp_path / "out"), str(tmp_path / "ck"), warning_ids=warning_ids
+    )
+    assert _vset(fv) == want_v
+    got_d = Counter(
+        (r["partition"], r["passed"], r["rows_scanned"], r["violations"])
+        for r in fd.collect()
+    )
+    assert got_d == want_d
+    # the job also wrote the reconciled views
+    final_v = spark.read.parquet(str(tmp_path / "out" / "violations_final"))
+    assert _vset(final_v) == want_v

@@ -173,3 +173,18 @@ def test_source_keys_include_directory(spark, tmp_path):
     back = read_tar_shards(spark, str(p), payloads={"txt": "text"})
     rows = {r["key"]: r["text"] for r in back.collect()}
     assert rows == {"a/x": "from-a", "b/x": "from-b", "c/x": "from-c"}
+
+
+def test_dotted_directory_keys_round_trip(spark, tmp_path):
+    """Dots in DIRECTORY segments are legal (v1.0/clip): the sink accepts
+    them (only the basename must be dot-free) and the reader reassembles
+    the same keys — the read->write->read cycle is lossless."""
+    df = spark.createDataFrame(
+        [(0, "v1.0/clip", "alpha"), (0, "v2.0/clip", "beta")],
+        "shard int, key string, text string",
+    )
+    out = str(tmp_path / "t")
+    write_tar_shards(df, out, key_col="key", payloads={"text": "txt"}).collect()
+    back = read_tar_shards(spark, out, payloads={"txt": "text"})
+    rows = {r["key"]: r["text"] for r in back.collect()}
+    assert rows == {"v1.0/clip": "alpha", "v2.0/clip": "beta"}

@@ -68,3 +68,40 @@ def test_xlsx_csv_parity(spark, report_df, tmp_path):
     a = sorted(tuple(r) for r in from_xlsx.collect())
     b = sorted(tuple(r) for r in from_csv.collect())
     assert a == b
+
+
+def test_xlsx_control_chars_and_escape_lookalikes(spark, tmp_path):
+    """XML-1.0-illegal control bytes (live in violation `observed` strings)
+    must be encoded with OOXML's _xHHHH_ convention, and literal text that
+    LOOKS like that escape must have its underscore escaped — both would
+    otherwise corrupt the workbook or decode wrongly."""
+    df = spark.createDataFrame(
+        [("a\x01b\x1fc",), ("literal _x0041_ text",), ("tab\tok\nnl",)],
+        "observed string",
+    )
+    path = str(tmp_path / "ctrl.xlsx")
+    export_xlsx(df, path)
+    # the workbook must parse as well-formed XML
+    back = read_xlsx_df(spark, path)
+    got = sorted(r["observed"] for r in back.collect())
+    assert got == sorted(
+        ["a_x0001_b_x001F_c", "literal _x005F_x0041_ text", "tab\tok\nnl"]
+    )
+
+
+def test_xlsx_rejects_bad_sheet_names(spark, tmp_path):
+    df = spark.createDataFrame([("v",)], "c string")
+    for bad in ["", "x" * 32, "a[b", "a/b", "a\\b", "a:b", "a*b", "a?b"]:
+        with pytest.raises(ValueError, match="sheet name"):
+            export_xlsx(df, str(tmp_path / "s.xlsx"), sheet_name=bad)
+
+
+def test_export_result_dispatch(spark, report_df, tmp_path):
+    from data_check_spark.reporting import export_result
+
+    export_result(report_df, str(tmp_path / "r.xlsx"), sheet_name="s1")
+    export_result(report_df, str(tmp_path / "r.csv"))
+    assert read_xlsx_df(spark, str(tmp_path / "r.xlsx"), "s1").count() == 3
+    assert spark.read.option("header", "true").csv(str(tmp_path / "r.csv")).count() == 3
+    with pytest.raises(ValueError, match="extension"):
+        export_result(report_df, str(tmp_path / "r.parquet"))

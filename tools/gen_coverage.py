@@ -63,7 +63,9 @@ def main() -> None:
             r for r, h in history.items()
             if name in h and h[name] is None
         ]
-        if green_rounds:
+        # A red in a LATER round than the last green is a regression and
+        # must win — an earlier green masking it would defeat the ledger.
+        if green_rounds and (not red_rounds or max(green_rounds) > max(red_rounds)):
             status = f"r{max(green_rounds):02d}"
         elif name not in ORACLES and sampled_rows_only:
             status = f"rows-only (r{max(sampled_rows_only):02d})"
