@@ -492,3 +492,52 @@ def test_orphan_attempt_reconciled(spark, batch_data, tmp_path, monkeypatch):
     # the job also wrote the reconciled views
     final_v = spark.read.parquet(str(tmp_path / "out" / "violations_final"))
     assert _vset(final_v) == want_v
+
+
+@pytest.mark.parametrize("seam,batch", [
+    ("DATA_CHECK_TEST_CRASH_AFTER_BATCH", 0),
+    ("DATA_CHECK_TEST_CRASH_AFTER_BATCH", 1),
+    ("DATA_CHECK_TEST_CRASH_BEFORE_CKPT", 0),
+    ("DATA_CHECK_TEST_CRASH_BEFORE_CKPT", 2),
+])
+def test_crash_point_sweep_reconciles_exactly(
+    spark, batch_data, tmp_path, monkeypatch, seam, batch
+):
+    """Every crash point — after any batch's checkpoint, or inside any
+    batch's orphan window (outputs committed, checkpoint not) — must
+    reconcile to the exact single-run violation multiset after a relaunch.
+    Sweeping both seams over owner and member batches covers the cases the
+    two targeted tests above pin individually."""
+    from jobs.validate_job import main as job_main
+    from data_check_spark.engine import reconcile_outputs
+    from data_check_spark.rules.catalog_audio import audio_catalog
+
+    clips, tr = batch_data
+    inp, trp = str(tmp_path / "clips"), str(tmp_path / "tr")
+    clips.write.parquet(inp)
+    tr.write.parquet(trp)
+
+    cat = audio_catalog(bytes_cap_ms=100)
+    want = _vset(run_validation(
+        spark, spark.read.parquet(inp), {"transcripts": spark.read.parquet(trp)},
+        cat, run_ts="2026-01-01 00:00:00",
+    ).violations)
+
+    args = [
+        "--input", inp, "--transcripts", trp,
+        "--output-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--partition-batches", "3",
+        "--run-ts", "2026-01-01 00:00:00",
+    ]
+    monkeypatch.setenv(seam, str(batch))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        job_main(list(args))
+    monkeypatch.delenv(seam)
+    assert job_main(list(args)) == 0
+
+    warning_ids = [r.rule_id for r in cat if r.severity == "warning"]
+    fv, _fd = reconcile_outputs(
+        spark, str(tmp_path / "out"), str(tmp_path / "ck"), warning_ids=warning_ids
+    )
+    assert _vset(fv) == want
