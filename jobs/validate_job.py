@@ -269,6 +269,19 @@ def main(argv: list[str] | None = None) -> int:
         from data_check_spark import checkpoint as cp
 
         cp.write_checkpoint(res.verdicts, args.checkpoint_dir, res.run_id)
+        # Same exactly-once read view as the batched path: a resumed
+        # relaunch appends under a new run_id (NULL-partition rows and
+        # run-level synthetics are re-emitted by design), and a crash in
+        # the orphan window leaves un-checkpointed rows — reconciliation
+        # by lineage collapses both to the single-run multiset.
+        from data_check_spark.engine import reconcile_outputs
+
+        warning_ids = [r.rule_id for r in catalog if r.severity == "warning"]
+        fv, fd = reconcile_outputs(
+            spark, args.output_dir, args.checkpoint_dir, warning_ids=warning_ids
+        )
+        fv.write.mode("overwrite").parquet(f"{args.output_dir}/violations_final")
+        fd.write.mode("overwrite").parquet(f"{args.output_dir}/verdicts_final")
     summary = res.summary()
     print(json.dumps({
         "run_id": res.run_id,

@@ -541,3 +541,39 @@ def test_crash_point_sweep_reconciles_exactly(
         spark, str(tmp_path / "out"), str(tmp_path / "ck"), warning_ids=warning_ids
     )
     assert _vset(fv) == want
+
+
+def test_single_run_resume_reconciles_null_rows(spark, batch_data, tmp_path):
+    """Non-batched job with a checkpoint: a resumed relaunch re-emits
+    NULL-partition rows and run-level synthetics under its new run_id (by
+    design — they are never checkpointable), so the raw union double-counts
+    them; the job's reconciled views must collapse back to the single-run
+    multiset."""
+    from jobs.validate_job import main as job_main
+    from data_check_spark.rules.catalog_audio import audio_catalog
+
+    clips, tr = batch_data
+    inp, trp = str(tmp_path / "clips"), str(tmp_path / "tr")
+    clips.write.parquet(inp)
+    tr.write.parquet(trp)
+
+    want = _vset(run_validation(
+        spark, spark.read.parquet(inp), {"transcripts": spark.read.parquet(trp)},
+        audio_catalog(bytes_cap_ms=100), run_ts="2026-01-01 00:00:00",
+    ).violations)
+
+    args = [
+        "--input", inp, "--transcripts", trp,
+        "--output-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--run-ts", "2026-01-01 00:00:00",
+    ]
+    assert job_main(list(args)) == 0
+    # relaunch with --resume: all partitions complete, but NULL rows +
+    # run-level synthetics are re-emitted under the second run_id
+    assert job_main(list(args) + ["--resume"]) == 0
+
+    raw = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    assert sum(_vset(raw).values()) > sum(want.values())  # raw double-counts
+    final = spark.read.parquet(str(tmp_path / "out" / "violations_final"))
+    assert _vset(final) == want
