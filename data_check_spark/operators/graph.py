@@ -39,6 +39,46 @@ from pyspark.sql.window import Window
 
 DEFAULT_MAX_ITER = 30
 
+# Below this many (deduplicated, directed) edges the transitive closure runs
+# as driver-side union-find instead of iterative joins: each distributed
+# round costs ~2 fixed-latency jobs regardless of size, so a 2k-edge graph
+# paid ~4.5s of pure scheduling for microseconds of actual work (measured on
+# semantic_dedup at sf0.1: clusters 6.2s vs pairs 1.65s). 2M edges collect
+# to ~tens of MB — far under driver headroom — while real 100 TB near-dup
+# graphs above the threshold keep the all-distributed path.
+SMALL_GRAPH_MAX_EDGES = 2_000_000
+
+
+def _unionfind_components(edges: DataFrame) -> DataFrame:
+    """Driver-side min-label components for small graphs (value-identical
+    to the iterative path: union-by-min keeps each set's root at its
+    minimum id, the same canonical label min-propagation converges to)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        s, d = r["src"], r["dst"]
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    node_type = edges.schema["src"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", node_type), StructField("component", node_type)]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
+
 
 def connected_components(
     pairs: DataFrame,
@@ -46,9 +86,14 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = DEFAULT_MAX_ITER,
+    small_graph_edges: int = SMALL_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; ``component`` is the
     smallest node id reachable via pair edges (deterministic canonical id).
+
+    Graphs at or below ``small_graph_edges`` edges run driver-side
+    union-find (identical output, none of the per-round job latency); pass
+    ``small_graph_edges=0`` to force the distributed path.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds don't reach the fixpoint
     (component labels would be incomplete — fail loudly, never silently)."""
@@ -62,6 +107,9 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)  # reused every round — cut the upstream plan once
     )
+    if edges.count() <= small_graph_edges:
+        # the count is over already-materialized checkpoint blocks — cheap
+        return _unionfind_components(edges)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -35,8 +35,35 @@ def test_empty_pairs(spark):
 
 def test_max_iter_exceeded_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
-        # diameter 4 cannot finish in 1 round
-        connected_components(_pairs(spark, [(i, i + 1) for i in range(4)]), max_iter=1)
+        # diameter 4 cannot finish in 1 round (small_graph_edges=0 forces
+        # the distributed path this guard belongs to)
+        connected_components(
+            _pairs(spark, [(i, i + 1) for i in range(4)]),
+            max_iter=1, small_graph_edges=0,
+        )
+
+
+def test_small_graph_fast_path_matches_iterative(spark):
+    """The driver-side union-find fast path must be value-identical to the
+    distributed min-label loop on the same graph — chains, triangles,
+    singleton edges, reversed orderings, string ids."""
+    cases = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(i, i + 1) for i in range(9)],
+        [(5, 1), (3, 5), (7, 8), (8, 7)],
+        [(1, 2), (3, 4), (2, 3), (4, 1)],  # cycle
+    ]
+    for edges in cases:
+        fast = sorted(map(tuple, connected_components(_pairs(spark, edges)).collect()))
+        dist = sorted(map(tuple, connected_components(
+            _pairs(spark, edges), small_graph_edges=0
+        ).collect()))
+        assert fast == dist, edges
+    # string node ids take the lexicographic minimum in both paths
+    sp = spark.createDataFrame([("b", "a"), ("c", "b")], "id_a string, id_b string")
+    fast = sorted(map(tuple, connected_components(sp).collect()))
+    dist = sorted(map(tuple, connected_components(sp, small_graph_edges=0).collect()))
+    assert fast == dist == [("a", "a"), ("b", "a"), ("c", "a")]
 
 
 def test_dedup_clusters_canonical_and_sizes(spark):
