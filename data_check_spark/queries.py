@@ -1865,8 +1865,14 @@ def numeric_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe scan would only re-prove what the contract already asserts —
     # the guard stays default-on for unvetted library inputs, and
     # tests/test_profile.py proves the wide-range fallback engages.
+    # Single-input-split artifact (same as _docs_parallel): the exact
+    # percentile's value->count partial state builds on ONE task without a
+    # re-split; percentile is order-insensitive so values are unchanged.
+    # Measured 2.3-2.9s -> 1.85s at sf0.1 interleaved A/B.
     return numeric_quantiles(
-        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "lineitem").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
         ["l_quantity", "l_extendedprice", "l_discount"],
         max_exact_range=None,
     ).orderBy("col_name", "percentile")
@@ -2316,7 +2322,12 @@ def quantile_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bounded-by-contract column (see numeric_quantiles_lineitem): skip the
     # guard's probe scan; the wide-range fallback is unit-tested.
     return quantile_drift(
-        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag",
+        # re-split for the same single-input-split reason as
+        # numeric_quantiles_lineitem (order-insensitive, values unchanged)
+        _t(spark, sf_dir, "lineitem").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        "l_extendedprice", "l_returnflag",
         max_exact_range=None,
     ).orderBy("group_value", "percentile")
 
