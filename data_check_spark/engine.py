@@ -753,6 +753,7 @@ def reconcile_outputs(
     checkpoint_dir: str,
     *,
     warning_ids: list[str] | None = None,
+    fallback_lineage: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Exactly-once read view over validate_job's at-least-once appends.
 
@@ -779,7 +780,10 @@ def reconcile_outputs(
 
     Returns (violations, verdicts). ``warning_ids``: rules whose violations
     do not fail a partition (pass the catalog's warning-severity ids —
-    engine parity requires the same severity tiering)."""
+    engine parity requires the same severity tiering). ``fallback_lineage``:
+    the caller's own run_id, used only when the checkpoint holds zero done
+    rows (legal for an empty-input run) so the run-level rows still
+    reconcile instead of raising."""
     from data_check_spark import checkpoint as cp
 
     cpdf = cp.read_checkpoint(spark, checkpoint_dir)
@@ -800,11 +804,32 @@ def reconcile_outputs(
     sentinel = [r for r in rows if r["partition"] == cp.OWNER_SENTINEL]
     if sentinel:
         null_rid = sentinel[0]["lineage"]
-    else:
+    elif rows:
         null_rid = max(rows, key=lambda r: r["completed_at"])["lineage"]
+    elif fallback_lineage is not None:
+        # A checkpoint dir with zero done rows is legal: an empty-input run
+        # writes run-level rows (EMPTY_INPUT) and a zero-row checkpoint.
+        # The caller's own run_id anchors those rows; without it there is
+        # no lineage to reconcile against.
+        null_rid = fallback_lineage
+        valid = {fallback_lineage}
+    else:
+        raise ValueError(
+            f"checkpoint at {checkpoint_dir!r} has no completed rows and no "
+            "fallback_lineage was given — nothing to reconcile against"
+        )
 
-    v = spark.read.parquet(f"{output_dir}/violations")
-    d = spark.read.parquet(f"{output_dir}/verdicts")
+    # Explicit schemas: an empty-input run writes zero rows under
+    # partitionBy(run_id) — no part files — and schema inference would
+    # fail on the empty directory.
+    v = spark.read.schema(
+        "rule_id string, clip_id string, partition string, observed string, "
+        "run_id string"
+    ).parquet(f"{output_dir}/violations")
+    d = spark.read.schema(
+        "partition string, passed boolean, rows_scanned long, "
+        "violations long, wall_time_ms long, run_id string"
+    ).parquet(f"{output_dir}/verdicts")
     violations = v.filter(
         (F.col("partition").isNotNull() & F.col("run_id").isin(sorted(valid)))
         | (F.col("partition").isNull() & (F.col("run_id") == null_rid))
@@ -823,7 +848,14 @@ def reconcile_outputs(
         )
     )
     verdicts = (
-        d.filter(F.col("run_id").isin(sorted(valid)))
+        # NULL-partition verdict rows need the same lineage restriction as
+        # NULL violations: every resume attempt re-emits one (never
+        # checkpointable), so keeping them from every valid run_id would
+        # duplicate the NULL verdict and double-count its rows_scanned.
+        d.filter(
+            (F.col("partition").isNotNull() & F.col("run_id").isin(sorted(valid)))
+            | (F.col("partition").isNull() & (F.col("run_id") == null_rid))
+        )
         .select("partition", "rows_scanned", "wall_time_ms", "run_id")
         .join(viol_per_part, "partition", "left")
         .select(

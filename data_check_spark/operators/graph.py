@@ -43,10 +43,12 @@ DEFAULT_MAX_ITER = 30
 # as driver-side union-find instead of iterative joins: each distributed
 # round costs ~2 fixed-latency jobs regardless of size, so a 2k-edge graph
 # paid ~4.5s of pure scheduling for microseconds of actual work (measured on
-# semantic_dedup at sf0.1: clusters 6.2s vs pairs 1.65s). 2M edges collect
-# to ~tens of MB — far under driver headroom — while real 100 TB near-dup
-# graphs above the threshold keep the all-distributed path.
-SMALL_GRAPH_MAX_EDGES = 2_000_000
+# semantic_dedup at sf0.1: clusters 6.2s vs pairs 1.65s). 100k edges
+# collect as PySpark Row objects — ~tens of MB of CPython objects, safely
+# inside driver headroom even beside a pinned engine heap (this host
+# charges heavily for first-touch allocation, CLAUDE.md) — while bigger
+# near-dup graphs keep the all-distributed path.
+SMALL_GRAPH_MAX_EDGES = 100_000
 
 
 def _unionfind_components(edges: DataFrame) -> DataFrame:

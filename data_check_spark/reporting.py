@@ -255,9 +255,16 @@ def export_xlsx(
 
     # Excel's own sheet-name rules, enforced up front: a violating name
     # yields a workbook Excel refuses or silently "repairs".
-    if not 1 <= len(sheet_name) <= 31 or _re.search(r"[\[\]:*?/\\]", sheet_name):
+    if (
+        not 1 <= len(sheet_name) <= 31
+        or _re.search(r"[\[\]:*?/\\]", sheet_name)
+        or sheet_name.startswith("'")
+        or sheet_name.endswith("'")
+        or sheet_name.lower() == "history"
+    ):
         raise ValueError(
-            f"invalid xlsx sheet name {sheet_name!r}: 1-31 chars, none of []:*?/\\"
+            f"invalid xlsx sheet name {sheet_name!r}: 1-31 chars, none of "
+            "[]:*?/\\, no leading/trailing apostrophe, not 'History'"
         )
 
     # Control characters are illegal in XML 1.0 even escaped; OOXML's own
@@ -323,7 +330,10 @@ def export_xlsx(
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<workbook xmlns="{ns}" xmlns:r="{rel_ns}"><sheets>'
-        f'<sheet name="{_xml_escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        # attribute context: double quotes must be entity-escaped too, or a
+        # quoted sheet name breaks out of name="..." and corrupts the XML
+        f'<sheet name="{_sax_escape(sheet_name, {chr(34): "&quot;"})}" '
+        'sheetId="1" r:id="rId1"/>'
         "</sheets></workbook>"
     )
     wb_rels = (

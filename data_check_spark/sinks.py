@@ -261,6 +261,15 @@ def write_tar_shards(
             # underscore-prefixed column names, silently breaking lookups
             for rd in pdf.to_dict("records"):
                 key = rd[key_col]
+                if key is not None and str(key).startswith("./"):
+                    # the reader strips leading './' from member names, so
+                    # such a key would silently come back changed — reject
+                    # rather than break the read-back identity audit.
+                    raise ValueError(
+                        f"tar sample key {key!r} starts with './' — it "
+                        "would not round-trip through the reader's "
+                        "leading-'./' normalization"
+                    )
                 if key is not None and "." in str(key).rsplit("/", 1)[-1]:
                     # WebDataset splits the BASENAME at its first dot, so a
                     # dot there writes members no conforming reader (incl.

@@ -34,6 +34,19 @@ def _col_index(cell_ref: str) -> int:
     return idx - 1
 
 
+import re as _re
+
+_OOXML_ESC = _re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _decode_ooxml_escapes(s: str) -> str:
+    """Decode the _xHHHH_ escapes OOXML uses for XML-illegal characters
+    (what Excel/openpyxl and our writer, reporting.export_xlsx, emit).
+    A literal leading ``_x005F_`` escapes the underscore itself; a single
+    left-to-right non-overlapping pass decodes both correctly."""
+    return _OOXML_ESC.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _rich_text(el) -> str:
     """Concatenate the display text of an <si>/<is> element.
 
@@ -50,7 +63,7 @@ def _rich_text(el) -> str:
         rt = r.find(f"{_NS}t")
         if rt is not None:
             parts.append(rt.text or "")
-    return "".join(parts)
+    return _decode_ooxml_escapes("".join(parts))
 
 
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:

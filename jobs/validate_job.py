@@ -231,7 +231,8 @@ def main(argv: list[str] | None = None) -> int:
 
         warning_ids = [r.rule_id for r in catalog if r.severity == "warning"]
         fv, fd = reconcile_outputs(
-            spark, args.output_dir, args.checkpoint_dir, warning_ids=warning_ids
+            spark, args.output_dir, args.checkpoint_dir, warning_ids=warning_ids,
+            fallback_lineage=batch_runs[0]["run_id"],
         )
         fv.write.mode("overwrite").parquet(f"{args.output_dir}/violations_final")
         fd.write.mode("overwrite").parquet(f"{args.output_dir}/verdicts_final")
@@ -278,7 +279,8 @@ def main(argv: list[str] | None = None) -> int:
 
         warning_ids = [r.rule_id for r in catalog if r.severity == "warning"]
         fv, fd = reconcile_outputs(
-            spark, args.output_dir, args.checkpoint_dir, warning_ids=warning_ids
+            spark, args.output_dir, args.checkpoint_dir, warning_ids=warning_ids,
+            fallback_lineage=res.run_id,
         )
         fv.write.mode("overwrite").parquet(f"{args.output_dir}/violations_final")
         fd.write.mode("overwrite").parquet(f"{args.output_dir}/verdicts_final")

@@ -577,3 +577,36 @@ def test_single_run_resume_reconciles_null_rows(spark, batch_data, tmp_path):
     assert sum(_vset(raw).values()) > sum(want.values())  # raw double-counts
     final = spark.read.parquet(str(tmp_path / "out" / "violations_final"))
     assert _vset(final) == want
+    # the NULL-partition VERDICT row is also re-emitted per attempt and must
+    # reconcile to exactly one (round-4 review finding: the verdict filter
+    # needs the same lineage restriction as NULL violations)
+    fd = spark.read.parquet(str(tmp_path / "out" / "verdicts_final"))
+    assert fd.filter(F.col("partition").isNull()).count() == 1
+    assert fd.count() == fd.select("partition").distinct().count()
+
+
+def test_empty_input_with_checkpoint_reconciles(spark, tmp_path):
+    """Empty fact table + checkpoint dir: the run emits EMPTY_INPUT and a
+    zero-row checkpoint; reconciliation must anchor on the run's own
+    lineage instead of crashing on an empty max()."""
+    from jobs.validate_job import main as job_main
+
+    clips = spark.createDataFrame(
+        [],
+        "clip_id string, sr_hz int, dur_ms int, codec string, "
+        "transcript string, partition string",
+    )
+    tr = spark.createDataFrame([("a", "t")], "clip_id string, transcript_ref string")
+    inp, trp = str(tmp_path / "clips"), str(tmp_path / "tr")
+    clips.write.parquet(inp)
+    tr.write.parquet(trp)
+    rc = job_main([
+        "--input", inp, "--transcripts", trp,
+        "--output-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--run-ts", "2026-01-01 00:00:00",
+    ])
+    assert rc == 0
+    final = spark.read.parquet(str(tmp_path / "out" / "violations_final"))
+    rows = [(r["rule_id"], r["partition"]) for r in final.collect()]
+    assert ("EMPTY_INPUT", None) in rows

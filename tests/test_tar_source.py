@@ -188,3 +188,13 @@ def test_dotted_directory_keys_round_trip(spark, tmp_path):
     back = read_tar_shards(spark, out, payloads={"txt": "text"})
     rows = {r["key"]: r["text"] for r in back.collect()}
     assert rows == {"v1.0/clip": "alpha", "v2.0/clip": "beta"}
+
+
+def test_sink_rejects_dot_slash_prefixed_keys(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, "./clip", "text")], "shard int, key string, text string"
+    )
+    with pytest.raises(Exception, match="round-trip"):
+        write_tar_shards(
+            df, str(tmp_path / "t"), key_col="key", payloads={"text": "txt"}
+        ).collect()

@@ -72,21 +72,17 @@ def test_xlsx_csv_parity(spark, report_df, tmp_path):
 
 def test_xlsx_control_chars_and_escape_lookalikes(spark, tmp_path):
     """XML-1.0-illegal control bytes (live in violation `observed` strings)
-    must be encoded with OOXML's _xHHHH_ convention, and literal text that
-    LOOKS like that escape must have its underscore escaped — both would
-    otherwise corrupt the workbook or decode wrongly."""
-    df = spark.createDataFrame(
-        [("a\x01b\x1fc",), ("literal _x0041_ text",), ("tab\tok\nnl",)],
-        "observed string",
-    )
+    are encoded with OOXML's _xHHHH_ convention (escaping literal
+    lookalikes' underscore first), and the reader decodes the convention
+    back — the write->read cycle round-trips EXACTLY, matching what Excel
+    and openpyxl do with the same files."""
+    originals = ["a\x01b\x1fc", "literal _x0041_ text", "tab\tok\nnl"]
+    df = spark.createDataFrame([(s,) for s in originals], "observed string")
     path = str(tmp_path / "ctrl.xlsx")
     export_xlsx(df, path)
-    # the workbook must parse as well-formed XML
     back = read_xlsx_df(spark, path)
     got = sorted(r["observed"] for r in back.collect())
-    assert got == sorted(
-        ["a_x0001_b_x001F_c", "literal _x005F_x0041_ text", "tab\tok\nnl"]
-    )
+    assert got == sorted(originals)
 
 
 def test_xlsx_rejects_bad_sheet_names(spark, tmp_path):
