@@ -57,6 +57,20 @@ def _lpt_chunks(sizes: list[tuple[str, int]], k: int) -> list[tuple[list[str], i
     return [(sorted(b[1]), b[0]) for b in bins]
 
 
+def _export_report(violations, catalog, path: str) -> None:
+    """User-facing report export: message-enriched violations to .xlsx or
+    BOM-CSV — the reference's result save dialog (series/ID/check/message
+    column shape, data_check.py:1236-1261) on the job surface. Bounded by
+    contract: this is the triage report, not the raw violation store (that
+    stays parquet)."""
+    from data_check_spark.reporting import export_result, with_messages
+
+    enriched = with_messages(violations.drop("run_id"), catalog).select(
+        "rule_id", "clip_id", "partition", "observed", "message", "severity"
+    )
+    export_result(enriched, path)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="clips parquet dir")
@@ -87,6 +101,13 @@ def main(argv: list[str] | None = None) -> int:
                          "rule once over the FULL key set (cross-batch "
                          "duplicates, orphans) and member batches validate "
                          "only their own partitions")
+    ap.add_argument("--export-result", default=None, metavar="PATH",
+                    help="also export the message-enriched violations as a "
+                         "user-facing report: .xlsx (one-sheet workbook) or "
+                         ".csv (BOM single file) — the reference's save "
+                         "dialog (series/ID/check/message columns), driven "
+                         "from the reconciled view when a checkpoint is "
+                         "configured")
     ap.add_argument("--dry-run", action="store_true",
                     help="print the run plan (rule counts, partition/batch "
                          "assignment with row counts, partitions already "
@@ -236,6 +257,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         fv.write.mode("overwrite").parquet(f"{args.output_dir}/violations_final")
         fd.write.mode("overwrite").parquet(f"{args.output_dir}/verdicts_final")
+        if args.export_result:
+            _export_report(fv, catalog, args.export_result)
         final_total = fv.count()
         print(json.dumps({
             "batches": batch_runs,
@@ -284,6 +307,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         fv.write.mode("overwrite").parquet(f"{args.output_dir}/violations_final")
         fd.write.mode("overwrite").parquet(f"{args.output_dir}/verdicts_final")
+        if args.export_result:
+            _export_report(fv, catalog, args.export_result)
+    elif args.export_result:
+        _export_report(res.violations, catalog, args.export_result)
     summary = res.summary()
     print(json.dumps({
         "run_id": res.run_id,

@@ -610,3 +610,34 @@ def test_empty_input_with_checkpoint_reconciles(spark, tmp_path):
     final = spark.read.parquet(str(tmp_path / "out" / "violations_final"))
     rows = [(r["rule_id"], r["partition"]) for r in final.collect()]
     assert ("EMPTY_INPUT", None) in rows
+
+
+def test_job_export_result_report(spark, batch_data, tmp_path):
+    """--export-result writes the reference-shaped triage report (message-
+    enriched violations) as a real workbook, driven from the reconciled
+    view when a checkpoint is configured."""
+    from jobs.validate_job import main as job_main
+    from data_check_spark.sources.xlsx import read_xlsx_df
+
+    clips, tr = batch_data
+    inp, trp = str(tmp_path / "clips"), str(tmp_path / "tr")
+    clips.write.parquet(inp)
+    tr.write.parquet(trp)
+    report = str(tmp_path / "report.xlsx")
+    rc = job_main([
+        "--input", inp, "--transcripts", trp,
+        "--output-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--partition-batches", "2",
+        "--run-ts", "2026-01-01 00:00:00",
+        "--export-result", report,
+    ])
+    assert rc == 0
+    back = read_xlsx_df(spark, report)
+    assert back.columns == [
+        "rule_id", "clip_id", "partition", "observed", "message", "severity"
+    ]
+    final = spark.read.parquet(str(tmp_path / "out" / "violations_final"))
+    assert back.count() == final.count()
+    # enrichment live: every row carries a non-null message
+    assert back.filter("message IS NULL OR message = ''").count() == 0
