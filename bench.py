@@ -328,11 +328,6 @@ def run_clip_validation(spark, root: str) -> dict:
     }
 
 
-def _persistent_rdd_ids(spark) -> frozenset[int]:
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    return frozenset(int(k) for k in jmap.keySet().toArray())
-
-
 def _unpersist_except(spark, keep: frozenset[int]) -> None:
     """Free cached/localCheckpoint blocks leaked by finished work.
 
@@ -419,7 +414,11 @@ def main() -> None:
             t0 = time.monotonic()
             _ngram_pairs(spark, sf_dir, threshold=0.3).count()
             query_secs["ngram_pair_frame_build"] = round(time.monotonic() - t0, 3)
-        keep = _persistent_rdd_ids(spark)
+        # The shared pair frame is parquet-backed (queries._ngram_pairs), so
+        # NOTHING needs to survive in block storage — the build's own
+        # intermediates (shingle-index checkpoint) are freed here too.
+        keep: frozenset[int] = frozenset()
+        _unpersist_except(spark, keep)
 
         # Best-of-N per query (CLAUDE.md: never single-run on this host —
         # round-over-round comparisons of single runs are machine noise).

@@ -237,6 +237,25 @@ def _dispatch_set_rule(
     raise ValueError(f"unhandled set rule kind {rule.kind!r}")
 
 
+def _partition_violation_counts(violations: DataFrame, warning_ids: list[str]) -> DataFrame:
+    """(partition, _viols, _errors) over the non-NULL-partition violations —
+    the ONE definition of how violations aggregate into a verdict (warning
+    severity counts but does not fail). Shared by run_validation and
+    reconcile_outputs so the reconciled verdicts can never drift from the
+    engine's own severity tiering."""
+    is_error = (
+        ~F.col("rule_id").isin(warning_ids) if warning_ids else F.lit(True)
+    )
+    return (
+        violations.filter(F.col("partition").isNotNull())
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("_viols"),
+            F.sum(F.when(is_error, 1).otherwise(0)).alias("_errors"),
+        )
+    )
+
+
 def run_validation(
     spark: SparkSession,
     clips: DataFrame,
@@ -651,20 +670,14 @@ def run_validation(
     rows_per_part = prepared.groupBy(F.col(partition_col).alias("partition")).agg(
         F.count(F.lit(1)).alias("rows_scanned")
     )
-    is_error = (
-        ~F.col("rule_id").isin(warning_ids) if warning_ids else F.lit(True)
-    )
-    viol_per_part = violations.filter(F.col("partition").isNotNull()).groupBy("partition").agg(
-        F.count(F.lit(1)).alias("violations"),
-        F.sum(F.when(is_error, 1).otherwise(0)).alias("_errors"),
-    )
+    viol_per_part = _partition_violation_counts(violations, warning_ids)
     verdicts = (
         rows_per_part.join(viol_per_part, "partition", "left")
         .select(
             "partition",
             (F.coalesce(F.col("_errors"), F.lit(0)) == 0).alias("passed"),
             "rows_scanned",
-            F.coalesce(F.col("violations"), F.lit(0)).alias("violations"),
+            F.coalesce(F.col("_viols"), F.lit(0)).alias("violations"),
         )
     )
     _t = time.monotonic()
@@ -677,14 +690,21 @@ def run_validation(
     # the checkpoint stores the run-level wall time on each row (documented).
     verdicts = verdicts.withColumn("wall_time_ms", F.lit(wall_ms))
 
-    if rows_scanned == 0 and not (resume and checkpoint_dir) and not exclude_partitions:
+    if rows_scanned == 0 and not batch_member:
         # Empty fact table is itself a violation (reference: empty-df
-        # placeholder rows, dekispart.py:1330-1337).
-        empty_row = spark.createDataFrame(
-            [("EMPTY_INPUT", "N/A", None, "fact table has no rows")],
-            "rule_id string, clip_id string, partition string, observed string",
-        )
-        violations = violations.unionByName(empty_row)
+        # placeholder rows, dekispart.py:1330-1337). A resumed/partial run
+        # scanning 0 rows is NOT an empty table (its partitions were
+        # pruned), so those paths probe the PRE-pruned table — one take(1)
+        # on a column-pruned scan, paid only in the already-degenerate
+        # 0-rows-scanned case. Without the probe, batched mode (which
+        # always passes resume=True) could never report an empty table.
+        fresh_run = not (resume and checkpoint_dir) and not exclude_partitions
+        if fresh_run or not clips_full.select(partition_col).take(1):
+            empty_row = spark.createDataFrame(
+                [("EMPTY_INPUT", "N/A", None, "fact table has no rows")],
+                "rule_id string, clip_id string, partition string, observed string",
+            )
+            violations = violations.unionByName(empty_row)
 
     if checkpoint_dir and not defer_checkpoint:
         cp.write_checkpoint(verdicts, checkpoint_dir, run_id)
@@ -783,7 +803,15 @@ def reconcile_outputs(
     engine parity requires the same severity tiering). ``fallback_lineage``:
     the caller's own run_id, used only when the checkpoint holds zero done
     rows (legal for an empty-input run) so the run-level rows still
-    reconcile instead of raising."""
+    reconcile instead of raising.
+
+    Known edge outside the guarantee: in BATCHED mode, ``mark_failed`` on a
+    partition the OWNER batch validated, followed by a relaunch, mixes that
+    partition's old owner-lineage rows (kept — they share a run_id with the
+    owner's member-partition global-grain rows, which must survive) with
+    the re-validating attempt's rows. Repairing owner-batch partitions
+    after the fact needs a fresh checkpoint dir; member-batch partitions
+    reconcile correctly through the same workflow."""
     from data_check_spark import checkpoint as cp
 
     cpdf = cp.read_checkpoint(spark, checkpoint_dir)
@@ -800,8 +828,19 @@ def reconcile_outputs(
         .filter(F.col("status") == "done")
     )
     rows = latest.collect()  # bounded by the partition count by contract
-    valid = {r["lineage"] for r in rows}
     sentinel = [r for r in rows if r["partition"] == cp.OWNER_SENTINEL]
+    # (partition -> latest-done lineage) pairs, NOT a flat run_id set: a
+    # partition re-validated under a second checkpointed lineage (e.g.
+    # mark_failed + relaunch) has rows under BOTH run_ids in the output,
+    # and only its latest-done attempt's rows may survive. The owner
+    # sentinel's lineage is additionally valid for EVERY partition: the
+    # owner emits member partitions' global-grain rows under its own
+    # run_id, exactly once (a relaunched owner runs as a member).
+    pairs = [
+        (r["partition"], r["lineage"])
+        for r in rows
+        if r["partition"] != cp.OWNER_SENTINEL
+    ]
     if sentinel:
         null_rid = sentinel[0]["lineage"]
     elif rows:
@@ -812,12 +851,33 @@ def reconcile_outputs(
         # The caller's own run_id anchors those rows; without it there is
         # no lineage to reconcile against.
         null_rid = fallback_lineage
-        valid = {fallback_lineage}
+        pairs = []
     else:
         raise ValueError(
             f"checkpoint at {checkpoint_dir!r} has no completed rows and no "
             "fallback_lineage was given — nothing to reconcile against"
         )
+    pair_df = F.broadcast(
+        spark.createDataFrame(
+            pairs or [(None, None)], "partition string, run_id string"
+        ).filter(F.col("partition").isNotNull())
+    )
+    owner_rids = {s["lineage"] for s in sentinel} | (
+        {fallback_lineage} if fallback_lineage is not None and not rows else set()
+    )
+
+    def _attributed_ok(df: DataFrame) -> DataFrame:
+        """non-NULL-partition rows valid under their partition's latest-done
+        lineage, plus owner-lineage rows for any partition."""
+        by_pair = df.join(pair_df, ["partition", "run_id"], "left_semi")
+        if owner_rids:
+            return by_pair.unionByName(
+                df.join(pair_df, ["partition", "run_id"], "left_anti").filter(
+                    F.col("partition").isNotNull()
+                    & F.col("run_id").isin(sorted(owner_rids))
+                )
+            )
+        return by_pair
 
     # Explicit schemas: an empty-input run writes zero rows under
     # partitionBy(run_id) — no part files — and schema inference would
@@ -830,31 +890,19 @@ def reconcile_outputs(
         "partition string, passed boolean, rows_scanned long, "
         "violations long, wall_time_ms long, run_id string"
     ).parquet(f"{output_dir}/verdicts")
-    violations = v.filter(
-        (F.col("partition").isNotNull() & F.col("run_id").isin(sorted(valid)))
-        | (F.col("partition").isNull() & (F.col("run_id") == null_rid))
+    violations = _attributed_ok(v).unionByName(
+        v.filter(F.col("partition").isNull() & (F.col("run_id") == null_rid))
     )
 
-    warning_ids = sorted(warning_ids or [])
-    is_error = (
-        ~F.col("rule_id").isin(warning_ids) if warning_ids else F.lit(True)
-    )
-    viol_per_part = (
-        violations.filter(F.col("partition").isNotNull())
-        .groupBy("partition")
-        .agg(
-            F.count(F.lit(1)).alias("_viols"),
-            F.sum(F.when(is_error, 1).otherwise(0)).alias("_errors"),
-        )
-    )
+    viol_per_part = _partition_violation_counts(violations, sorted(warning_ids or []))
     verdicts = (
         # NULL-partition verdict rows need the same lineage restriction as
         # NULL violations: every resume attempt re-emits one (never
         # checkpointable), so keeping them from every valid run_id would
         # duplicate the NULL verdict and double-count its rows_scanned.
-        d.filter(
-            (F.col("partition").isNotNull() & F.col("run_id").isin(sorted(valid)))
-            | (F.col("partition").isNull() & (F.col("run_id") == null_rid))
+        _attributed_ok(d)
+        .unionByName(
+            d.filter(F.col("partition").isNull() & (F.col("run_id") == null_rid))
         )
         .select("partition", "rows_scanned", "wall_time_ms", "run_id")
         .join(viol_per_part, "partition", "left")

@@ -613,14 +613,26 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> Da
         return _dedup.ngram_jaccard_pairs(
             _docs_parallel(spark, sf_dir), threshold=threshold
         )
-    # applicationId in the key: a checkpointed frame dies with its session,
-    # so a restarted SparkSession must rebuild, not serve dead blocks.
-    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    # applicationId in the key: the cache dies with its session, so a
+    # restarted SparkSession must rebuild, not serve a stale frame. The
+    # shared frame is PARQUET-backed (not localCheckpoint): heap blocks
+    # pinned for a whole sweep — including the build's internal
+    # shingle-index checkpoint, which has no unpersist handle — are exactly
+    # the leaked-block pressure the sweep fights, while this host reads
+    # small parquet through the OS page cache essentially for free
+    # (CLAUDE.md: reliable .checkpoint() beat localCheckpoint here).
+    import os as _os
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, threshold)
     df = _NGRAM_PAIRS_CACHE.get(key)
     if df is None:
-        df = _dedup.ngram_jaccard_pairs(
-            _docs_parallel(spark, sf_dir), threshold=threshold
-        ).localCheckpoint(eager=True)
+        path = f"/tmp/dcs_shared_pairs_{app}_{abs(hash((sf_dir, threshold)))}.parquet"
+        if not _os.path.isdir(path):
+            _dedup.ngram_jaccard_pairs(
+                _docs_parallel(spark, sf_dir), threshold=threshold
+            ).write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
         _NGRAM_PAIRS_CACHE[key] = df
     return df
 

@@ -257,14 +257,15 @@ def export_xlsx(
     # yields a workbook Excel refuses or silently "repairs".
     if (
         not 1 <= len(sheet_name) <= 31
-        or _re.search(r"[\[\]:*?/\\]", sheet_name)
+        or _re.search(r"[\[\]:*?/\\\x00-\x1f]", sheet_name)
         or sheet_name.startswith("'")
         or sheet_name.endswith("'")
         or sheet_name.lower() == "history"
     ):
         raise ValueError(
-            f"invalid xlsx sheet name {sheet_name!r}: 1-31 chars, none of "
-            "[]:*?/\\, no leading/trailing apostrophe, not 'History'"
+            f"invalid xlsx sheet name {sheet_name!r}: 1-31 chars, no control "
+            "chars, none of []:*?/\\, no leading/trailing apostrophe, "
+            "not 'History'"
         )
 
     # Control characters are illegal in XML 1.0 even escaped; OOXML's own
@@ -369,8 +370,20 @@ def export_result(df: DataFrame, path: str, *, sheet_name: str = "result") -> No
     if path.endswith(".xlsx"):
         export_xlsx(df, path, sheet_name=sheet_name)
     elif path.endswith(".csv"):
-        # export_csv writes a directory of part files; the reference writes
-        # ONE file — single_file honours that contract.
-        export_csv(df, path, single_file=True)
+        # The reference's dialog saves ONE file at the chosen path;
+        # export_csv(single_file=True) still leaves a Spark output
+        # DIRECTORY (part-00000 + _SUCCESS), so write there and promote the
+        # BOM part file to the requested path.
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        tmp_dir = path + ".spark-tmp"
+        export_csv(df, tmp_dir, single_file=True)
+        parts = _glob.glob(_os.path.join(tmp_dir, "part-*.csv"))
+        if len(parts) != 1:  # coalesce(1) guarantees one; fail loud if not
+            raise RuntimeError(f"expected one part file in {tmp_dir}, got {parts}")
+        _os.replace(parts[0], path)
+        _shutil.rmtree(tmp_dir)
     else:
         raise ValueError(f"unsupported result extension: {path!r} (.csv/.xlsx)")

@@ -257,9 +257,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         fv.write.mode("overwrite").parquet(f"{args.output_dir}/violations_final")
         fd.write.mode("overwrite").parquet(f"{args.output_dir}/verdicts_final")
+        # Re-read the just-written final view for the count and the export:
+        # executing the reconciliation plan once instead of three times
+        # (each execution re-scans the raw appends + checkpoint).
+        fv_written = spark.read.parquet(f"{args.output_dir}/violations_final")
         if args.export_result:
-            _export_report(fv, catalog, args.export_result)
-        final_total = fv.count()
+            _export_report(fv_written, catalog, args.export_result)
+        final_total = fv_written.count()
         print(json.dumps({
             "batches": batch_runs,
             "rows_scanned": sum(b["rows_scanned"] for b in batch_runs),

@@ -641,3 +641,76 @@ def test_job_export_result_report(spark, batch_data, tmp_path):
     assert back.count() == final.count()
     # enrichment live: every row carries a non-null message
     assert back.filter("message IS NULL OR message = ''").count() == 0
+
+
+def test_mark_failed_relaunch_reconciles_exactly(spark, batch_data, tmp_path):
+    """Repair workflow (non-batched): a partition marked failed after a
+    complete run is re-validated by a --resume relaunch under a SECOND
+    checkpointed lineage; the old lineage stays latest for every other
+    partition. Reconciliation must keep each partition's rows from its OWN
+    latest-done lineage (a flat valid-run_id set double-counted the
+    repaired partition — round-4 xhigh review repro)."""
+    import time as _time
+
+    from jobs.validate_job import main as job_main
+    from data_check_spark import checkpoint as cp
+    from data_check_spark.engine import reconcile_outputs
+    from data_check_spark.rules.catalog_audio import audio_catalog
+
+    clips, tr = batch_data
+    inp, trp = str(tmp_path / "clips"), str(tmp_path / "tr")
+    clips.write.parquet(inp)
+    tr.write.parquet(trp)
+
+    cat = audio_catalog(bytes_cap_ms=100)
+    want = _vset(run_validation(
+        spark, spark.read.parquet(inp), {"transcripts": spark.read.parquet(trp)},
+        cat, run_ts="2026-01-01 00:00:00",
+    ).violations)
+
+    args = [
+        "--input", inp, "--transcripts", trp,
+        "--output-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--run-ts", "2026-01-01 00:00:00",
+    ]
+    assert job_main(list(args)) == 0
+    _time.sleep(1.1)  # completed_at granularity: the failed marker must sort later
+    cp.mark_failed(spark, str(tmp_path / "ck"), "p1", "repair")
+    assert job_main(list(args) + ["--resume"]) == 0
+
+    warning_ids = [r.rule_id for r in cat if r.severity == "warning"]
+    fv, fd = reconcile_outputs(
+        spark, str(tmp_path / "out"), str(tmp_path / "ck"), warning_ids=warning_ids
+    )
+    assert _vset(fv) == want
+    # exactly one verdict row per partition (p1's old-lineage row dropped)
+    assert fd.count() == fd.select("partition").distinct().count()
+
+
+def test_batched_empty_input_reports_empty_table(spark, tmp_path):
+    """Batched mode hard-codes resume=True, which used to suppress the
+    EMPTY_INPUT synthetic entirely — an empty fact table must alarm in
+    batched mode exactly as it does in a single run."""
+    from jobs.validate_job import main as job_main
+
+    clips = spark.createDataFrame(
+        [],
+        "clip_id string, sr_hz int, dur_ms int, codec string, "
+        "transcript string, partition string",
+    )
+    tr = spark.createDataFrame([("a", "t")], "clip_id string, transcript_ref string")
+    inp, trp = str(tmp_path / "clips"), str(tmp_path / "tr")
+    clips.write.parquet(inp)
+    tr.write.parquet(trp)
+    rc = job_main([
+        "--input", inp, "--transcripts", trp,
+        "--output-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--partition-batches", "2",
+        "--run-ts", "2026-01-01 00:00:00",
+    ])
+    assert rc == 0
+    final = spark.read.parquet(str(tmp_path / "out" / "violations_final"))
+    empty_rows = final.filter("rule_id = 'EMPTY_INPUT'").count()
+    assert empty_rows == 1

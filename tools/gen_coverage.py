@@ -70,7 +70,9 @@ def main() -> None:
         elif name not in ORACLES and sampled_rows_only:
             status = f"rows-only (r{max(sampled_rows_only):02d})"
         elif red_rounds:
-            status = f"red r{max(red_rounds):02d} (fixed — resample)"
+            # no "fixed" claim here — whether a fix landed is evidenced by
+            # the builder harness, not by regenerating the ledger
+            status = f"red r{max(red_rounds):02d} (resample next)"
         else:
             status = "never"
         lines.append(f"| {name} | {oracle} | {status} | {harness} |\n")
