@@ -73,16 +73,41 @@ def _clips_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_rules(result.violations, k=None)
 
 
-# Queries the driver has already hash-verified green in CORRECTNESS_r01-r03.
+# Queries the driver has already hash-verified green in CORRECTNESS_r01-r04.
 # If the driver samples a subset of the registry, dict order decides what it
 # sees — so never-yet-driver-checked entries go FIRST (registry order), the
 # already-green ones after, and the rows-only-by-design entries (no DuckDB
 # analog possible: synthetic clip table with real float PCM decode; MLlib
 # KMeans quantizer) LAST, since rows-only is already their max achievable
-# check and r01 recorded it. COVERAGE.md is the per-query ledger. The 5
-# r03 hash-reds (HUGEINT oracle outputs, cast to BIGINT since) are left out
-# so the driver re-samples them first.
+# check and r01 recorded it. COVERAGE.md is the per-query ledger. After
+# CORRECTNESS_r04 (50/50 green, incl. the 5 r03 HUGEINT hash-reds) every
+# oracle-backed entry is driver-green: 144/144.
 _DRIVER_GREEN: frozenset[str] = frozenset({
+    # r04 green (CORRECTNESS_r04.json):
+    "agg_sla_orders", "augmentation_plan_documents", "autocorr_documents",
+    "benford_orders", "bpe_merges_documents", "bpe_segment_documents",
+    "bpe_tokenize_documents", "calendar_gaps_events",
+    "cardinality_orders_lineitem", "categorical_drift_orders",
+    "clipping_runs_documents", "cluster_representatives_documents",
+    "compaction_plan_documents", "compaction_summary_documents",
+    "container_sniff_documents", "corpus_rules_documents",
+    "correlation_lineitem", "dataset_card_documents",
+    "embedding_drift_embeddings", "embedding_quality_embeddings",
+    "extraction_quality_documents", "format_masks_customer",
+    "freshness_events", "image_stats_documents",
+    "incremental_dedup_documents", "label_centroids_embeddings",
+    "label_conflict_documents", "lang_mismatch_documents",
+    "loudness_gain_documents", "normalize_width_documents",
+    "novelty_rate_events", "null_correlation_orders", "out_of_order_events",
+    "partition_profile_orders", "quantization_plan_embeddings",
+    "rate_drift_orders", "reconcile_orders_lineitem",
+    "rule_suggestions_orders", "scan_pruning_lineitem",
+    "split_leakage_documents", "tar_roundtrip_documents",
+    "token_drift_documents", "transcript_alignment_documents",
+    "transcript_wer_documents", "violation_delta_orders",
+    "vocab_coverage_documents", "volume_drift_orders",
+    "watermark_plan_events", "window_density_documents",
+    "window_transcripts_documents",
     # r03 green (CORRECTNESS_r03.json):
     "audio_batching_documents", "audio_curation_documents",
     "audio_fingerprint_documents", "audio_windows_documents",
