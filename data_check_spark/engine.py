@@ -805,13 +805,17 @@ def reconcile_outputs(
     rows (legal for an empty-input run) so the run-level rows still
     reconcile instead of raising.
 
-    Known edge outside the guarantee: in BATCHED mode, ``mark_failed`` on a
-    partition the OWNER batch validated, followed by a relaunch, mixes that
-    partition's old owner-lineage rows (kept — they share a run_id with the
-    owner's member-partition global-grain rows, which must survive) with
-    the re-validating attempt's rows. Repairing owner-batch partitions
-    after the fact needs a fresh checkpoint dir; member-batch partitions
-    reconcile correctly through the same workflow."""
+    Known edge outside the guarantee — DETECTED, raises: in BATCHED mode,
+    ``mark_failed`` on a partition the OWNER batch validated, followed by a
+    relaunch, would mix that partition's old owner-lineage rows (kept —
+    they share a run_id with the owner's member-partition global-grain
+    rows, which must survive) with the re-validating attempt's rows. That
+    shape is recognizable in the checkpoint alone (a non-sentinel partition
+    with a done row under the owner lineage whose LATEST done lineage is a
+    different run_id) and this reader raises ValueError with the remedy
+    (repair owner-batch partitions via a fresh checkpoint dir) instead of
+    returning a silently-duplicated view. Member-batch partitions reconcile
+    correctly through the same mark_failed workflow."""
     from data_check_spark import checkpoint as cp
 
     cpdf = cp.read_checkpoint(spark, checkpoint_dir)
@@ -841,6 +845,47 @@ def reconcile_outputs(
         for r in rows
         if r["partition"] != cp.OWNER_SENTINEL
     ]
+    if sentinel:
+        # Detect the one shape this reader cannot reconcile: an OWNER-batch
+        # partition repaired via mark_failed + relaunch in the SAME
+        # checkpoint dir. Its latest-done lineage is the repair attempt,
+        # but its original per-row violations live under the owner lineage
+        # — which must stay valid globally (it carries every member
+        # partition's global-grain rows), so the old rows cannot be
+        # filtered out by partition+run_id and the view would duplicate.
+        # The checkpoint alone reveals the shape: a non-sentinel partition
+        # with a done row under the owner lineage whose latest-done row is
+        # a different lineage. Raise with the remedy rather than return a
+        # silently-duplicated multiset. Bounded collect: distinct owner-
+        # batch partitions only.
+        _owner_lineages = sorted({s["lineage"] for s in sentinel})
+        _owner_done_parts = {
+            r["partition"]
+            for r in cpdf.filter(
+                (F.col("status") == "done")
+                & F.col("lineage").isin(_owner_lineages)
+                & (F.col("partition") != cp.OWNER_SENTINEL)
+            )
+            .select("partition")
+            .distinct()
+            .collect()
+        }
+        _conflicted = sorted(
+            p
+            for p, rid in pairs
+            if p in _owner_done_parts and rid not in _owner_lineages
+        )
+        if _conflicted:
+            raise ValueError(
+                "cannot reconcile exactly-once: partition(s) "
+                f"{_conflicted} were validated by the OWNER batch and later "
+                "re-validated under a different lineage (mark_failed + "
+                "relaunch into the same checkpoint dir). Owner-lineage rows "
+                "cannot be split by grain, so the reconciled view would "
+                "duplicate these partitions' violations. Repair owner-batch "
+                "partitions with a fresh --checkpoint-dir (and a fresh "
+                "output dir) instead."
+            )
     if sentinel:
         null_rid = sentinel[0]["lineage"]
     elif rows:

@@ -627,11 +627,28 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> Da
     key = (app, sf_dir, threshold)
     df = _NGRAM_PAIRS_CACHE.get(key)
     if df is None:
-        path = f"/tmp/dcs_shared_pairs_{app}_{abs(hash((sf_dir, threshold)))}.parquet"
-        if not _os.path.isdir(path):
+        # hashlib, not hash(): the name must be stable within the process
+        # regardless of PYTHONHASHSEED (hash() isn't, and the applicationId
+        # prefix is what actually scopes it to this session). Write to a
+        # tmp dir + atomic rename so a crashed/interrupted build can never
+        # leave a partial parquet dir at the final path poisoning every
+        # later consumer; trust the final path only if Spark's _SUCCESS
+        # commit marker is present. Dirs are removed at interpreter exit.
+        import atexit as _atexit
+        import hashlib as _hashlib
+        import shutil as _shutil
+
+        digest = _hashlib.md5(f"{sf_dir}|{threshold}".encode()).hexdigest()[:16]
+        path = f"/tmp/dcs_shared_pairs_{app}_{digest}.parquet"
+        if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
+            _shutil.rmtree(path, ignore_errors=True)
+            tmp = f"{path}.tmp-{_os.getpid()}"
+            _shutil.rmtree(tmp, ignore_errors=True)
             _dedup.ngram_jaccard_pairs(
                 _docs_parallel(spark, sf_dir), threshold=threshold
-            ).write.mode("overwrite").parquet(path)
+            ).write.mode("overwrite").parquet(tmp)
+            _os.rename(tmp, path)
+            _atexit.register(_shutil.rmtree, path, ignore_errors=True)
         df = spark.read.parquet(path)
         _NGRAM_PAIRS_CACHE[key] = df
     return df
@@ -6629,6 +6646,22 @@ def scan_pruning_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruning_report,
     )
 
+    # The registered oracle embeds a LITERAL sf0.01 path (DuckDB's
+    # parquet_metadata can't read a view). Run verbatim at any other
+    # sf_dir it would silently compare footers of different files — fail
+    # loudly instead. A harness that retargets the literal (as
+    # tools/check_oracle.py does) sets the env escape to attest it.
+    import os as _os
+
+    if _os.path.basename(_os.path.normpath(sf_dir)) != "sf0.01" and not _os.environ.get(
+        "DATA_CHECK_ORACLE_PATH_TEMPLATED"
+    ):
+        raise ValueError(
+            "scan_pruning_lineitem's oracle pins /root/testdata/sf0.01 "
+            f"(parquet_metadata takes a literal path) but sf_dir={sf_dir!r}; "
+            "retarget the oracle's literal path to sf_dir and set "
+            "DATA_CHECK_ORACLE_PATH_TEMPLATED=1, or run at sf0.01."
+        )
     stats = parquet_rowgroup_stats(
         spark, f"{sf_dir}/lineitem.parquet", list(_SCAN_PRUNE_COLS)
     )

@@ -32,11 +32,14 @@ full-table aggregation storm). The approximate counts only NOMINATE:
 - every other decision (not-null, range, format) never depended on distinct
   counts.
 
-So the emitted catalog is identical to the exact path's on every input —
-the DuckDB oracle replays the decisions with exact SQL — while the scan
-cost drops from Expand×columns to two cheap aggregates. ``exact=True``
-restores the single-pass exact profile (useful when a table has MANY
-near-unique columns and per-nominee verification jobs would add up).
+So the emitted catalog matches the exact path's up to HLL error bounds:
+UNIQUE nomination gates on the HLL estimate reaching 0.8×n_rows, and at
+rsd=0.02 an estimate for a truly-unique column landing below that bar is a
+>10-sigma event — astronomically unlikely, but not a hard guarantee. Every
+other rule family's decision is exact, and the DuckDB oracle replays the
+decisions with exact SQL. ``exact=True`` is the strict-guarantee mode
+(single-pass exact profile — also useful when a table has MANY near-unique
+columns and per-nominee verification jobs would add up).
 """
 
 from __future__ import annotations

@@ -264,9 +264,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.export_result:
             _export_report(fv_written, catalog, args.export_result)
         final_total = fv_written.count()
+        # Both headline numbers describe the SAME exactly-once view: after a
+        # crash-relaunch the current invocation only ran the remaining
+        # batches, so summing batch_runs would pair a partial rows_scanned
+        # with the complete reconciled violation total. The reconciled
+        # verdicts carry each partition's rows_scanned exactly once.
+        final_rows_scanned = (
+            spark.read.parquet(f"{args.output_dir}/verdicts_final")
+            .agg(F.coalesce(F.sum("rows_scanned"), F.lit(0)))
+            .collect()[0][0]
+        )
         print(json.dumps({
             "batches": batch_runs,
-            "rows_scanned": sum(b["rows_scanned"] for b in batch_runs),
+            "rows_scanned": int(final_rows_scanned),
             "total_violations": final_total,
             "wall_sec": round(time.monotonic() - t0, 1),
         }))

@@ -714,3 +714,58 @@ def test_batched_empty_input_reports_empty_table(spark, tmp_path):
     final = spark.read.parquet(str(tmp_path / "out" / "violations_final"))
     empty_rows = final.filter("rule_id = 'EMPTY_INPUT'").count()
     assert empty_rows == 1
+
+
+def test_mark_failed_on_owner_batch_partition_raises(spark, batch_data, tmp_path):
+    """The one shape reconciliation cannot split by grain: mark_failed on a
+    partition the OWNER batch validated + relaunch into the same checkpoint
+    dir. The owner lineage must stay globally valid (it carries member
+    partitions' global-grain rows), so the repaired partition's old rows
+    can't be dropped — reconcile_outputs must raise with the
+    fresh-checkpoint-dir remedy instead of returning duplicates (ADVICE r04
+    medium)."""
+    import time as _time
+
+    from jobs.validate_job import main as job_main
+    from data_check_spark import checkpoint as cp
+    from data_check_spark.engine import reconcile_outputs
+    from data_check_spark.rules.catalog_audio import audio_catalog
+
+    clips, tr = batch_data
+    inp, trp = str(tmp_path / "clips"), str(tmp_path / "tr")
+    clips.write.parquet(inp)
+    tr.write.parquet(trp)
+
+    args = [
+        "--input", inp, "--transcripts", trp,
+        "--output-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--partition-batches", "2",
+        "--run-ts", "2026-01-01 00:00:00",
+    ]
+    assert job_main(list(args)) == 0
+
+    # find a partition the OWNER batch validated (shares the sentinel lineage)
+    ckdf = cp.read_checkpoint(spark, str(tmp_path / "ck"))
+    owner_lineage = ckdf.filter(
+        F.col("partition") == cp.OWNER_SENTINEL
+    ).collect()[0]["lineage"]
+    owner_part = ckdf.filter(
+        (F.col("lineage") == owner_lineage)
+        & (F.col("partition") != cp.OWNER_SENTINEL)
+    ).collect()[0]["partition"]
+
+    _time.sleep(1.1)  # completed_at granularity
+    cp.mark_failed(spark, str(tmp_path / "ck"), owner_part, "repair")
+    # the relaunch re-validates owner_part under a new lineage, then its
+    # final reconcile detects the unsplittable shape and raises
+    with pytest.raises(ValueError, match="fresh --checkpoint-dir"):
+        job_main(list(args) + ["--resume"])
+    # direct read view raises too — no silently-duplicated multiset
+    cat = audio_catalog(bytes_cap_ms=100)
+    warning_ids = [r.rule_id for r in cat if r.severity == "warning"]
+    with pytest.raises(ValueError, match=owner_part):
+        reconcile_outputs(
+            spark, str(tmp_path / "out"), str(tmp_path / "ck"),
+            warning_ids=warning_ids,
+        )

@@ -77,3 +77,15 @@ def test_plan_no_shuffle_one_python_stage(spark, multi_rg_dir):
     df = parquet_rowgroup_stats(spark, multi_rg_dir, ["id"])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+def test_scan_pruning_query_refuses_untemplated_non_sf001(monkeypatch):
+    """The registered oracle pins a literal sf0.01 path; run verbatim at any
+    other sf_dir it would compare footers of DIFFERENT files. The query must
+    fail loudly there unless the harness attests it retargeted the path
+    (VERDICT r04 item 2)."""
+    from data_check_spark.queries import QUERIES
+
+    monkeypatch.delenv("DATA_CHECK_ORACLE_PATH_TEMPLATED", raising=False)
+    with pytest.raises(ValueError, match="sf0.01"):
+        QUERIES["scan_pruning_lineitem"](None, "/root/testdata/sf0.1")

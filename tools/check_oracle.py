@@ -8,7 +8,13 @@ DuckDB. Usage:  python tools/check_oracle.py [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
+
+# This harness retargets literal sf0.01 paths inside oracle SQL to the
+# chosen sf_dir (see the .replace below); attest that so path-pinned
+# queries (scan_pruning_lineitem) don't refuse non-sf0.01 runs.
+os.environ["DATA_CHECK_ORACLE_PATH_TEMPLATED"] = "1"
 
 import duckdb
 
