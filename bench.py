@@ -161,6 +161,11 @@ BENCH_QUERIES = [
     "partition_profile_orders",
     "clips_validate_batched",
     "scan_pruning_lineitem",
+    # round 5: streaming surface replayed to completion (availableNow)
+    "streaming_dedup_events",
+    "streaming_window_counts_events",
+    "streaming_row_rules_events",
+    "ivf_incremental_embeddings",
 ]
 
 

@@ -567,10 +567,85 @@ def portable_ivf_topk(
     dim·n_lists rows to the driver, never vectors; the corpus shuffles
     once keyed by cell for the probe join.
     """
-    import math
-
     if not 1 <= n_probe <= n_lists:
         raise ValueError(f"need 1 <= n_probe <= n_lists, got {n_probe}/{n_lists}")
+    cents = portable_ivf_train(
+        vectors, id_col=id_col, vec_col=vec_col,
+        n_lists=n_lists, lloyd_iters=lloyd_iters,
+    )
+    assigned = portable_ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    probes = (
+        _int_cells_sorted(
+            queries.select(
+                F.col(q_id_col).alias("_qid"), _vec_d(q_vec_col).alias("_qv")
+            ).withColumn("_xq", _int_quantize("_qv")),
+            cents,
+        )
+        .select(
+            "_qid", "_qv",
+            F.explode(
+                F.transform(
+                    F.slice("_cells", 1, min(n_probe, len(cents))),
+                    lambda s: s["cell"],
+                )
+            ).alias("_cell"),
+        )
+    )
+    return _rerank_probed(assigned, probes, k)
+
+
+def _int_quantize(vec_out: str) -> Column:
+    """``floor(x·QUANT_SCALE + 0.5)`` as bigint — the integer-exact vector
+    quantization every portable-IVF routing decision is computed in."""
+    return F.transform(
+        F.col(vec_out),
+        lambda x: F.floor(x * F.lit(float(QUANT_SCALE)) + F.lit(0.5)).cast("long"),
+    )
+
+
+def _int_sq_dist_to(xq: Column, cq: list[int]) -> Column:
+    # ONE SQL array literal per centroid (see _sq_dist above); 'L' pins LONG
+    c_arr = F.expr("array(" + ",".join(f"{c}L" for c in cq) + ")")
+    return F.aggregate(
+        F.zip_with(xq, c_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_cells_sorted(
+    df: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Add ``_cells``: (distance, cell) structs sorted ascending — ties
+    break on cell index, identically in both engines."""
+    dists = F.array(
+        *[
+            F.struct(
+                _int_sq_dist_to(F.col("_xq"), cq).alias("d"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, cq in cents
+        ]
+    )
+    return df.withColumn("_cells", F.array_sort(dists))
+
+
+def portable_ivf_train(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    lloyd_iters: int = 0,
+) -> list[tuple[int, list[int]]]:
+    """Deterministic coarse-quantizer training (the build half of
+    :func:`portable_ivf_topk`, split out so an index can be trained once
+    and maintained incrementally via :func:`ivf_add_batch`): md5-seeded
+    cells + integer-exact Lloyd refinements. Returns the (cell_id,
+    quantized centroid) list; cell ids stay stable across refinement and a
+    cell that loses all members is dropped."""
+    import math
+
     if lloyd_iters < 0:
         raise ValueError(f"lloyd_iters must be >= 0, got {lloyd_iters}")
     seed_rows = (
@@ -579,45 +654,16 @@ def portable_ivf_topk(
         .limit(n_lists)
         .collect()
     )
-    # (cell_id, quantized centroid) — cell ids stay stable across refinement
     cents: list[tuple[int, list[int]]] = [
         (i, [int(math.floor(x * QUANT_SCALE + 0.5)) for x in r["_sv"]])
         for i, r in enumerate(seed_rows)
     ]
-
-    def _int_sq_dist(xq: Column, cq: list[int]) -> Column:
-        c_arr = F.expr("array(" + ",".join(f"{c}L" for c in cq) + ")")
-        return F.aggregate(
-            F.zip_with(xq, c_arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def _with_cells(df: DataFrame) -> DataFrame:
-        dists = F.array(
-            *[
-                F.struct(
-                    _int_sq_dist(F.col("_xq"), cq).alias("d"),
-                    F.lit(cell).alias("cell"),
-                )
-                for cell, cq in cents
-            ]
-        )
-        return df.withColumn("_cells", F.array_sort(dists))
-
-    def _quantized(vec_out: str) -> Column:
-        return F.transform(
-            F.col(vec_out),
-            lambda x: F.floor(x * F.lit(float(QUANT_SCALE)) + F.lit(0.5)).cast("long"),
-        )
-
     v = vectors.select(
         F.col(id_col).alias("_vid"), _vec_d(vec_col).alias("_vv")
-    ).withColumn("_xq", _quantized("_vv"))
-
+    ).withColumn("_xq", _int_quantize("_vv"))
     for _ in range(lloyd_iters):
         stats = (
-            _with_cells(v)
+            _int_cells_sorted(v, cents)
             .select(
                 F.element_at("_cells", 1)["cell"].alias("_cell"),
                 F.posexplode("_xq").alias("_i", "_x"),
@@ -639,27 +685,75 @@ def portable_ivf_topk(
             (cell, [dims[i] for i in sorted(dims)])
             for cell, dims in sorted(by_cell.items())
         ]
+    return cents
 
-    assigned = _with_cells(v).select(
+
+def portable_ivf_assign(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Voronoi-assign vectors to FIXED centroids (integer-exact, ties by
+    cell index) → the (_vid, _vv, _cell) inverted-file shape. Pure
+    function of (vector, centroids): assigning a batch now or later gives
+    identical cells — the property incremental maintenance rests on."""
+    v = vectors.select(
+        F.col(id_col).alias("_vid"), _vec_d(vec_col).alias("_vv")
+    ).withColumn("_xq", _int_quantize("_vv"))
+    return _int_cells_sorted(v, cents).select(
         "_vid", "_vv", F.element_at("_cells", 1)["cell"].alias("_cell")
     )
-    probes = (
-        _with_cells(
-            queries.select(
-                F.col(q_id_col).alias("_qid"), _vec_d(q_vec_col).alias("_qv")
-            ).withColumn("_xq", _quantized("_qv"))
-        )
-        .select(
-            "_qid", "_qv",
-            F.explode(
-                F.transform(
-                    F.slice("_cells", 1, min(n_probe, len(cents))),
-                    lambda s: s["cell"],
-                )
-            ).alias("_cell"),
-        )
+
+
+def save_portable_ivf_index(
+    assigned: DataFrame, cents: list[tuple[int, list[int]]], path: str
+) -> None:
+    """Persist inverted file (partitioned by cell → probe-time partition
+    pruning) + the quantized centroid table (tiny n_lists-row parquet)."""
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/cells")
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        list(cents), "cell int, qcentroid array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/qcentroids")
+
+
+def load_portable_ivf_index(
+    spark, path: str
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Inverse of :func:`save_portable_ivf_index`."""
+    assigned = spark.read.parquet(f"{path}/cells")
+    rows = spark.read.parquet(f"{path}/qcentroids").orderBy("cell").collect()
+    return assigned, [(int(r["cell"]), [int(x) for x in r["qcentroid"]]) for r in rows]
+
+
+def ivf_add_batch(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign an ARRIVING batch against the
+    persisted coarse quantizer and append it to the inverted file — no
+    retrain, no touch of existing cells' data (append goes only to the
+    partitions the new vectors land in). Centroids stay fixed, the
+    standard IVF maintenance contract (retraining is a separate, rarer
+    rebuild); because assignment is a pure function of (vector, centroids),
+    the store after N add-batches is row-identical to a single full
+    assignment of the union — the equivalence the
+    ``ivf_incremental_embeddings`` oracle checks value-for-value. Scale
+    shape: the batch never joins the corpus; one scan of the batch + an
+    n_lists-row centroid read."""
+    _, cents = load_portable_ivf_index(spark, path)
+    (
+        portable_ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
+        .write.mode("append")
+        .partitionBy("_cell")
+        .parquet(f"{path}/cells")
     )
-    return _rerank_probed(assigned, probes, k)
 
 
 EMBEDDING_QUALITY_RULES = (

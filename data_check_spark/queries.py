@@ -56,8 +56,19 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+_T_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver table. The DataFrame (an immutable plan over static
+    testdata) is cached per session so repeat queries skip the ~0.1s file
+    listing + footer read; applicationId in the key drops the cache with
+    its session."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = _T_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6668,3 +6679,346 @@ def scan_pruning_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruning_report(
         stats, lo=_SCAN_PRUNE_LO, hi=_SCAN_PRUNE_HI
     ).orderBy("col_name", "row_group")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming value-backing: the streaming surface
+# (streaming/incremental.py, streaming/stateful.py) replayed to completion
+# over the static `events` table — files written to a scratch dir, an
+# availableNow stream run through the REAL streaming runtime (file source →
+# row-rule projection / windowed agg / applyInPandasWithState → parquet
+# sink), the sink read back and compared value-level against a DuckDB
+# analytic replay. Scale shape: identical to the production paths — the
+# batch-boundary-dependent internals (micro-batch splits, watermark
+# advancement, state store) are exercised for real, while the REGISTERED
+# outputs are chosen to be batch-boundary-INVARIANT so the oracle is exact:
+#   - stateful dedup: total emissions per key == total key count (every
+#     occurrence of a duplicated key is emitted exactly once, retroactive
+#     first included) regardless of how arrivals split into batches;
+#   - windowed counts: append-mode emission == windows whose end <= final
+#     watermark (max event time minus the delay, reached via the trailing
+#     no-data micro-batch) — analytically computable, with the held-back
+#     open tail evidencing the watermark semantics;
+#   - row-local rules: a stateless projection, batch-invariant by nature.
+# ---------------------------------------------------------------------------
+
+
+def _stream_workspace(tag: str) -> tuple[str, str, str]:
+    """Fresh (input, sink, checkpoint) dirs for ONE streaming replay.
+
+    Every invocation gets its own workspace: reusing a streaming checkpoint
+    against already-seen files is a no-op run (the file source remembers
+    processed paths), which would silently return an empty sink on repeat
+    calls. Removed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=f"dcs_stream_{tag}_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return f"{root}/in", f"{root}/out", f"{root}/ckpt"
+
+
+def _events_as_clip_waves(spark: SparkSession, sf_dir: str, in_dir: str,
+                          *, key: str, n_waves: int = 4) -> None:
+    """Write `events` as ``n_waves`` clip-schema parquet files (wave =
+    ``event_id % n_waves``) so ``maxFilesPerTrigger=1`` forces genuinely
+    separate micro-batches with every key spread across them."""
+    ev = _t(spark, sf_dir, "events")
+    clips = ev.select(
+        F.col(key).cast("string").alias("clip_id"),
+        F.lit(16000).alias("sr_hz"),
+        F.floor("value").cast("int").alias("dur_ms"),
+        F.col("event_type").alias("codec"),
+        F.col("props").alias("transcript"),
+        F.col("event_type").alias("partition"),
+        F.col("ts").alias("event_ts"),
+        F.pmod("event_id", F.lit(n_waves)).alias("_wave"),
+    )
+    for i in range(n_waves):
+        (clips.filter(F.col("_wave") == i).drop("_wave")
+              .coalesce(1).write.mode("append").parquet(in_dir))
+
+
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT cast(user_id AS varchar) AS clip_id,
+           count(*) AS n_emitted,
+           count(DISTINCT event_type) AS n_partitions
+    FROM events GROUP BY user_id HAVING count(*) >= 2
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful dedup (streaming/stateful.py,
+    applyInPandasWithState) replayed to completion: events keyed by user_id
+    stream through 4 forced micro-batches; every occurrence of a key seen
+    >= 2 times is emitted exactly once (the first retroactively when the
+    second arrives), so per-key emission totals equal the key's full count
+    — batch-boundary-invariant, hence exactly oracle-checkable."""
+    from data_check_spark.streaming.incremental import stream_clips
+    from data_check_spark.streaming.stateful import streaming_duplicate_violations
+
+    in_dir, out_dir, ckpt = _stream_workspace("dedup")
+    _events_as_clip_waves(spark, sf_dir, in_dir, key="user_id")
+    stream = stream_clips(spark, in_dir, max_files_per_trigger=1)
+    viol = streaming_duplicate_violations(stream)
+    q = (
+        viol.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    sink = spark.read.schema(
+        "rule_id string, clip_id string, partition string, observed string"
+    ).parquet(out_dir)
+    return (
+        sink.groupBy("clip_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_emitted"),
+            F.count_distinct("partition").alias("n_partitions"),
+        )
+        .orderBy("clip_id")
+    )
+
+
+_STREAM_WINDOW_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', e.ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+       e.event_type AS rule_id,
+       count(*) AS n_violations
+FROM events e, mx
+GROUP BY 1, 2, 3, mx.m
+HAVING CAST(date_trunc('day', e.ts) + INTERVAL 1 DAY AS TIMESTAMP)
+       <= mx.m - INTERVAL 2 DAY
+"""
+
+
+@register("streaming_window_counts_events", _STREAM_WINDOW_SQL)
+def streaming_window_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts (violation_rate_monitor) replayed
+    to completion: events stream as (rule_id=event_type, event_ts=ts) in 4
+    micro-batches. After the last file batch Spark's no-data micro-batch
+    (``noDataMicroBatches.enabled``, default on) advances the watermark to
+    max(ts) - 2d and append mode evicts+emits exactly the windows that
+    closed — the last two days' windows stay OPEN, and that held-back tail
+    is the watermark semantics under test. The emitted set is analytically
+    exact: windows whose end <= max(ts) - 2d (no window ends on the
+    microsecond watermark boundary, so the strictness of Spark's internal
+    comparison cannot matter)."""
+    from pyspark.sql import types as T
+
+    from data_check_spark.streaming.incremental import violation_rate_monitor
+
+    in_dir, out_dir, ckpt = _stream_workspace("window")
+    ev = _t(spark, sf_dir, "events")
+    # CHRONOLOGICAL waves (week buckets), not id-mod: the file source
+    # processes files in write order, so arrivals are in event-time order
+    # across batches and nothing ever falls behind the watermark — late
+    # DROPS would otherwise make the emitted counts batch-dependent. (The
+    # late-data drop semantics themselves are pinned by
+    # tests/test_streaming.py::test_watermark_bound_controls_late_data_loss.)
+    viol = ev.select(
+        F.col("event_type").alias("rule_id"),
+        F.col("ts").alias("event_ts"),
+        F.least(
+            F.lit(3), F.floor(F.dayofmonth("ts") / 8).cast("int")
+        ).alias("_wave"),
+    )
+    for i in range(4):
+        (viol.filter(F.col("_wave") == i).drop("_wave")
+             .coalesce(1).write.mode("append").parquet(in_dir))
+
+    schema = T.StructType([
+        T.StructField("rule_id", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ])
+
+    def _run_available_now() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        counts = violation_rate_monitor(stream, window="1 day", watermark="2 days")
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    _run_available_now()
+
+    sink = spark.read.schema(
+        "window_start timestamp, window_end timestamp, rule_id string, "
+        "n_violations long"
+    ).parquet(out_dir)
+    return sink.orderBy("window_start", "rule_id")
+
+
+EVENT_STREAM_RULES = [
+    Rule("EV_VALUE_RANGE", "range", "dur_ms", {"min": 1, "max": 150},
+         name="floored event value within the sane range"),
+    Rule("EV_TYPE_SET", "value_in_set", "codec",
+         {"allowed": ["click", "purchase", "signup", "view"]},
+         name="event type must be a non-error code"),
+    Rule("EV_PROPS_FORMAT", "format", "transcript",
+         {"pattern": r'^\{"k": [0-9]+\}$'},
+         name="props must be the expected one-key JSON shape"),
+]
+
+_STREAM_ROW_RULES_SQL = r"""
+WITH ev AS (
+    SELECT cast(event_id AS varchar) AS clip_id,
+           CAST(floor(value) AS INT) AS dur_ms,
+           event_type AS codec, props AS transcript,
+           event_type AS "partition", ts
+    FROM events
+)
+SELECT 'EV_VALUE_RANGE' AS rule_id, clip_id, "partition",
+       cast(dur_ms AS varchar) AS observed, ts AS event_ts
+FROM ev WHERE dur_ms IS NOT NULL AND (dur_ms < 1 OR dur_ms > 150)
+UNION ALL
+SELECT 'EV_TYPE_SET', clip_id, "partition", codec, ts
+FROM ev
+WHERE codec IS NOT NULL AND trim(codec) <> ''
+  AND codec NOT IN ('click', 'purchase', 'signup', 'view')
+UNION ALL
+SELECT 'EV_PROPS_FORMAT', clip_id, "partition", transcript, ts
+FROM ev
+WHERE transcript IS NOT NULL AND trim(transcript) <> ''
+  AND NOT regexp_matches(transcript, '^\{"k": [0-9]+\}$')
+"""
+
+
+@register("streaming_row_rules_events", _STREAM_ROW_RULES_SQL)
+def streaming_row_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local rules through the REAL streaming runtime
+    (start_incremental_validation: file source → the same compiled
+    projection the batch engine uses → append parquet sink), replayed to
+    completion over clip-shaped events. Stateless, so batch-invariant; the
+    sink multiset (with event_ts threaded through) is exactly the batch
+    SQL's answer."""
+    from data_check_spark.rules.spec import RuleCatalog
+    from data_check_spark.streaming.incremental import start_incremental_validation
+
+    in_dir, out_dir, ckpt = _stream_workspace("rowrules")
+    _events_as_clip_waves(spark, sf_dir, in_dir, key="event_id")
+    q = start_incremental_validation(
+        spark, in_dir, out_dir,
+        RuleCatalog(EVENT_STREAM_RULES),
+        run_ts=_RUN_TS, checkpoint_dir=ckpt, trigger_once=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    return spark.read.schema(
+        "rule_id string, clip_id string, partition string, observed string, "
+        "event_ts timestamp"
+    ).parquet(out_dir).orderBy("rule_id", "clip_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance (operators/similarity.py::ivf_add_batch):
+# train the deterministic coarse quantizer on the BASE corpus, persist the
+# index, then assign an arriving batch against the persisted centroids
+# WITHOUT retraining. The oracle replays centroid training over the base
+# and a single full assignment of base+batch — append-after-add-batch must
+# equal it row-for-row (assignment is a pure function of vector+centroids).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_incremental_oracle_sql(
+    *, n_lists: int = 8, dim: int = 64, lloyd_iters: int = 1
+) -> str:
+    """DuckDB mirror: md5-seeded centroids + integer Lloyd over the BASE
+    subset (vec_id % 4 != 0), then integer-exact assignment of ALL vectors
+    to those fixed centroids — exactly what base-build + add-batch leaves
+    in the cell store."""
+    scale = _sim.QUANT_SCALE
+    sq = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        "i -> (x.q[i::int] - s.cq[i::int]) * (x.q[i::int] - s.cq[i::int])), 'sum')"
+    )
+    stages = [
+        f"""xq AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+                                x -> cast(floor(x * {scale} + 0.5) AS bigint)) AS q
+  FROM embeddings
+)""",
+        """xb AS (SELECT * FROM xq WHERE vec_id % 4 <> 0)""",
+        f"""c0 AS (
+  SELECT cell, q AS cq FROM (
+    SELECT row_number() OVER (ORDER BY md5(cast(vec_id AS varchar)), vec_id) - 1 AS cell, q
+    FROM xb
+  ) WHERE cell < {n_lists}
+)""",
+    ]
+    for j in range(lloyd_iters):
+        stages.append(
+            f"""a{j} AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT x.vec_id, x.q, s.cell,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {sq}, s.cell) AS rn
+    FROM xb x CROSS JOIN c{j} s
+  ) WHERE rn = 1
+)"""
+        )
+        stages.append(
+            f"""c{j + 1} AS (
+  SELECT cell, list(m ORDER BY i) AS cq FROM (
+    SELECT cell, i, cast(sum(q[i::int]) // count(*) AS bigint) AS m
+    FROM a{j}, unnest(range(1, {dim + 1})) t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+)"""
+        )
+    stages.append(
+        f"""af AS (
+  SELECT vec_id, cell FROM (
+    SELECT x.vec_id, s.cell,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY {sq}, s.cell) AS rn
+    FROM xq x CROSS JOIN c{lloyd_iters} s
+  ) WHERE rn = 1
+)"""
+    )
+    body = ",\n".join(stages)
+    return f"""
+WITH {body}
+SELECT vec_id, CAST(cell AS INT) AS cell,
+       CAST(vec_id % 4 = 0 AS INT) AS added
+FROM af ORDER BY vec_id
+"""
+
+
+@register("ivf_incremental_embeddings", _ivf_incremental_oracle_sql())
+def ivf_incremental_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance end-to-end: train on base (vec_id % 4
+    != 0, md5 seeds + 1 integer Lloyd pass), persist the index
+    (cell-partitioned inverted file + quantized centroid table), add-batch
+    the remaining quarter against the PERSISTED centroids, read the store
+    back. Output = every vector's final cell + whether it arrived via
+    add-batch; value-identical to a single full assignment, which is what
+    the oracle computes analytically."""
+    in_dir, _out, _ck = _stream_workspace("ivf_incr")
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = _sim.portable_ivf_train(base, n_lists=8, lloyd_iters=1)
+    _sim.save_portable_ivf_index(
+        _sim.portable_ivf_assign(base, cents), cents, in_dir
+    )
+    _sim.ivf_add_batch(spark, in_dir, new)
+    cells, _ = _sim.load_portable_ivf_index(spark, in_dir)
+    return cells.select(
+        F.col("_vid").alias("vec_id"),
+        F.col("_cell").cast("int").alias("cell"),
+        (F.col("_vid") % 4 == 0).cast("int").alias("added"),
+    ).orderBy("vec_id")

@@ -80,10 +80,35 @@ def suggest_rules(
 
     dtypes = dict(df.dtypes)
     cols = columns or [c for c, t in df.dtypes if t != "binary"]
-    prof = {
-        r["col_name"]: r
-        for r in column_profile(df, cols, approx=not exact, rsd=0.02).collect()
-    }
+    # The three discovery scans are latency-dominated single-task jobs on a
+    # small table (fixed ~0.35s job cost each on this host) and mutually
+    # independent: run the profile as two concurrent column-halves and the
+    # mask histogram (over ALL string columns — enum columns' masks are
+    # simply discarded after the exact SET decision below) alongside them.
+    # Decisions are unchanged — this only overlaps job latency; on a real
+    # cluster the same three jobs share executor slots the same way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    str_cols = [c for c in cols if dtypes[c] == "string"]
+    n_chunks = min(3, max(1, len(cols) // 2))
+    chunks = [cols[i::n_chunks] for i in range(n_chunks)]
+    with ThreadPoolExecutor(max_workers=n_chunks + 1) as ex:
+        prof_futs = [
+            ex.submit(
+                lambda cs=cs: column_profile(
+                    df, cs, approx=not exact, rsd=0.02
+                ).collect()
+            )
+            for cs in chunks
+            if cs
+        ]
+        mask_fut = (
+            ex.submit(lambda: format_masks(df, str_cols, top_n=1).collect())
+            if str_cols
+            else None
+        )
+        prof = {r["col_name"]: r for f in prof_futs for r in f.result()}
+        all_masks = {r["col_name"]: r for r in mask_fut.result()} if mask_fut else {}
 
     def _blanks(p) -> int:
         return (p["n_nulls"] or 0) + (p["n_blank"] or 0)
@@ -105,6 +130,20 @@ def suggest_rules(
     )
 
     numeric = [c for c in cols if dtypes[c].startswith(_NUMERIC_PREFIXES)]
+    # The profile already carries min/max, rendered to strings. For int and
+    # decimal types the rendering is EXACT (cast-to-string), so parsing it
+    # back reproduces precisely what collecting the native value gives and
+    # those columns can skip the verify aggregate below. float/double render
+    # %.2f (lossy — a max of 0.994 would come back 0.99, a TIGHTER bound
+    # that fails rows the profile saw), so they keep their exact min/max in
+    # the verify pass.
+    def _exact_rendered(c: str) -> bool:
+        return not dtypes[c].startswith(("float", "double"))
+
+    def _parse_back(c: str, s: str):
+        return int(s) if dtypes[c].startswith(
+            ("tinyint", "smallint", "int", "bigint")
+        ) else float(s)
     # SET candidacy is decided by the EXACT collect_set below; the approx
     # count only keeps unbounded collects off high-cardinality columns (a
     # generous 4x margin — HLL cannot inflate <=12 distinct past it).
@@ -115,7 +154,8 @@ def suggest_rules(
     ]
     aggs = []
     for c in numeric:
-        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        if not _exact_rendered(c):
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
     for c in set_nominees:
         aggs.append(F.collect_set(c).alias(f"_set_{c}"))
     for c in uniq_nominees:
@@ -128,10 +168,7 @@ def suggest_rules(
     ]
 
     fmt_cand = [c for c in cols if dtypes[c] == "string" and c not in enum_cand]
-    masks: dict[str, list] = {}
-    if fmt_cand:
-        for r in format_masks(df, fmt_cand, top_n=1).collect():
-            masks[r["col_name"]] = r
+    masks = {c: all_masks[c] for c in fmt_cand if c in all_masks}
 
     rules: list[Rule] = []
     for c in cols:
@@ -146,7 +183,11 @@ def suggest_rules(
             rules.append(Rule(f"{uc}_UNIQUE", "unique", c,
                               name=f"{c} was a candidate key when profiled"))
         if c in numeric and p["n_distinct"]:
-            lo, hi = extremes[f"_min_{c}"], extremes[f"_max_{c}"]
+            if _exact_rendered(c):
+                lo = None if p["min_value"] is None else _parse_back(c, p["min_value"])
+                hi = None if p["max_value"] is None else _parse_back(c, p["max_value"])
+            else:
+                lo, hi = extremes[f"_min_{c}"], extremes[f"_max_{c}"]
             if lo is not None and hi is not None:
                 rules.append(Rule(
                     f"{uc}_RANGE", "range", c,

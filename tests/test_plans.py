@@ -253,3 +253,20 @@ def test_cluster_representatives_window_keyed_by_cluster(spark):
     # the row_number window must be partitioned by cluster_id (never a
     # single-partition global window over the corpus)
     assert "windowspecdefinition(cluster_id" in plan
+
+
+def test_ivf_add_batch_assignment_no_join_no_shuffle(spark):
+    """Incremental IVF maintenance must never join the batch against the
+    corpus: assignment against fixed centroids is a pure projection
+    (centroid array literals, codegen'd distance fold) — one scan of the
+    arriving batch, zero exchanges, zero joins."""
+    from data_check_spark.operators.similarity import (
+        portable_ivf_assign,
+        portable_ivf_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = portable_ivf_train(emb, n_lists=4, lloyd_iters=0)
+    plan = _plan(portable_ivf_assign(emb, cents))
+    assert "Join" not in plan
+    assert "Exchange" not in plan

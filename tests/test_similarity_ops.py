@@ -562,3 +562,53 @@ def test_ivf_fast_agrees_with_portable_on_registered_probes(spark):
     for qid in exact:
         assert len(fast[qid] & portable[qid]) >= 8, (qid, fast[qid], portable[qid])
         assert len(fast[qid] & exact[qid]) >= 9, (qid, fast[qid], exact[qid])
+
+
+def test_ivf_add_batch_equals_full_assignment(spark, vectors, tmp_path):
+    """Incremental IVF maintenance: train on the base 3/4, persist,
+    add-batch the remaining 1/4 against the PERSISTED centroids — the
+    resulting store must be row-identical (id, cell) to one full
+    assignment of the union, and a search over the maintained index must
+    equal the search over the fully-rebuilt-assignment index (same
+    centroids), because assignment is a pure function of
+    (vector, centroids)."""
+    from pyspark.sql import functions as F
+
+    from data_check_spark.operators.similarity import (
+        _rerank_probed,
+        ivf_add_batch,
+        load_portable_ivf_index,
+        portable_ivf_assign,
+        portable_ivf_train,
+        save_portable_ivf_index,
+    )
+
+    df, _rows = vectors
+    base, new = df.filter("vec_id % 4 != 0"), df.filter("vec_id % 4 = 0")
+    cents = portable_ivf_train(base, n_lists=6, lloyd_iters=1)
+    path = str(tmp_path / "ivf")
+    save_portable_ivf_index(portable_ivf_assign(base, cents), cents, path)
+    ivf_add_batch(spark, path, new)
+
+    maintained, cents_back = load_portable_ivf_index(spark, path)
+    assert cents_back == cents  # persisted quantizer is exact
+    got = {(r["_vid"], r["_cell"]) for r in maintained.collect()}
+    full = portable_ivf_assign(df, cents)
+    want = {(r["_vid"], r["_cell"]) for r in full.collect()}
+    assert got == want and len(got) == df.count()
+
+    # search equivalence over a probe of every cell (exact within index)
+    q = df.filter("vec_id < 2").select(
+        F.col("vec_id").alias("_qid"), F.col("embedding").alias("_qv")
+    )
+    probes = q.crossJoin(
+        spark.createDataFrame([(c,) for c, _ in cents], "_cell int")
+    )
+    def topk(assigned):
+        return sorted(
+            (r["q_id"], r["rank"], r["vec_id"])
+            for r in _rerank_probed(
+                assigned.select("_vid", "_vv", "_cell"), probes, 5
+            ).collect()
+        )
+    assert topk(maintained) == topk(full)
