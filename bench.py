@@ -28,6 +28,12 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# The bench times Spark plans only — it never runs the DuckDB oracles, so
+# the oracle-path coupling guard in scan_pruning_lineitem (whose oracle
+# pins a literal sf0.01 parquet_metadata path) must not refuse non-sf0.01
+# sweeps. Attesting here is safe by construction: no comparison happens.
+os.environ.setdefault("DATA_CHECK_ORACLE_PATH_TEMPLATED", "1")
+
 BYTES_CAP_MS = 50
 GEN_PARTITIONS = 128  # balanced input splits; >= 4x max bench parallelism
 
@@ -166,6 +172,7 @@ BENCH_QUERIES = [
     "streaming_window_counts_events",
     "streaming_row_rules_events",
     "ivf_incremental_embeddings",
+    "streaming_sessions_events",
 ]
 
 

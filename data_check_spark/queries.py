@@ -6670,8 +6670,10 @@ def scan_pruning_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             "scan_pruning_lineitem's oracle pins /root/testdata/sf0.01 "
             f"(parquet_metadata takes a literal path) but sf_dir={sf_dir!r}; "
-            "retarget the oracle's literal path to sf_dir and set "
-            "DATA_CHECK_ORACLE_PATH_TEMPLATED=1, or run at sf0.01."
+            "if you compare against the oracle, retarget its literal path "
+            "to sf_dir first; set DATA_CHECK_ORACLE_PATH_TEMPLATED=1 to "
+            "attest that (or that no oracle comparison happens), or run "
+            "at sf0.01."
         )
     stats = parquet_rowgroup_stats(
         spark, f"{sf_dir}/lineitem.parquet", list(_SCAN_PRUNE_COLS)
@@ -7022,3 +7024,89 @@ def ivf_incremental_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_cell").cast("int").alias("cell"),
         (F.col("_vid") % 4 == 0).cast("int").alias("added"),
     ).orderBy("vec_id")
+
+
+_STREAM_SESSIONS_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+d AS (
+  SELECT event_type AS rule_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                   >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+g AS (
+  SELECT rule_id, ts,
+         sum(brk) OVER (PARTITION BY rule_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+),
+s AS (
+  SELECT rule_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 10 MINUTE AS session_end,
+         count(*) AS n_violations
+  FROM g GROUP BY rule_id, sid
+)
+SELECT rule_id, session_start, session_end, n_violations
+FROM s, mx WHERE session_end <= mx.m - INTERVAL 2 DAY
+"""
+
+
+@register("streaming_sessions_events", _STREAM_SESSIONS_SQL)
+def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (violation_sessions, native
+    ``session_window`` + watermark) replayed to completion: chronological
+    waves (no late drops), 10-minute gap, 2-day watermark. Append mode
+    emits a session once the watermark passes its end (last event + gap);
+    the trailing no-data micro-batch advances the watermark to max(ts)-2d,
+    so the emitted set is exactly the sessions the DuckDB islands-and-gaps
+    replay closes before that bound — sessions ending inside the last two
+    days stay open (the watermark hold-back under test). A session break
+    at EXACTLY the gap cannot tie: timestamps are microsecond-grained.
+    ``n_clips`` (approx_count_distinct) is intentionally not selected —
+    HLL estimates aren't cross-engine-replayable."""
+    from pyspark.sql import types as T
+
+    from data_check_spark.streaming.incremental import violation_sessions
+
+    in_dir, out_dir, ckpt = _stream_workspace("sessions")
+    ev = _t(spark, sf_dir, "events")
+    viol = ev.select(
+        F.col("event_type").alias("rule_id"),
+        F.col("event_id").cast("string").alias("clip_id"),
+        F.col("ts").alias("event_ts"),
+        F.least(
+            F.lit(3), F.floor(F.dayofmonth("ts") / 8).cast("int")
+        ).alias("_wave"),
+    )
+    for i in range(4):
+        (viol.filter(F.col("_wave") == i).drop("_wave")
+             .coalesce(1).write.mode("append").parquet(in_dir))
+
+    schema = T.StructType([
+        T.StructField("rule_id", T.StringType()),
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    sessions = violation_sessions(stream, gap="10 minutes", watermark="2 days")
+    q = (
+        sessions.select("session_start", "session_end", "rule_id", "n_violations")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    sink = spark.read.schema(
+        "session_start timestamp, session_end timestamp, rule_id string, "
+        "n_violations long"
+    ).parquet(out_dir)
+    return sink.orderBy("rule_id", "session_start")

@@ -477,3 +477,40 @@ def test_freshness_monitor_tracks_quiet_feed(spark, tmp_path):
     assert s2["p1"]["n_rows"] == 3
     # the quiet feed's state SURVIVES — its growing staleness is the signal
     assert s2["p0"]["last_ts"] == base and s2["p0"]["n_rows"] == 1
+
+
+def test_stream_validate_job_once_drains_and_resumes(spark, tmp_path):
+    """spark-submit streaming entry point: --once drains the backlog into
+    the row-violations sink, a relaunch with the same checkpoint resumes
+    past processed files (only NEW violations append), and --stateful-dedup
+    surfaces a cross-batch duplicate across the two invocations."""
+    import datetime as dt
+
+    from jobs.stream_validate_job import main as job_main
+
+    ts = dt.datetime(2026, 1, 1, 0, 0, 0)
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    args = [
+        "--input", in_dir, "--output-dir", out, "--checkpoint-dir", ckpt,
+        "--once", "--stateful-dedup", "--run-ts", "2026-01-01 00:00:00",
+        "--timeout-sec", "120",
+    ]
+
+    _write_batch(spark, in_dir,
+                 [("cdup", 16000, 1000, "flac", "t", "p0", ts),
+                  (None, 16000, 1000, "flac", "t", "p0", ts)], 1)
+    assert job_main(list(args)) == 0
+    first = spark.read.parquet(f"{out}/row_violations").count()
+    assert first >= 1  # NULL clip_id fires the not-null row rule
+    assert spark.read.parquet(f"{out}/stream_dup").count() == 0
+
+    _write_batch(spark, in_dir,
+                 [("cdup", -1, 1000, "flac", "t", "p1", ts)], 2)
+    assert job_main(list(args)) == 0
+    second = spark.read.parquet(f"{out}/row_violations").count()
+    # resumed run appends only the NEW file's violations (bad sr fires)
+    assert second > first
+    dup_rows = spark.read.parquet(f"{out}/stream_dup").collect()
+    assert sorted(r["partition"] for r in dup_rows) == ["p0", "p1"]
