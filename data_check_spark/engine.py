@@ -886,7 +886,6 @@ def reconcile_outputs(
                 "partitions with a fresh --checkpoint-dir (and a fresh "
                 "output dir) instead."
             )
-    if sentinel:
         null_rid = sentinel[0]["lineage"]
     elif rows:
         null_rid = max(rows, key=lambda r: r["completed_at"])["lineage"]

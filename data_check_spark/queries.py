@@ -64,9 +64,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     testdata) is cached per session so repeat queries skip the ~0.1s file
     listing + footer read; applicationId in the key drops the cache with
     its session."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
     df = _T_CACHE.get(key)
     if df is None:
+        # evict dead sessions' entries so a process cycling SparkSessions
+        # doesn't pin stopped sessions (and their plans) forever
+        for k in [k for k in _T_CACHE if k[0] != app]:
+            del _T_CACHE[k]
         df = _T_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return df
 
@@ -6705,6 +6710,17 @@ def scan_pruning_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _await_drained(q) -> None:
+    """availableNow must DRAIN before the sink is read — a timeout would
+    silently return a partial sink (flaky value mismatch, the worst kind).
+    Loud failure instead; 600s is ~100x the observed drain time."""
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming replay did not drain within 600s — refusing to read "
+            "a partial sink"
+        )
+
 def _stream_workspace(tag: str) -> tuple[str, str, str]:
     """Fresh (input, sink, checkpoint) dirs for ONE streaming replay.
 
@@ -6719,6 +6735,35 @@ def _stream_workspace(tag: str) -> tuple[str, str, str]:
     root = tempfile.mkdtemp(prefix=f"dcs_stream_{tag}_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     return f"{root}/in", f"{root}/out", f"{root}/ckpt"
+
+
+def _chrono_wave(df: DataFrame, ts_col: str = "ts", n_waves: int = 4):
+    """Wave index 0..n_waves-1 by ABSOLUTE time position inside the data's
+    [min, max] span — chronological for any time range. (Day-of-month
+    bucketing was only chronological while the events table happened to
+    span a single calendar month; datagen is allowed to change.) Costs one
+    tiny min/max aggregate."""
+    import datetime as _dt
+
+    lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).collect()[0]
+
+    def _us(t) -> int:
+        # collected timestamps are naive UTC (session tz pinned); make the
+        # epoch conversion explicit so it matches unix_micros
+        return int(t.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+
+    lo_us, hi_us = _us(lo), _us(hi)
+    span = max(hi_us - lo_us, 1)
+    return F.least(
+        F.lit(n_waves - 1),
+        F.floor(
+            # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC so the
+            # cast to TIMESTAMP is value-identity and satisfies unix_micros
+            ((F.unix_micros(F.col(ts_col).cast("timestamp")) - F.lit(lo_us))
+             * n_waves)
+            / F.lit(span + 1)
+        ).cast("int"),
+    )
 
 
 def _events_as_clip_waves(spark: SparkSession, sf_dir: str, in_dir: str,
@@ -6773,7 +6818,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drained(q)
     sink = spark.read.schema(
         "rule_id string, clip_id string, partition string, observed string"
     ).parquet(out_dir)
@@ -6818,18 +6863,17 @@ def streaming_window_counts_events(spark: SparkSession, sf_dir: str) -> DataFram
 
     in_dir, out_dir, ckpt = _stream_workspace("window")
     ev = _t(spark, sf_dir, "events")
-    # CHRONOLOGICAL waves (week buckets), not id-mod: the file source
-    # processes files in write order, so arrivals are in event-time order
-    # across batches and nothing ever falls behind the watermark — late
-    # DROPS would otherwise make the emitted counts batch-dependent. (The
-    # late-data drop semantics themselves are pinned by
+    # CHRONOLOGICAL waves (absolute-time quartiles), not id-mod: the file
+    # source processes files in write order (distinct mtimes — each wave is
+    # its own write), so arrivals are in event-time order across batches
+    # and nothing ever falls behind the watermark — late DROPS would
+    # otherwise make the emitted counts batch-dependent. (The late-data
+    # drop semantics themselves are pinned by
     # tests/test_streaming.py::test_watermark_bound_controls_late_data_loss.)
     viol = ev.select(
         F.col("event_type").alias("rule_id"),
         F.col("ts").alias("event_ts"),
-        F.least(
-            F.lit(3), F.floor(F.dayofmonth("ts") / 8).cast("int")
-        ).alias("_wave"),
+        _chrono_wave(ev).alias("_wave"),
     )
     for i in range(4):
         (viol.filter(F.col("_wave") == i).drop("_wave")
@@ -6855,7 +6899,7 @@ def streaming_window_counts_events(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await_drained(q)
 
     _run_available_now()
 
@@ -6920,7 +6964,7 @@ def streaming_row_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_ts=_RUN_TS, checkpoint_dir=ckpt, trigger_once=True,
         max_files_per_trigger=1,
     )
-    q.awaitTermination(600)
+    _await_drained(q)
     return spark.read.schema(
         "rule_id string, clip_id string, partition string, observed string, "
         "event_ts timestamp"
@@ -7076,9 +7120,7 @@ def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("rule_id"),
         F.col("event_id").cast("string").alias("clip_id"),
         F.col("ts").alias("event_ts"),
-        F.least(
-            F.lit(3), F.floor(F.dayofmonth("ts") / 8).cast("int")
-        ).alias("_wave"),
+        _chrono_wave(ev).alias("_wave"),
     )
     for i in range(4):
         (viol.filter(F.col("_wave") == i).drop("_wave")
@@ -7104,7 +7146,7 @@ def streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drained(q)
     sink = spark.read.schema(
         "session_start timestamp, session_end timestamp, rule_id string, "
         "n_violations long"

@@ -151,24 +151,46 @@ def main(argv: list[str] | None = None) -> int:
         ))
 
     if args.once:
-        ok = all(
-            q.awaitTermination(args.timeout_sec) if args.timeout_sec
-            else (q.awaitTermination() or True)
-            for q in queries
-        )
+        # Await EVERY query (no short-circuit): a timed-out query must be
+        # stopped — returning while it still writes would let it mutate the
+        # output dirs after this function returns (in-process callers) and
+        # misreport which queries actually drained.
+        drained = []
+        for q in queries:
+            if args.timeout_sec:
+                ok = bool(q.awaitTermination(args.timeout_sec))
+                if not ok:
+                    q.stop()
+            else:
+                q.awaitTermination()
+                ok = True
+            drained.append(ok)
+        all_ok = all(drained)
         print(json.dumps({
             "queries": len(queries),
-            "drained": bool(ok),
+            "drained": all_ok,
+            "timed_out": [i for i, ok in enumerate(drained) if not ok],
             "rules_skipped_for_schema": dropped,
             "wall_sec": round(time.monotonic() - t0, 1),
         }))
-        return 0 if ok else 2
-    # continuous daemon: block on all queries, surface the first failure
-    spark.streams.awaitAnyTermination()
-    failed = [q for q in queries if q.exception() is not None]
-    for q in failed:
-        print(f"stream query failed: {q.exception()}", file=sys.stderr)
-    return 2 if failed else 0
+        return 0 if all_ok else 2
+    # Continuous daemon: awaitAnyTermination RAISES StreamingQueryException
+    # when a query fails (it does not return) — catch it for diagnostics;
+    # on any termination (failure OR clean stop) stop the siblings
+    # deliberately rather than letting process exit kill them silently.
+    failed_msgs: list[str] = []
+    try:
+        spark.streams.awaitAnyTermination()
+    except Exception as exc:  # StreamingQueryException
+        failed_msgs.append(str(exc))
+    for q in queries:
+        if q.exception() is not None:
+            failed_msgs.append(str(q.exception()))
+        if q.isActive:
+            q.stop()
+    for m in dict.fromkeys(failed_msgs):
+        print(f"stream query failed: {m}", file=sys.stderr)
+    return 2 if failed_msgs else 0
 
 
 if __name__ == "__main__":
