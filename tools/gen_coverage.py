@@ -30,10 +30,14 @@ harness `tools/check_oracle.py`, and `queries()` orders them FIRST so a
 sampling driver picks them up next). Regenerate with
 `python tools/gen_coverage.py` whenever a CORRECTNESS file lands.
 
-Round-4 builder evidence (2026-08-21): the FULL registry (144 oracle-backed
-+ 4 rows-only) value-checked green under `tools/check_oracle.py` at BOTH
-sf0.01 and sf0.1 — including the 5 round-3 hash-reds after their BIGINT
-casts and the n-gram/cluster oracles after the DuckDB-side scale fixes.
+Round-5 builder evidence (2026-08-21, final round-5 code): the FULL
+registry (149 oracle-backed + 4 rows-only, including the six round-5
+additions — four streaming replays, the session-window replay, and
+incremental IVF) value-checked green under `tools/check_oracle.py` at
+BOTH sf0.01 and sf0.1. Cumulative driver evidence: every oracle-backed
+entry registered through round 4 has a hash-green CORRECTNESS row
+(144/144); the round-5 entries ride FIRST in `queries()` order for the
+round-5 driver run.
 
 | query | oracle | last driver-green | builder harness |
 |---|---|---|---|
