@@ -719,13 +719,21 @@ def save_portable_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/qcentroids")
 
 
+def load_portable_ivf_cents(spark, path: str) -> list[tuple[int, list[int]]]:
+    """Read ONLY the quantized centroid table (n_lists rows) — the piece
+    incremental maintenance needs. Deliberately does not touch the cell
+    store: ``spark.read.parquet(cells)`` lists every ``_cell=N`` partition
+    directory, a driver-side cost that grows with total store size."""
+    rows = spark.read.parquet(f"{path}/qcentroids").orderBy("cell").collect()
+    return [(int(r["cell"]), [int(x) for x in r["qcentroid"]]) for r in rows]
+
+
 def load_portable_ivf_index(
     spark, path: str
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Inverse of :func:`save_portable_ivf_index`."""
     assigned = spark.read.parquet(f"{path}/cells")
-    rows = spark.read.parquet(f"{path}/qcentroids").orderBy("cell").collect()
-    return assigned, [(int(r["cell"]), [int(x) for x in r["qcentroid"]]) for r in rows]
+    return assigned, load_portable_ivf_cents(spark, path)
 
 
 def ivf_add_batch(
@@ -746,8 +754,9 @@ def ivf_add_batch(
     assignment of the union — the equivalence the
     ``ivf_incremental_embeddings`` oracle checks value-for-value. Scale
     shape: the batch never joins the corpus; one scan of the batch + an
-    n_lists-row centroid read."""
-    _, cents = load_portable_ivf_index(spark, path)
+    n_lists-row centroid read (the cell store is never listed — its
+    file count grows with corpus size, the batch doesn't)."""
+    cents = load_portable_ivf_cents(spark, path)
     (
         portable_ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
         .write.mode("append")

@@ -153,6 +153,18 @@ def start_microbatch_validation(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # run_validation materializes intermediates via localCheckpoint
+        # (violations/verdicts frames, shared duplicate-key frames); a
+        # finished micro-batch never touches them again, but the JVM keeps
+        # the blocks until the session dies — a long-lived daemon would
+        # accumulate them every batch until the pinned heap chokes (the
+        # measured in-sweep failure mode, CLAUDE.md). Snapshot the
+        # persistent-RDD ids before the run and free the NEW ones after the
+        # write. Per-batch scope: the ids created here belong to this
+        # batch's engine run (foreachBatch batches are sequential within
+        # the query; concurrent OTHER queries in this job don't persist).
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        before = {int(e.getKey()) for e in jmap.entrySet().toArray()}
         res = run_validation(
             spark, batch_df, dims, catalog,
             run_ts=run_ts, partition_col=partition_col, cache_input=False,
@@ -168,6 +180,10 @@ def start_microbatch_validation(
             .partitionBy("batch_id")
             .parquet(f"{output_dir}/violations")
         )
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for e in list(jmap.entrySet().toArray()):
+            if int(e.getKey()) not in before:
+                e.getValue().unpersist(False)
 
     stream = stream_clips(
         spark, input_dir, schema=schema, max_files_per_trigger=max_files_per_trigger

@@ -113,13 +113,16 @@ def start_stateful_dedup(
     rule_id: str = "STREAM_DUP",
     ttl_minutes: int | None = None,
     trigger_once: bool = False,
+    max_files_per_trigger: int = 16,
 ):
     """File-source stream → stateful dedup → parquet sink. State survives
     restarts through the streaming checkpoint, so ``availableNow`` catch-up
     runs still see duplicates against everything processed before."""
     from data_check_spark.streaming.incremental import stream_clips
 
-    stream = stream_clips(spark, input_dir)
+    stream = stream_clips(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
     viol = streaming_duplicate_violations(stream, rule_id=rule_id, ttl_minutes=ttl_minutes)
     writer = (
         viol.writeStream.format("parquet")

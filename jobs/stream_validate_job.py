@@ -61,8 +61,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--once", action="store_true",
                     help="availableNow: drain the backlog and exit")
     ap.add_argument("--with-bytes", action="store_true",
-                    help="stream the binary PCM column too so byte-length/"
-                         "SNR rules run (default: narrow monitoring schema)")
+                    help="stream the binary PCM column too; only useful with "
+                         "--micro-batch-engine, where the batch engine's wide "
+                         "decode pass runs the byte-length/SNR rules — the "
+                         "stateless row stream has no decode stage, so its "
+                         "bytes-derived rules stay schema-skipped either way "
+                         "(default: narrow monitoring schema)")
     ap.add_argument("--micro-batch-engine", action="store_true",
                     help="run set-oriented rules per micro-batch through the "
                          "batch engine via foreachBatch")
@@ -91,7 +95,16 @@ def main(argv: list[str] | None = None) -> int:
         catalog = load_catalog(args.rules)
     else:
         catalog = audio_catalog(bytes_cap_ms=args.cap_ms)
-    run_ts = args.run_ts or time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    # run_ts is NOT defaulted to wall-clock: a crash-relaunch with the same
+    # args must replay micro-batches against the SAME instant or the
+    # idempotent per-batch-id overwrite rewrites different verdicts than
+    # the first attempt (the batch job pins it the same way; {run_ts}
+    # rules error loudly at compile when unset).
+    run_ts = args.run_ts
+    if args.micro_batch_engine and run_ts is None:
+        ap.error("--micro-batch-engine requires --run-ts (the engine pins "
+                 "one instant per run; a wall-clock default would judge "
+                 "replayed micro-batches against a different instant)")
     schema = (
         inc.STREAM_CLIPS_SCHEMA_WITH_BYTES if args.with_bytes
         else inc.STREAM_CLIPS_SCHEMA
@@ -123,14 +136,33 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             dropped.append(r.rule_id)
     stream_catalog = RuleCatalog(keep)
+    if dropped:
+        # report the narrowing immediately (daemon mode has no summary line)
+        print(f"row rules skipped for stream schema: {sorted(dropped)}",
+              file=sys.stderr)
+
+    # Before starting anything: in a reused session a PREVIOUSLY-terminated
+    # streaming query (a prior --once invocation, a test fixture) would make
+    # the daemon's awaitAnyTermination return immediately; resetting here
+    # (before .start(), so a fast-failing new query is still observed)
+    # scopes termination to THIS invocation's queries.
+    spark.streams.resetTerminated()
 
     queries = []
-    queries.append(inc.start_incremental_validation(
-        spark, args.input, f"{args.output_dir}/row_violations", stream_catalog,
-        run_ts=run_ts, checkpoint_dir=f"{args.checkpoint_dir}/row_rules",
-        trigger_once=args.once, schema=schema,
-        max_files_per_trigger=args.max_files_per_trigger,
-    ))
+    if stream_catalog.row_local:
+        queries.append(inc.start_incremental_validation(
+            spark, args.input, f"{args.output_dir}/row_violations",
+            stream_catalog,
+            run_ts=run_ts, checkpoint_dir=f"{args.checkpoint_dir}/row_rules",
+            trigger_once=args.once, schema=schema,
+            max_files_per_trigger=args.max_files_per_trigger,
+        ))
+    elif not (args.micro_batch_engine or args.stateful_dedup):
+        ap.error(
+            "no row-local rule in the catalog survives the stream schema "
+            f"(skipped: {sorted(dropped)}) and no other query type was "
+            "requested — nothing to run"
+        )
     if args.micro_batch_engine:
         dims = {}
         if args.transcripts:
@@ -148,29 +180,45 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, f"{args.output_dir}/stream_dup",
             checkpoint_dir=f"{args.checkpoint_dir}/stateful_dedup",
             ttl_minutes=args.dedup_ttl_minutes, trigger_once=args.once,
+            max_files_per_trigger=args.max_files_per_trigger,
         ))
 
     if args.once:
-        # Await EVERY query (no short-circuit): a timed-out query must be
-        # stopped — returning while it still writes would let it mutate the
-        # output dirs after this function returns (in-process callers) and
-        # misreport which queries actually drained.
-        drained = []
+        # Await EVERY query (no short-circuit) and survive per-query
+        # failures: a timed-out query must be stopped (returning while it
+        # still writes would let it mutate the output dirs after this
+        # function returns — in-process callers), a FAILED query raises
+        # StreamingQueryException out of awaitTermination and must not
+        # abort the drain of its siblings or swallow the summary.
+        # --timeout-sec is one OVERALL deadline ("is not None": 0 means
+        # fail-now, not wait-forever).
+        deadline = (
+            time.monotonic() + args.timeout_sec
+            if args.timeout_sec is not None else None
+        )
+        drained, errors = [], []
         for q in queries:
-            if args.timeout_sec:
-                ok = bool(q.awaitTermination(args.timeout_sec))
-                if not ok:
-                    q.stop()
-            else:
-                q.awaitTermination()
-                ok = True
+            try:
+                if deadline is not None:
+                    ok = bool(
+                        q.awaitTermination(max(0.001, deadline - time.monotonic()))
+                    )
+                    if not ok:
+                        q.stop()
+                else:
+                    q.awaitTermination()
+                    ok = True
+            except Exception as exc:  # StreamingQueryException: query failed
+                errors.append(str(exc).splitlines()[0][:500])
+                ok = False
             drained.append(ok)
-        all_ok = all(drained)
+        all_ok = all(drained) and not errors
         print(json.dumps({
             "queries": len(queries),
             "drained": all_ok,
             "timed_out": [i for i, ok in enumerate(drained) if not ok],
-            "rules_skipped_for_schema": dropped,
+            "errors": errors,
+            "rules_skipped_for_schema": sorted(dropped),
             "wall_sec": round(time.monotonic() - t0, 1),
         }))
         return 0 if all_ok else 2
@@ -178,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
     # when a query fails (it does not return) — catch it for diagnostics;
     # on any termination (failure OR clean stop) stop the siblings
     # deliberately rather than letting process exit kill them silently.
+    # (resetTerminated ran before the queries started.)
     failed_msgs: list[str] = []
     try:
         spark.streams.awaitAnyTermination()

@@ -514,3 +514,31 @@ def test_stream_validate_job_once_drains_and_resumes(spark, tmp_path):
     assert second > first
     dup_rows = spark.read.parquet(f"{out}/stream_dup").collect()
     assert sorted(r["partition"] for r in dup_rows) == ["p0", "p1"]
+
+
+def test_stream_validate_job_once_survives_query_failure(spark, tmp_path, capsys):
+    """A query that FAILS mid-execution (corrupt parquet file in the input)
+    must not abort the drain: awaitTermination's StreamingQueryException is
+    caught per query, the JSON summary is printed with the error recorded,
+    and the job exits 2 — not an uncaught traceback (round-5 xhigh
+    review). NOTE: both queries read the same corrupt input, so both fail;
+    the point under test is the loop surviving and summarizing failures."""
+    import datetime as dt
+    import json as _json
+
+    from jobs.stream_validate_job import main as job_main
+
+    ts = dt.datetime(2026, 1, 1, 0, 0, 0)
+    in_dir = tmp_path / "in"
+    _write_batch(spark, str(in_dir), [(None, 16000, 1000, "flac", "t", "p0", ts)], 1)
+    (in_dir / "zz_corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+    rc = job_main([
+        "--input", str(in_dir), "--output-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--once", "--stateful-dedup", "--run-ts", "2026-01-01 00:00:00",
+        "--timeout-sec", "120",
+    ])
+    assert rc == 2
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["errors"] and not summary["drained"]
+    assert summary["queries"] == 2  # both queries were started and awaited
